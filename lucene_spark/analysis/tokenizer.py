@@ -1,0 +1,87 @@
+"""Standard analyzer: UAX#29-subset word-break + lowercase + 255-char chop.
+
+This is the single tokenizer *spec* shared by the Spark engine and the pure
+Python oracle, guaranteeing parity by construction (the #1 rank-identity risk,
+SURVEY.md §7).  It reproduces the behavior of the reference's
+``StandardAnalyzer`` (= ``StandardTokenizer`` → ``LowerCaseFilter``, empty
+stopword set — ``core/analysis/standard/StandardAnalyzer.java:51-93``) on the
+declared supported subset of input text (FIXTURES.md §3):
+
+* ASCII letters / digits, whitespace, common punctuation.
+* Words = maximal runs of ``[a-z0-9]``(after lowercasing), extended by
+  UAX#29 mid-token joiners within the subset: an apostrophe between letters
+  (MidLetter, WB6/WB7) and ``.``/``,`` between digits (MidNum, WB11/WB12).
+* Tokens longer than 255 chars are chopped into consecutive 255-char chunks,
+  each emitted at the next position — matching ``StandardTokenizer``'s
+  scanner-buffer chop (``StandardTokenizer.java:86-90``, buffer size =
+  maxTokenLength = 255, ``StandardAnalyzer.java:37``).
+* No stopwords; positions are dense 0..n-1 (``StandardAnalyzer.java:51-53``).
+
+Non-ASCII input is tokenized by the same regex (any non-matching char is a
+break); full UAX#29 (ideographs, emoji, extended scripts) is out of the
+declared subset — callers needing it plug in a custom pandas-UDF analyzer
+(the UDF surface, SURVEY.md §2.12).
+
+The engine applies the SAME pattern JVM-side via ``regexp_extract_all`` so the
+hot tokenize path never leaves whole-stage codegen; the chop is a JVM array
+expression.  ``tokenize_text`` is the reference Python implementation used by
+the oracle and by property tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+MAX_TOKEN_LENGTH = 255
+
+# Java and Python regex compatible (lookbehind/lookahead are fixed-width).
+TOKEN_PATTERN = (
+    r"[a-z0-9]+"
+    r"(?:(?<=[a-z])'(?=[a-z])[a-z0-9]+"
+    r"|(?<=[0-9])[.,](?=[0-9])[a-z0-9]+)*"
+)
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def tokenize_text(text: str | None, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """Reference tokenizer (oracle path). Returns tokens in order."""
+    if not text:
+        return []
+    out: list[str] = []
+    for run in _TOKEN_RE.findall(text.lower()):
+        if len(run) <= max_token_length:
+            out.append(run)
+        else:
+            out.extend(
+                run[i : i + max_token_length]
+                for i in range(0, len(run), max_token_length)
+            )
+    return out
+
+
+def tokens_expr(col, max_token_length: int = MAX_TOKEN_LENGTH):
+    """JVM-side tokenizer: Column(string) -> Column(array<string>).
+
+    Pure built-in expressions (regexp_extract_all + flatten/transform) so the
+    tokenize stage stays inside whole-stage codegen — no Python in the hot
+    path (input_hint requirement).  Exactly equivalent to ``tokenize_text``.
+    """
+    from pyspark.sql import functions as F
+
+    runs = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+    m = max_token_length
+    # chop each run into <=m-char chunks; fast path (no chop) is the common case
+    chopped = F.flatten(
+        F.transform(
+            runs,
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.length(t) - F.lit(1)) / F.lit(m)).cast("int"),
+                ),
+                lambda i: F.substring(t, (i * m + 1).cast("int"), F.lit(m)),
+            ),
+        )
+    )
+    return F.when(col.isNull(), F.array().cast("array<string>")).otherwise(chopped)

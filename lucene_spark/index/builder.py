@@ -1,0 +1,243 @@
+"""Index build: transcripts DataFrame -> inverted index tables.
+
+Re-expresses the reference's IndexWriter lifecycle (SURVEY.md §3.1) as
+DataFrame stages:
+
+    read transcripts
+      -> repartitionByRange(conv_id, turn_idx) + sortWithinPartitions
+         (one input partition ≙ one DocumentsWriterPerThread / segment)
+      -> deterministic dense doc_id (global rank over (conv_id, turn_idx) —
+         two-pass offsets, no global window; ≙ DocIDMerger's stable remap,
+         core/index/DocIDMerger.java:32)
+      -> tokenize (pure JVM expressions, lucene_spark.analysis.tokens_expr)
+      -> norms: intToByte4(token_count) as integer-exact JVM expression
+         (≙ IndexingChain.java:1158-1164 + SmallFloat.java:103-156)
+      -> posexplode + two hash aggregations:
+           (term, doc_id) -> freq, positions     (≙ TermsHashPerField.add)
+           (term)         -> doc_freq, ttf, ...  (≙ term dictionary stats)
+      -> stats: global docCount / sumTotalTermFreq
+         (≙ IndexSearcher.collectionStatistics, IndexSearcher.java:913-928)
+
+Everything stays inside whole-stage codegen: no Python UDF anywhere in the
+build hot path.  The block codec (compressed segment format) is layered on
+top in ``lucene_spark.index.segments``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.analysis.tokenizer import tokens_expr
+from lucene_spark.util.smallfloat import NUM_FREE_VALUES
+
+DOC_KEY = ("conv_id", "turn_idx")
+
+
+def _byte4_encode(colname: str):
+    """intToByte4(col) as a SQL expression string (integer-exact)."""
+    n = NUM_FREE_VALUES
+    v = f"(CAST({colname} AS BIGINT) - {n})"
+    nbits = f"length(bin({v}))"
+    shift = f"({nbits} - 4)"
+    enc = f"((shiftright({v}, {shift}) & 7) | (({shift} + 1) << 3))"
+    return F.expr(
+        f"CASE WHEN {colname} < {n} THEN {colname} "
+        f"WHEN {v} < 8 THEN {n} + {v} "
+        f"ELSE {n} + {enc} END"
+    ).cast("int")
+
+
+@dataclass
+class InvertedIndex:
+    """Logical inverted index: a set of DataFrames + tiny global stats.
+
+    docs:       doc_id, conv_id, turn_idx, role, tool, ts, length, norm, segment
+    postings:   term, doc_id, freq, positions(array<int>), norm, segment
+    term_stats: term, doc_freq, total_term_freq, max_freq, min_norm
+    stats:      {'doc_count', 'sum_total_term_freq', 'max_doc'}  (global, like
+                collectionStatistics — docCount counts docs with >=1 token)
+    """
+
+    spark: SparkSession
+    docs: DataFrame
+    postings: DataFrame
+    term_stats: DataFrame
+    stats: dict
+    segments: Optional[DataFrame] = None  # block-codec segment table (optional)
+    k1: float = 1.2
+    b: float = 0.75
+
+    def check(self) -> dict:
+        """CheckIndex-style invariants (FIXTURES.md §6, CheckIndex.java:526).
+
+        Returns a dict of invariant-name -> bool; raises on failure.
+        """
+        out = {}
+        ts = (
+            self.postings.groupBy("term")
+            .agg(
+                F.count("*").alias("df2"),
+                F.sum("freq").alias("ttf2"),
+                F.max("freq").alias("mf2"),
+                F.min("norm").alias("mn2"),
+            )
+        )
+        joined = self.term_stats.join(ts, "term", "full")
+        bad = joined.filter(
+            (F.col("doc_freq") != F.col("df2"))
+            | (F.col("total_term_freq") != F.col("ttf2"))
+            | (F.col("max_freq") != F.col("mf2"))
+            | (F.col("min_norm") != F.col("mn2"))
+        ).count()
+        out["term_stats_match_recount"] = bad == 0
+        dup = (
+            self.docs.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+        )
+        out["doc_key_unique"] = dup == 0
+        did = self.docs.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        ).collect()[0]
+        out["doc_ids_dense"] = did.nd == did.n and did.mn == 0 and did.mx == did.n - 1
+        posbad = self.postings.filter(
+            (F.size("positions") != F.col("freq"))
+            | (~F.expr(
+                "positions = array_sort(array_distinct(positions))"
+            ))
+        ).count()
+        out["positions_sorted_match_freq"] = posbad == 0
+        sttf = self.postings.agg(F.sum("freq")).collect()[0][0] or 0
+        out["stats_sum_total_term_freq"] = sttf == self.stats["sum_total_term_freq"]
+        if not all(out.values()):
+            raise AssertionError(f"index invariants failed: {out}")
+        return out
+
+
+class IndexBuilder:
+    """Builds an :class:`InvertedIndex` from a transcripts DataFrame."""
+
+    def __init__(
+        self,
+        k1: float = 1.2,
+        b: float = 0.75,
+        num_segments: Optional[int] = None,
+        text_col: str = "text",
+    ):
+        self.k1 = k1
+        self.b = b
+        self.num_segments = num_segments
+        self.text_col = text_col
+
+    # -- deterministic dense doc ids ------------------------------------
+    def assign_doc_ids(self, df: DataFrame) -> DataFrame:
+        """Dense doc_id = global rank over (conv_id, turn_idx).
+
+        Scalable two-pass: range-partition + sort, take the per-partition
+        local row index from monotonically_increasing_id (which is
+        (partition_id << 33) | local_index), aggregate per-partition counts
+        (tiny), cumulative offsets on the driver, broadcast-join them back.
+        No global window, no single-partition bottleneck; the result does not
+        depend on partition boundaries because (conv_id, turn_idx) is a total
+        order.  ≙ Lucene's deterministic docID remap on merge
+        (core/index/DocIDMerger.java:73-83).
+        """
+        n = self.num_segments or df.sparkSession.sparkContext.defaultParallelism
+        sorted_df = (
+            df.repartitionByRange(n, *DOC_KEY)
+            .sortWithinPartitions(*DOC_KEY)
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        counts = (
+            sorted_df.groupBy("_pid").count().orderBy("_pid").collect()
+        )
+        offsets, acc = {}, 0
+        for row in counts:
+            offsets[row._pid] = acc
+            acc += row["count"]
+        offsets_df = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+            )
+        )
+        out = (
+            sorted_df.join(offsets_df, "_pid")
+            .withColumn(
+                "doc_id",
+                F.col("_offset") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)),
+            )
+            .withColumn("segment", F.col("_pid"))
+            .drop("_mid", "_offset")
+        )
+        return out
+
+    # -- full build ------------------------------------------------------
+    def build(self, transcripts: DataFrame) -> InvertedIndex:
+        spark = transcripts.sparkSession
+        with_ids = self.assign_doc_ids(transcripts)
+
+        toks = with_ids.withColumn("_tokens", tokens_expr(F.col(self.text_col)))
+        docs = (
+            toks.withColumn("length", F.size("_tokens"))
+            .withColumn("norm", _byte4_encode("length"))
+            .select(
+                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                "length", "norm", "segment",
+            )
+            .persist()
+        )
+
+        exploded = toks.select(
+            "doc_id",
+            "segment",
+            F.size("_tokens").alias("length"),
+            F.posexplode("_tokens").alias("pos", "term"),
+        ).withColumn("norm", _byte4_encode("length")).drop("length")
+
+        postings = (
+            exploded.groupBy("term", "doc_id")
+            .agg(
+                F.count("*").cast("int").alias("freq"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.first("norm").alias("norm"),
+                F.first("segment").alias("segment"),
+            )
+            .persist()
+        )
+
+        term_stats = (
+            postings.groupBy("term")
+            .agg(
+                F.count("*").alias("doc_freq"),
+                F.sum("freq").alias("total_term_freq"),
+                F.max("freq").alias("max_freq"),
+                F.min("norm").alias("min_norm"),
+            )
+            .persist()
+        )
+
+        srow = docs.agg(
+            F.count("*").alias("max_doc"),
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("length").alias("sttf"),
+        ).collect()[0]
+        stats = {
+            "max_doc": int(srow.max_doc),
+            "doc_count": int(srow.doc_count or 0),
+            "sum_total_term_freq": int(srow.sttf or 0),
+        }
+        return InvertedIndex(
+            spark=spark,
+            docs=docs,
+            postings=postings,
+            term_stats=term_stats,
+            stats=stats,
+            k1=self.k1,
+            b=self.b,
+        )

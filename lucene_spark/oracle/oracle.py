@@ -1,0 +1,199 @@
+"""Single-node pure-Python oracle with exact reference semantics.
+
+Implements, in plain Python/numpy, exactly what the reference computes
+(SURVEY.md §5 "The oracle") so the Spark engine can be tested for rank- AND
+score-identity (float32):
+
+* tokenize: the shared spec in ``lucene_spark.analysis.tokenizer``
+* norms: ``intToByte4(num_tokens)`` (``SmallFloat.java:103-156``,
+  ``BM25Similarity.computeNorm`` at ``BM25Similarity.java:131-142``)
+* stats: GLOBAL docCount / sumTotalTermFreq → avgdl
+  (``IndexSearcher.collectionStatistics``, ``IndexSearcher.java:913-928``)
+* BM25 float32 algebra with the 256-entry normInverse cache
+  (``BM25Similarity.java:104-111, 196-210, 246-258``):
+      idf     = float32( ln(1 + (N - n + 0.5)/(n + 0.5)) )       # double→float
+      avgdl   = float32( sumTotalTermFreq / docCount )           # double→float
+      cache[i]= 1f / (k1 * ((1-b) + b * LENGTH_TABLE[i] / avgdl))  # all f32
+      score   = weight - weight / (1f + freq * cache[norm])        # all f32
+  weight = boost * idf (float32).
+* Boolean combination: SHOULD/MUST sums accumulate per-term float32 scores in
+  a float64 then cast to float32 (``DisjunctionSumScorer.java:43-48``,
+  ``ConjunctionScorer.java:58-64``).
+* top-k tie-break: (score desc, doc_id asc) (``HitQueue.java:77-84``,
+  ``TopDocs.java:76-117``).
+
+This file is the trusted reference — it is deliberately simple and slow.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lucene_spark.analysis.tokenizer import tokenize_text
+from lucene_spark.util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+
+@dataclass
+class OracleDoc:
+    doc_id: int
+    conv_id: str
+    turn_idx: int
+    tokens: list[str]
+    norm: int  # byte4-encoded length, 0..255
+
+
+@dataclass
+class OracleIndex:
+    """In-memory inverted index over transcript turns."""
+
+    docs: list[OracleDoc] = field(default_factory=list)
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term -> doc_id -> freq
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+    k1: float = 1.2
+    b: float = 0.75
+
+    @classmethod
+    def build(cls, rows, k1: float = 1.2, b: float = 0.75) -> "OracleIndex":
+        """rows: iterable of dicts with conv_id, turn_idx, text (and extras).
+
+        doc_id = dense rank over (conv_id, turn_idx) — the engine's
+        deterministic global ordinal (SURVEY.md §1.1 docID mapping).
+        """
+        idx = cls(k1=k1, b=b)
+        ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
+        for doc_id, r in enumerate(ordered):
+            toks = tokenize_text(r.get("text"))
+            norm = int(int_to_byte4(len(toks)))
+            idx.docs.append(
+                OracleDoc(doc_id, r["conv_id"], int(r["turn_idx"]), toks, norm)
+            )
+            for pos, t in enumerate(toks):
+                idx.postings.setdefault(t, {})
+                idx.postings[t][doc_id] = idx.postings[t].get(doc_id, 0) + 1
+                idx.positions.setdefault(t, {}).setdefault(doc_id, []).append(pos)
+        return idx
+
+    # ---- collection statistics (global, field = "text") ----
+
+    @property
+    def doc_count(self) -> int:
+        # Terms.getDocCount semantics: docs with at least one token in the
+        # field (core/index/Terms.java:103-121) — empty turns are excluded
+        # from docCount and avgdl, exactly like the reference.
+        return sum(1 for d in self.docs if d.tokens)
+
+    @property
+    def sum_total_term_freq(self) -> int:
+        return sum(len(d.tokens) for d in self.docs)
+
+    @property
+    def avgdl(self) -> np.float32:
+        # double division, then cast to float (BM25Similarity.java:109-111)
+        return np.float32(self.sum_total_term_freq / self.doc_count)
+
+    def doc_freq(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def idf(self, term: str) -> np.float32:
+        n = self.doc_freq(term)
+        N = self.doc_count
+        return np.float32(math.log(1 + (N - n + 0.5) / (n + 0.5)))
+
+    def norm_inverse_cache(self) -> np.ndarray:
+        k1 = np.float32(self.k1)
+        b = np.float32(self.b)
+        avgdl = self.avgdl
+        one = np.float32(1.0)
+        cache = one / (k1 * ((one - b) + b * LENGTH_TABLE / avgdl))
+        return cache.astype(np.float32)
+
+    # ---- scoring ----
+
+    def term_scores(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        """doc_id -> float32 BM25 score for a single term."""
+        cache = self.norm_inverse_cache()
+        weight = np.float32(np.float32(boost) * self.idf(term))
+        out: dict[int, np.float32] = {}
+        one = np.float32(1.0)
+        for doc_id, freq in self.postings.get(term, {}).items():
+            inv = cache[self.docs[doc_id].norm]
+            score = weight - weight / (one + np.float32(freq) * inv)
+            out[doc_id] = np.float32(score)
+        return out
+
+    def _sum_scores(self, per_term: list[dict[int, np.float32]], doc_ids) -> dict[int, np.float32]:
+        out = {}
+        for d in doc_ids:
+            acc = 0.0  # float64 accumulator, cast at the end
+            for ts in per_term:
+                if d in ts:
+                    acc += float(ts[d])
+            out[d] = np.float32(acc)
+        return out
+
+    def search_or(self, terms: list[str], k: int) -> list[tuple[int, np.float32]]:
+        """SHOULD-of-terms (BM25 default for multi-word query)."""
+        per_term = [self.term_scores(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_and(self, terms: list[str], k: int) -> list[tuple[int, np.float32]]:
+        """MUST conjunction, scores summed."""
+        per_term = [self.term_scores(t) for t in terms]
+        if not per_term:
+            return []
+        doc_ids = set(per_term[0])
+        for ts in per_term[1:]:
+            doc_ids &= set(ts)
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_not(self, must: list[str], must_not: list[str], k: int):
+        per_term = [self.term_scores(t) for t in must]
+        if not per_term:
+            return []
+        doc_ids = set(per_term[0])
+        for ts in per_term[1:]:
+            doc_ids &= set(ts)
+        for t in must_not:
+            doc_ids -= set(self.postings.get(t, {}))
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_phrase(self, terms: list[str], k: int):
+        """Exact phrase (slop=0): freq = number of phrase occurrences; scored
+        like a term with the SUMMED idf of all phrase terms
+        (``BM25Similarity.idfExplain(termStats[])`` sums idf in double then
+        casts; ``PhraseWeight`` uses phrase freq)."""
+        if not terms:
+            return []
+        # sum per-term float32 idfs in double, then cast (idfExplain)
+        idf = np.float32(sum(float(self.idf(t)) for t in terms))
+        cache = self.norm_inverse_cache()
+        one = np.float32(1.0)
+        cands = set(self.positions.get(terms[0], {}))
+        for t in terms[1:]:
+            cands &= set(self.positions.get(t, {}))
+        scores = {}
+        for d in cands:
+            first = self.positions[terms[0]][d]
+            freq = 0
+            for p in first:
+                if all(p + i in self.positions[t].get(d, ()) for i, t in enumerate(terms[1:], 1)):
+                    freq += 1
+            if freq > 0:
+                inv = cache[self.docs[d].norm]
+                scores[d] = np.float32(idf - idf / (one + np.float32(freq) * inv))
+        return self._topk(scores, k)
+
+    def _topk(self, scores: dict[int, np.float32], k: int):
+        items = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [(d, s) for d, s in items[:k]]
+
+    def topk_keys(self, hits) -> list[tuple[str, int, float]]:
+        return [
+            (self.docs[d].conv_id, self.docs[d].turn_idx, float(s)) for d, s in hits
+        ]

@@ -1,0 +1,229 @@
+"""Immutable query tree (≙ org.apache.lucene.search.Query hierarchy).
+
+Each class documents the reference operator it reproduces (SURVEY.md §2.6).
+The tree is *logical*; ``IndexSearcher`` lowers it to a DataFrame plan and
+Catalyst picks the physical strategy.  A small ``rewrite`` normalization pass
+mirrors the reference's fixpoint ``Query.rewrite`` loop
+(core/search/IndexSearcher.java:737-746): single-clause unwrap, nested
+flatten, duplicate-clause dedup (TestBooleanRewrites-style simplifications).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional, Sequence
+
+
+class Occur(Enum):
+    """core/search/BooleanClause.java:25-81."""
+
+    MUST = "MUST"
+    FILTER = "FILTER"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    """core/search/TermQuery.java:36 — docs containing term, BM25-scored."""
+
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """core/search/SynonymQuery.java:50 — several terms scored as one term:
+    freq = sum of freqs, df = max df of members (blended)."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    """core/search/BooleanQuery.java — MUST/FILTER/SHOULD/MUST_NOT +
+    minimumNumberShouldMatch.  Pure-negation queries are illegal (same as the
+    reference).  When MUST or FILTER clauses exist, SHOULD clauses are
+    optional score contributors; otherwise at least max(1, minShouldMatch)
+    SHOULD clauses must match (Boolean2ScorerSupplier.java:130-155)."""
+
+    clauses: tuple
+    min_should_match: int = 0
+
+    @staticmethod
+    def of(*pairs, min_should_match: int = 0) -> "BooleanQuery":
+        return BooleanQuery(
+            tuple(BooleanClause(q, o) for q, o in pairs), min_should_match
+        )
+
+    def rewrite(self) -> Query:
+        clauses = []
+        for c in self.clauses:
+            q = c.query.rewrite()
+            # flatten nested pure-SHOULD boolean into parent SHOULD
+            if (
+                isinstance(q, BooleanQuery)
+                and c.occur == Occur.SHOULD
+                and q.min_should_match <= 1
+                and all(cc.occur == Occur.SHOULD for cc in q.clauses)
+            ):
+                clauses.extend(q.clauses)
+            else:
+                clauses.append(BooleanClause(q, c.occur))
+        # dedup identical (query, occur) pairs for non-scoring occurs
+        seen, out = set(), []
+        for c in clauses:
+            key = (c.query, c.occur)
+            if c.occur in (Occur.FILTER, Occur.MUST_NOT) and key in seen:
+                continue
+            seen.add(key)
+            out.append(c)
+        # single SHOULD clause and nothing else -> unwrap
+        if len(out) == 1 and out[0].occur in (Occur.SHOULD, Occur.MUST) and self.min_should_match <= 1:
+            return out[0].query
+        return BooleanQuery(tuple(out), self.min_should_match)
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """core/search/PhraseQuery.java:69-141 — terms at consecutive positions;
+    slop>0 = sloppy phrase (SloppyPhraseMatcher.java:52)."""
+
+    terms: tuple
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """core/search/TermInSetQuery.java:72 — field IN (set), constant score."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """core/search/PrefixQuery.java — expands against the term dictionary,
+    constant-score rewrite (MultiTermQuery.java:39-83)."""
+
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    """core/search/WildcardQuery.java — ``*`` any, ``?`` single char."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """core/search/RegexpQuery.java — regex over the term dictionary."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """core/search/FuzzyQuery.java:52-54 — Levenshtein distance <= max_edits
+    (<=2), top maxExpansions terms by df kept (TopTermsRewrite)."""
+
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    max_expansions: int = 50
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """core/search/TermRangeQuery.java — lexicographic term range."""
+
+    lower: Optional[str]
+    upper: Optional[str]
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    """core/search/MatchAllDocsQuery.java — every doc, score = boost."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """core/search/MatchNoDocsQuery.java."""
+
+
+@dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """core/search/FieldExistsQuery.java — docs where column IS NOT NULL."""
+
+    column: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """core/search/BoostQuery.java — score(sub) * boost."""
+
+    query: Query
+    boost: float
+
+    def rewrite(self) -> Query:
+        q = self.query.rewrite()
+        if isinstance(q, TermQuery):
+            return TermQuery(q.term, q.boost * self.boost)
+        if isinstance(q, BoostQuery):
+            return BoostQuery(q.query, q.boost * self.boost)
+        return BoostQuery(q, self.boost)
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """core/search/ConstantScoreQuery.java — matches(sub), score ≡ boost."""
+
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """core/search/DisjunctionMaxQuery.java — score = max(subs) +
+    tie_breaker * (sum(subs) - max(subs))."""
+
+    queries: tuple
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class RangePredicate(Query):
+    """PointRangeQuery analog (core/search/PointRangeQuery.java:51) — a plain
+    column predicate on the docs table (ts / turn_idx / role ...); Catalyst +
+    Parquet min-max stats replace the BKD tree."""
+
+    column: str
+    lower: object = None
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True

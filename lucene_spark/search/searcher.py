@@ -1,0 +1,521 @@
+"""IndexSearcher: lower a Query tree to a DataFrame plan and take top-k.
+
+≙ core/search/IndexSearcher.java:505 lifecycle (SURVEY.md §3.2):
+
+1. ``query.rewrite()`` fixpoint normalization (IndexSearcher.java:737-746).
+2. Weight creation = one tiny driver-side lookup of per-term doc_freq from the
+   term_stats relation (filter pushed to the scan; never a full collect) +
+   GLOBAL collection stats (docCount, avgdl) — IndexSearcher.java:913-928.
+3. Match/score = declarative DataFrame plan over the postings relation:
+   conjunction = inner join / count-distinct constraint, disjunction = union +
+   hash agg, exclusion = left_anti, filter = left_semi — Catalyst/AQE pick
+   broadcast vs shuffle sides (≙ ConjunctionDISI lead-cost ordering).
+4. top-k = ``orderBy(score desc, doc_id asc).limit(k)`` → Catalyst
+   TakeOrderedAndProject (≙ TopScoreDocCollector k-heap + TopDocs.merge
+   tie-break, HitQueue.java:77-84).
+
+Scoring is Lucene-exact float32: the BM25 algebra runs as FloatType column
+expressions (JVM, whole-stage codegen — Java float ops ≡ IEEE binary32 ≡
+numpy float32), with the 256-entry normInverse cache inlined as an array
+literal (BM25Similarity.java:196-210, 246-258).  Multi-clause score sums
+accumulate in double and cast to float at the end, exactly like
+DisjunctionSumScorer.java:43-48 / ConjunctionScorer.java:58-64.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.analysis.tokenizer import tokenize_text
+from lucene_spark.index.builder import InvertedIndex
+from lucene_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FieldExistsQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RangePredicate,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+
+def _f32(x) -> float:
+    return float(np.float32(x))
+
+
+class IndexSearcher:
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self.k1 = np.float32(index.k1)
+        self.b = np.float32(index.b)
+
+    # ------------------------------------------------------------------
+    # collection statistics (global — IndexSearcher.java:913-928)
+    @property
+    def doc_count(self) -> int:
+        return self.index.stats["doc_count"]
+
+    @property
+    def avgdl(self) -> np.float32:
+        s = self.index.stats
+        return np.float32(s["sum_total_term_freq"] / s["doc_count"])
+
+    def idf(self, doc_freq: int) -> np.float32:
+        n, N = doc_freq, self.doc_count
+        return np.float32(math.log(1 + (N - n + 0.5) / (n + 0.5)))
+
+    def norm_inverse_cache(self) -> np.ndarray:
+        one = np.float32(1.0)
+        return (
+            one / (self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / self.avgdl))
+        ).astype(np.float32)
+
+    def _cache_lit(self):
+        cache = self.norm_inverse_cache()
+        return F.array(*[F.lit(float(v)).cast("float") for v in cache])
+
+    def term_doc_freqs(self, terms: Sequence[str]) -> dict[str, int]:
+        """One small pushed-down scan of term_stats for the query's terms."""
+        if not terms:
+            return {}
+        rows = (
+            self.index.term_stats.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "doc_freq")
+            .collect()
+        )
+        return {r.term: int(r.doc_freq) for r in rows}
+
+    # ------------------------------------------------------------------
+    # scoring primitives
+    def _bm25_expr(self, weight_col, freq_col, norm_col):
+        """weight - weight / (1f + freq * cache[norm]) with a float32
+        rounding point after EVERY binary op (BM25Similarity.java:246-258).
+
+        Spark SQL promotes float arithmetic (division in particular) to
+        double; casting each intermediate back to float restores exact IEEE
+        binary32 single-op rounding (double rounding is innocuous for a
+        single +,-,*,/ at 53>=2*24+2 bits), so this matches Lucene's Java
+        float algebra bit-for-bit — verified against the numpy oracle."""
+        inv = F.element_at(self._cache_lit(), norm_col + F.lit(1))
+        one = F.lit(1.0).cast("float")
+        t1 = (freq_col.cast("float") * inv).cast("float")
+        t2 = (one + t1).cast("float")
+        t3 = (weight_col / t2).cast("float")
+        return (weight_col - t3).cast("float")
+
+    def _scored_terms(self, term_boosts: dict[str, float]) -> DataFrame:
+        """(doc_id, score float32) rows per matching (term, doc): the
+        TermQuery scorer, vectorized.  One scan of postings filtered by the
+        term set (predicate pushdown), broadcast join of the tiny weight
+        table."""
+        spark = self.index.spark
+        dfs = self.term_doc_freqs(list(term_boosts))
+        weights = [
+            (t, _f32(np.float32(b) * self.idf(dfs.get(t, 0))))
+            for t, b in term_boosts.items()
+            if t in dfs
+        ]
+        if not weights:
+            return self._empty_scored()
+        wdf = spark.createDataFrame(weights, "term string, _w float")
+        pf = self.index.postings.filter(
+            F.col("term").isin([t for t, _ in weights])
+        ).select("term", "doc_id", "freq", "norm")
+        return pf.join(F.broadcast(wdf), "term").select(
+            "doc_id",
+            self._bm25_expr(F.col("_w"), F.col("freq"), F.col("norm")).alias("score"),
+        )
+
+    def _empty_scored(self) -> DataFrame:
+        return self.index.spark.createDataFrame([], "doc_id long, score float")
+
+    def _const_scored(self, doc_ids: DataFrame, boost: float) -> DataFrame:
+        return doc_ids.select(
+            "doc_id", F.lit(_f32(boost)).cast("float").alias("score")
+        )
+
+    # ------------------------------------------------------------------
+    # term-dictionary expansion (MultiTermQuery rewrites, SURVEY.md §2.6)
+    def _expand_terms(self, predicate) -> DataFrame:
+        """terms relation filtered by a dictionary predicate."""
+        return self.index.term_stats.filter(predicate).select("term", "doc_freq")
+
+    def _const_score_from_terms(self, terms_df: DataFrame, boost: float) -> DataFrame:
+        """CONSTANT_SCORE rewrite: semi-join expanded terms into postings,
+        distinct docs, score ≡ boost (MultiTermQuery.java:39-83)."""
+        matches = (
+            self.index.postings.join(
+                F.broadcast(terms_df.select("term")), "term", "left_semi"
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        return self._const_scored(matches, boost)
+
+    # ------------------------------------------------------------------
+    # match-only lowering (for FILTER / MUST_NOT contexts — no scores)
+    def _matches(self, q: Query) -> DataFrame:
+        """DataFrame(doc_id) of matching docs (non-scoring)."""
+        return self._scored(q).select("doc_id").distinct()
+
+    # ------------------------------------------------------------------
+    # scored lowering
+    def _scored(self, q: Query) -> DataFrame:
+        if isinstance(q, TermQuery):
+            return self._scored_terms({q.term: q.boost})
+        if isinstance(q, SynonymQuery):
+            return self._scored_synonym(q)
+        if isinstance(q, BooleanQuery):
+            return self._scored_boolean(q)
+        if isinstance(q, PhraseQuery):
+            return self._scored_phrase(q)
+        if isinstance(q, TermInSetQuery):
+            terms_df = self._expand_terms(F.col("term").isin(list(q.terms)))
+            return self._const_score_from_terms(terms_df, q.boost)
+        if isinstance(q, PrefixQuery):
+            terms_df = self._expand_terms(F.col("term").startswith(q.prefix))
+            return self._const_score_from_terms(terms_df, q.boost)
+        if isinstance(q, WildcardQuery):
+            rx = _wildcard_to_regex(q.pattern)
+            terms_df = self._expand_terms(F.col("term").rlike(rx))
+            return self._const_score_from_terms(terms_df, q.boost)
+        if isinstance(q, RegexpQuery):
+            terms_df = self._expand_terms(F.col("term").rlike(f"^(?:{q.pattern})$"))
+            return self._const_score_from_terms(terms_df, q.boost)
+        if isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                pred = pred & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+            return self._const_score_from_terms(self._expand_terms(pred), q.boost)
+        if isinstance(q, FuzzyQuery):
+            return self._scored_fuzzy(q)
+        if isinstance(q, MatchAllDocsQuery):
+            return self._const_scored(self.index.docs.select("doc_id"), q.boost)
+        if isinstance(q, MatchNoDocsQuery):
+            return self._empty_scored()
+        if isinstance(q, FieldExistsQuery):
+            docs = self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
+            return self._const_scored(docs, q.boost)
+        if isinstance(q, RangePredicate):
+            c = F.col(q.column)
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
+            return self._const_scored(
+                self.index.docs.filter(pred).select("doc_id"), 1.0
+            )
+        if isinstance(q, BoostQuery):
+            sub = self._scored(q.query)
+            return sub.select(
+                "doc_id",
+                (F.col("score") * F.lit(_f32(q.boost)).cast("float"))
+                .cast("float")
+                .alias("score"),
+            )
+        if isinstance(q, ConstantScoreQuery):
+            return self._const_scored(self._matches(q.query), q.boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._scored_dismax(q)
+        raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _scored_synonym(self, q: SynonymQuery) -> DataFrame:
+        """SynonymQuery.java:50 — members scored as ONE pseudo-term:
+        freq = sum over members per doc, df = max member df."""
+        dfs = self.term_doc_freqs(list(q.terms))
+        if not dfs:
+            return self._empty_scored()
+        weight = _f32(np.float32(q.boost) * self.idf(max(dfs.values())))
+        summed = (
+            self.index.postings.filter(F.col("term").isin(list(q.terms)))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("freq").cast("int").alias("freq"),
+                F.first("norm").alias("norm"),
+            )
+        )
+        return summed.select(
+            "doc_id",
+            self._bm25_expr(
+                F.lit(weight).cast("float"), F.col("freq"), F.col("norm")
+            ).alias("score"),
+        )
+
+    def _scored_fuzzy(self, q: FuzzyQuery) -> DataFrame:
+        """FuzzyQuery.java:52-54 with TopTermsScoringBooleanQueryRewrite:
+        expand to the top max_expansions dictionary terms by doc_freq within
+        edit distance, then score each as a TermQuery SHOULD clause."""
+        pred = F.length("term") >= 0
+        if q.prefix_length > 0:
+            pred = F.col("term").startswith(q.term[: q.prefix_length])
+        # cheap length pre-filter then exact levenshtein (built-in, JVM)
+        pred = (
+            pred
+            & (F.abs(F.length("term") - F.lit(len(q.term))) <= q.max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+        )
+        expanded = (
+            self._expand_terms(pred)
+            .orderBy(F.desc("doc_freq"), F.asc("term"))
+            .limit(q.max_expansions)
+            .collect()
+        )
+        if not expanded:
+            return self._empty_scored()
+        scored = self._scored_terms({r.term: q.boost for r in expanded})
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.sum("score").cast("float").alias("score"))
+        )
+
+    def _scored_dismax(self, q: DisjunctionMaxQuery) -> DataFrame:
+        subs = [self._scored(s) for s in q.queries]
+        if not subs:
+            return self._empty_scored()
+        u = subs[0]
+        for s in subs[1:]:
+            u = u.unionByName(s)
+        tie = _f32(q.tie_breaker)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+        )
+        return agg.select(
+            "doc_id",
+            (
+                F.col("_mx")
+                + F.lit(tie).cast("float") * (F.col("_sm") - F.col("_mx")).cast("float")
+            )
+            .cast("float")
+            .alias("score"),
+        )
+
+    def _scored_boolean(self, q: BooleanQuery) -> DataFrame:
+        """Occur semantics per Boolean2ScorerSupplier.java:130-155 lowered to
+        a single hash aggregation over tagged scored rows + semi/anti joins."""
+        musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+        shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+        must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        if not musts and not shoulds and not filters:
+            raise ValueError("pure-negation BooleanQuery is illegal (BooleanQuery.java)")
+        msm = q.min_should_match
+
+        parts = []
+        for i, sub in enumerate(musts):
+            parts.append(
+                self._scored(sub).select(
+                    "doc_id", "score", F.lit(i).alias("_must"), F.lit(None).cast("int").alias("_should")
+                )
+            )
+        for i, sub in enumerate(shoulds):
+            parts.append(
+                self._scored(sub).select(
+                    "doc_id", "score", F.lit(None).cast("int").alias("_must"), F.lit(i).alias("_should")
+                )
+            )
+
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("_dsum"),
+                F.count_distinct(F.col("_must")).alias("_nmust"),
+                F.count_distinct(F.col("_should")).alias("_nshould"),
+            )
+            cond = F.col("_nmust") == len(musts)
+            if musts or filters:
+                if msm > 0:
+                    cond = cond & (F.col("_nshould") >= msm)
+            else:
+                cond = cond & (F.col("_nshould") >= max(1, msm))
+            scored = agg.filter(cond).select(
+                "doc_id", F.col("_dsum").cast("float").alias("score")
+            )
+        else:
+            # FILTER-only query: constant score 0 over the filter matches
+            scored = self._const_scored(self._matches(filters[0]), 0.0)
+            filters = filters[1:]
+
+        for sub in filters:
+            scored = scored.join(self._matches(sub), "doc_id", "left_semi")
+        for sub in must_nots:
+            scored = scored.join(self._matches(sub), "doc_id", "left_anti")
+        return scored
+
+    def _scored_phrase(self, q: PhraseQuery) -> DataFrame:
+        """Exact phrase via positions-array algebra (all JVM higher-order
+        functions — ExactPhraseMatcher.java:38 semantics): freq = count of
+        start positions p in positions(t0) with p+i ∈ positions(ti) ∀i.
+        Weight = boost * float32(Σ float32 idf(ti)) (BM25Similarity
+        idfExplain over the term array sums in double then casts)."""
+        terms = list(q.terms)
+        if not terms:
+            return self._empty_scored()
+        if q.slop != 0:
+            return self._scored_sloppy_phrase(q)
+        dfs = self.term_doc_freqs(terms)
+        if any(t not in dfs for t in terms):
+            return self._empty_scored()
+        idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
+        weight = _f32(np.float32(q.boost) * idf_sum)
+
+        if len(terms) == 1:
+            return self._scored_terms({terms[0]: q.boost})
+
+        p = self.index.postings
+        base = p.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("positions").alias("_p0"), "norm"
+        )
+        for i, t in enumerate(terms[1:], 1):
+            side = p.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            base = base.join(side, "doc_id")
+        freq = F.size(
+            F.filter(
+                F.col("_p0"),
+                lambda pos: _and_all(
+                    [
+                        F.array_contains(F.col(f"_p{i}"), pos + F.lit(i))
+                        for i in range(1, len(terms))
+                    ]
+                ),
+            )
+        )
+        out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
+        return out.select(
+            "doc_id",
+            self._bm25_expr(
+                F.lit(weight).cast("float"), F.col("_freq"), F.col("norm")
+            ).alias("score"),
+        )
+
+    def _scored_sloppy_phrase(self, q: PhraseQuery) -> DataFrame:
+        """Sloppy phrase (slop > 0): matches docs where terms occur within a
+        window; freq = number of start positions of a valid window.  This is
+        a simplified admissible variant of SloppyPhraseMatcher.java:52 (which
+        computes weighted interval freqs); documented engine difference."""
+        terms = list(q.terms)
+        dfs = self.term_doc_freqs(terms)
+        if any(t not in dfs for t in terms):
+            return self._empty_scored()
+        idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
+        weight = _f32(np.float32(q.boost) * idf_sum)
+        p = self.index.postings
+        base = p.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("positions").alias("_p0"), "norm"
+        )
+        for i, t in enumerate(terms[1:], 1):
+            side = p.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            base = base.join(side, "doc_id")
+        slop = q.slop
+        freq = F.size(
+            F.filter(
+                F.col("_p0"),
+                lambda pos: _and_all(
+                    [
+                        F.exists(
+                            F.col(f"_p{i}"),
+                            lambda pp, i=i: (pp >= pos - F.lit(slop))
+                            & (pp <= pos + F.lit(i + slop)),
+                        )
+                        for i in range(1, len(terms))
+                    ]
+                ),
+            )
+        )
+        out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
+        return out.select(
+            "doc_id",
+            self._bm25_expr(
+                F.lit(weight).cast("float"), F.col("_freq"), F.col("norm")
+            ).alias("score"),
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    def scored(self, query: Query) -> DataFrame:
+        """Full match set: DataFrame(doc_id, score:float)."""
+        return self._scored(query.rewrite())
+
+    def search(self, query: Query, k: int = 10, search_after=None) -> DataFrame:
+        """Top-k: DataFrame(rank, doc_id, conv_id, turn_idx, score:float),
+        ties broken by ascending doc_id (HitQueue.java:77-84).
+
+        ``search_after=(score, doc_id)`` gives pagination
+        (IndexSearcher.java:467)."""
+        scored = self.scored(query)
+        if search_after is not None:
+            s, d = search_after
+            scored = scored.filter(
+                (F.col("score") < _f32(s))
+                | ((F.col("score") == _f32(s)) & (F.col("doc_id") > d))
+            )
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        docs = self.index.docs.select("doc_id", "conv_id", "turn_idx")
+        out = top.join(docs, "doc_id")
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.select(
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "score",
+        ).orderBy("rank")
+
+    def parse_terms(self, text: str) -> list[str]:
+        """Analyze query text with the index analyzer (QueryParserBase:456)."""
+        return tokenize_text(text)
+
+    def count(self, query: Query) -> int:
+        """TotalHitCountCollector analog — exact count."""
+        return self._matches(query.rewrite()).count()
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"

@@ -1,0 +1,113 @@
+"""Engine vs oracle: rank-identical top-k, float32-identical BM25 scores.
+
+The oracle (lucene_spark.oracle) re-implements the reference's exact scoring
+semantics; the reference query set covers head/mid/rare/absent terms, OR/AND/
+NOT, ties, norms and k>hits (FIXTURES.md §2).  This mirrors the reference's
+CheckHits cross-validation strategy (test-framework CheckHits.java:58).
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.fixtures import reference_queries
+from lucene_spark.search import (
+    BooleanQuery,
+    IndexSearcher,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+)
+
+
+def _engine_topk(searcher, query, k):
+    rows = searcher.search(query, k).collect()
+    return [(r.conv_id, r.turn_idx, np.float32(r.score)) for r in rows]
+
+
+def _oracle_topk(oracle, kind, qtext, k):
+    terms = [t for t in __import__("lucene_spark.analysis", fromlist=["tokenize_text"]).tokenize_text(qtext)]
+    if kind == "term":
+        hits = oracle.search_or(terms[:1], k)
+    elif kind == "or":
+        hits = oracle.search_or(terms, k)
+    elif kind == "and":
+        hits = oracle.search_and(terms, k)
+    elif kind == "not":
+        hits = oracle.search_not(terms[:1], terms[1:], k)
+    elif kind == "phrase":
+        hits = oracle.search_phrase(terms, k)
+    else:
+        raise ValueError(kind)
+    return [(c, t, np.float32(s)) for c, t, s in oracle.topk_keys(hits)]
+
+
+def _build_query(searcher, kind, qtext):
+    terms = searcher.parse_terms(qtext.replace("-", " ").replace('"', " "))
+    if kind == "term":
+        return TermQuery(terms[0])
+    if kind == "or":
+        return BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    if kind == "and":
+        return BooleanQuery.of(*[(TermQuery(t), Occur.MUST) for t in terms])
+    if kind == "not":
+        return BooleanQuery.of(
+            (TermQuery(terms[0]), Occur.MUST),
+            *[(TermQuery(t), Occur.MUST_NOT) for t in terms[1:]],
+        )
+    if kind == "phrase":
+        return PhraseQuery(tuple(terms))
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["query_id"])
+def test_reference_query_set_parity(spark, tiny_index, tiny_oracle, q):
+    searcher = IndexSearcher(tiny_index)
+    kind, qtext, k = q["kind"], q["query"], q["k"]
+    terms = searcher.parse_terms(qtext.replace("-", " ").replace('"', " "))
+    if not terms:
+        pytest.skip("query tokenizes to nothing")
+    engine = _engine_topk(searcher, _build_query(searcher, kind, qtext), k)
+    oracle = _oracle_topk(tiny_oracle, kind, qtext.replace("-", " ").replace('"', " "), k)
+    assert [(c, t) for c, t, _ in engine] == [(c, t) for c, t, _ in oracle], (
+        f"rank mismatch for {q['query_id']}: {engine} vs {oracle}"
+    )
+    es = np.array([s for _, _, s in engine], dtype=np.float32)
+    os_ = np.array([s for _, _, s in oracle], dtype=np.float32)
+    np.testing.assert_array_equal(es, os_, err_msg=f"scores differ for {q['query_id']}")
+
+
+def test_global_stats_match(tiny_index, tiny_oracle):
+    assert tiny_index.stats["doc_count"] == tiny_oracle.doc_count
+    assert tiny_index.stats["sum_total_term_freq"] == tiny_oracle.sum_total_term_freq
+
+
+def test_index_invariants(tiny_index):
+    assert all(tiny_index.check().values())
+
+
+def test_doc_ids_match_oracle_order(tiny_index, tiny_oracle):
+    rows = tiny_index.docs.select("doc_id", "conv_id", "turn_idx").collect()
+    got = {(r.conv_id, r.turn_idx): r.doc_id for r in rows}
+    want = {(d.conv_id, d.turn_idx): d.doc_id for d in tiny_oracle.docs}
+    assert got == want
+
+
+def test_norms_match_oracle(tiny_index, tiny_oracle):
+    rows = tiny_index.docs.select("doc_id", "norm", "length").collect()
+    want = {d.doc_id: d.norm for d in tiny_oracle.docs}
+    lens = {d.doc_id: len(d.tokens) for d in tiny_oracle.docs}
+    for r in rows:
+        assert r.norm == want[r.doc_id], f"norm mismatch doc {r.doc_id}"
+        assert r.length == lens[r.doc_id]
+
+
+def test_search_after_pagination(tiny_index):
+    searcher = IndexSearcher(tiny_index)
+    q = TermQuery("the")
+    full = searcher.search(q, 20).collect()
+    page1 = searcher.search(q, 10).collect()
+    last = page1[-1]
+    page2 = searcher.search(q, 10, search_after=(last.score, last.doc_id)).collect()
+    got = [(r.conv_id, r.turn_idx) for r in page1 + page2]
+    want = [(r.conv_id, r.turn_idx) for r in full]
+    assert got == want
