@@ -62,8 +62,23 @@ def _f32(x) -> float:
 
 
 class IndexSearcher:
-    def __init__(self, index: InvertedIndex):
+    """Two scoring modes:
+
+    * ``lucene_f32`` (default): bit-exact reference float32 algebra with the
+      256-entry normInverse cache — rank/score-identical to the reference.
+    * ``plain_f64``: the same BM25 (same idf, same byte4-quantized document
+      lengths) evaluated in plain double precision with the textbook shape
+      ``idf * freq / (freq + k1*((1-b) + b*dl/avgdl))`` — expressible in
+      ANSI SQL, used for cross-engine oracle comparison (the scoring-
+      expression plug point, ≙ custom Similarity, SURVEY.md §2.12).
+    """
+
+    def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32"):
+        if scoring not in ("lucene_f32", "plain_f64"):
+            raise ValueError(f"unknown scoring mode {scoring}")
         self.index = index
+        self.scoring = scoring
+        self.score_type = "float" if scoring == "lucene_f32" else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
 
@@ -78,9 +93,23 @@ class IndexSearcher:
         s = self.index.stats
         return np.float32(s["sum_total_term_freq"] / s["doc_count"])
 
-    def idf(self, doc_freq: int) -> np.float32:
+    def idf(self, doc_freq: int):
         n, N = doc_freq, self.doc_count
-        return np.float32(math.log(1 + (N - n + 0.5) / (n + 0.5)))
+        v = math.log(1 + (N - n + 0.5) / (n + 0.5))
+        return np.float32(v) if self.scoring == "lucene_f32" else v
+
+    def _weight(self, boost: float, doc_freq: int) -> float:
+        if self.scoring == "lucene_f32":
+            return _f32(np.float32(boost) * self.idf(doc_freq))
+        return float(boost) * self.idf(doc_freq)
+
+    def _phrase_weight(self, terms, dfs, boost: float) -> float:
+        """Phrase weight = boost * idf-sum (idfExplain sums per-term float32
+        idfs in a double then casts — BM25Similarity.java idfExplain)."""
+        if self.scoring == "lucene_f32":
+            idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
+            return _f32(np.float32(boost) * idf_sum)
+        return float(boost) * sum(self.idf(dfs[t]) for t in terms)
 
     def norm_inverse_cache(self) -> np.ndarray:
         one = np.float32(1.0)
@@ -106,6 +135,11 @@ class IndexSearcher:
     # ------------------------------------------------------------------
     # scoring primitives
     def _bm25_expr(self, weight_col, freq_col, norm_col):
+        if self.scoring == "plain_f64":
+            return self._bm25_expr_f64(weight_col, freq_col, norm_col)
+        return self._bm25_expr_f32(weight_col, freq_col, norm_col)
+
+    def _bm25_expr_f32(self, weight_col, freq_col, norm_col):
         """weight - weight / (1f + freq * cache[norm]) with a float32
         rounding point after EVERY binary op (BM25Similarity.java:246-258).
 
@@ -121,6 +155,20 @@ class IndexSearcher:
         t3 = (weight_col / t2).cast("float")
         return (weight_col - t3).cast("float")
 
+    def _dl_lit(self):
+        """256-entry decoded quantized doc-length table as double literals."""
+        return F.array(*[F.lit(float(v)).cast("double") for v in LENGTH_TABLE])
+
+    def _bm25_expr_f64(self, weight_col, freq_col, norm_col):
+        """Textbook shape in double: w * freq / (freq + k1*((1-b)+b*dl/avgdl)).
+        Same idf / quantized lengths as f32 mode; ANSI-SQL-reproducible."""
+        dl = F.element_at(self._dl_lit(), norm_col + F.lit(1))
+        k1, b = float(self.index.k1), float(self.index.b)
+        avgdl = self.index.stats["sum_total_term_freq"] / self.doc_count
+        fr = freq_col.cast("double")
+        denom = fr + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+        return (weight_col * fr / denom).cast("double")
+
     def _scored_terms(self, term_boosts: dict[str, float]) -> DataFrame:
         """(doc_id, score float32) rows per matching (term, doc): the
         TermQuery scorer, vectorized.  One scan of postings filtered by the
@@ -129,13 +177,11 @@ class IndexSearcher:
         spark = self.index.spark
         dfs = self.term_doc_freqs(list(term_boosts))
         weights = [
-            (t, _f32(np.float32(b) * self.idf(dfs.get(t, 0))))
-            for t, b in term_boosts.items()
-            if t in dfs
+            (t, self._weight(b, dfs[t])) for t, b in term_boosts.items() if t in dfs
         ]
         if not weights:
             return self._empty_scored()
-        wdf = spark.createDataFrame(weights, "term string, _w float")
+        wdf = spark.createDataFrame(weights, f"term string, _w {self.score_type}")
         pf = self.index.postings.filter(
             F.col("term").isin([t for t, _ in weights])
         ).select("term", "doc_id", "freq", "norm")
@@ -145,11 +191,14 @@ class IndexSearcher:
         )
 
     def _empty_scored(self) -> DataFrame:
-        return self.index.spark.createDataFrame([], "doc_id long, score float")
+        return self.index.spark.createDataFrame(
+            [], f"doc_id long, score {self.score_type}"
+        )
 
     def _const_scored(self, doc_ids: DataFrame, boost: float) -> DataFrame:
+        b = _f32(boost) if self.scoring == "lucene_f32" else float(boost)
         return doc_ids.select(
-            "doc_id", F.lit(_f32(boost)).cast("float").alias("score")
+            "doc_id", F.lit(b).cast(self.score_type).alias("score")
         )
 
     # ------------------------------------------------------------------
@@ -232,10 +281,11 @@ class IndexSearcher:
             )
         if isinstance(q, BoostQuery):
             sub = self._scored(q.query)
+            b = _f32(q.boost) if self.scoring == "lucene_f32" else float(q.boost)
             return sub.select(
                 "doc_id",
-                (F.col("score") * F.lit(_f32(q.boost)).cast("float"))
-                .cast("float")
+                (F.col("score") * F.lit(b).cast(self.score_type))
+                .cast(self.score_type)
                 .alias("score"),
             )
         if isinstance(q, ConstantScoreQuery):
@@ -250,7 +300,7 @@ class IndexSearcher:
         dfs = self.term_doc_freqs(list(q.terms))
         if not dfs:
             return self._empty_scored()
-        weight = _f32(np.float32(q.boost) * self.idf(max(dfs.values())))
+        weight = self._weight(q.boost, max(dfs.values()))
         summed = (
             self.index.postings.filter(F.col("term").isin(list(q.terms)))
             .groupBy("doc_id")
@@ -262,7 +312,7 @@ class IndexSearcher:
         return summed.select(
             "doc_id",
             self._bm25_expr(
-                F.lit(weight).cast("float"), F.col("freq"), F.col("norm")
+                F.lit(weight).cast(self.score_type), F.col("freq"), F.col("norm")
             ).alias("score"),
         )
 
@@ -290,7 +340,7 @@ class IndexSearcher:
         scored = self._scored_terms({r.term: q.boost for r in expanded})
         return (
             scored.groupBy("doc_id")
-            .agg(F.sum("score").cast("float").alias("score"))
+            .agg(F.sum("score").cast(self.score_type).alias("score"))
         )
 
     def _scored_dismax(self, q: DisjunctionMaxQuery) -> DataFrame:
@@ -300,17 +350,18 @@ class IndexSearcher:
         u = subs[0]
         for s in subs[1:]:
             u = u.unionByName(s)
-        tie = _f32(q.tie_breaker)
+        tie = _f32(q.tie_breaker) if self.scoring == "lucene_f32" else float(q.tie_breaker)
         agg = u.groupBy("doc_id").agg(
             F.max("score").alias("_mx"), F.sum("score").alias("_sm")
         )
+        st = self.score_type
         return agg.select(
             "doc_id",
             (
                 F.col("_mx")
-                + F.lit(tie).cast("float") * (F.col("_sm") - F.col("_mx")).cast("float")
+                + F.lit(tie).cast(st) * (F.col("_sm") - F.col("_mx")).cast(st)
             )
-            .cast("float")
+            .cast(st)
             .alias("score"),
         )
 
@@ -355,7 +406,7 @@ class IndexSearcher:
             else:
                 cond = cond & (F.col("_nshould") >= max(1, msm))
             scored = agg.filter(cond).select(
-                "doc_id", F.col("_dsum").cast("float").alias("score")
+                "doc_id", F.col("_dsum").cast(self.score_type).alias("score")
             )
         else:
             # FILTER-only query: constant score 0 over the filter matches
@@ -382,8 +433,7 @@ class IndexSearcher:
         dfs = self.term_doc_freqs(terms)
         if any(t not in dfs for t in terms):
             return self._empty_scored()
-        idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
-        weight = _f32(np.float32(q.boost) * idf_sum)
+        weight = self._phrase_weight(terms, dfs, q.boost)
 
         if len(terms) == 1:
             return self._scored_terms({terms[0]: q.boost})
@@ -412,7 +462,7 @@ class IndexSearcher:
         return out.select(
             "doc_id",
             self._bm25_expr(
-                F.lit(weight).cast("float"), F.col("_freq"), F.col("norm")
+                F.lit(weight).cast(self.score_type), F.col("_freq"), F.col("norm")
             ).alias("score"),
         )
 
@@ -425,8 +475,7 @@ class IndexSearcher:
         dfs = self.term_doc_freqs(terms)
         if any(t not in dfs for t in terms):
             return self._empty_scored()
-        idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
-        weight = _f32(np.float32(q.boost) * idf_sum)
+        weight = self._phrase_weight(terms, dfs, q.boost)
         p = self.index.postings
         base = p.filter(F.col("term") == terms[0]).select(
             "doc_id", F.col("positions").alias("_p0"), "norm"
@@ -456,7 +505,7 @@ class IndexSearcher:
         return out.select(
             "doc_id",
             self._bm25_expr(
-                F.lit(weight).cast("float"), F.col("_freq"), F.col("norm")
+                F.lit(weight).cast(self.score_type), F.col("_freq"), F.col("norm")
             ).alias("score"),
         )
 
@@ -475,9 +524,10 @@ class IndexSearcher:
         scored = self.scored(query)
         if search_after is not None:
             s, d = search_after
+            sv = _f32(s) if self.scoring == "lucene_f32" else float(s)
             scored = scored.filter(
-                (F.col("score") < _f32(s))
-                | ((F.col("score") == _f32(s)) & (F.col("doc_id") > d))
+                (F.col("score") < sv)
+                | ((F.col("score") == sv) & (F.col("doc_id") > d))
             )
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         docs = self.index.docs.select("doc_id", "conv_id", "turn_idx")
