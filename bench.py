@@ -1,0 +1,125 @@
+"""Benchmark harness: index-build throughput + BM25 top-k query latency.
+
+Run:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_term_head": sec, ...}, "sf": 0.1,
+   "index_build_sec": ..., "turns_per_sec": ..., "postings_per_sec": ..., ...}
+
+Corpus: a deterministic synthetic transcript table generated distributed
+(lucene_spark.fixtures.synth), sized 3,000,000 * sf turns, PLUS the driver's
+sf-dir documents-derived transcripts for the cross-checked queries.  Use
+SPARK_GRAFT_TURNS to override the synthetic corpus size.
+
+For the two-parallelism scaling evidence (BASELINE.md: efficiency >= 0.8
+from N to 4N), run scripts/scaling.py which invokes this twice
+(local[8] vs local[32]) and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = 0.1  # corpus size only scales with the sf encoded in the dir name
+    n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(3_000_000 * sf))))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lucene_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucene_spark.fixtures.synth import synth_transcripts
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import (
+        BooleanQuery,
+        IndexSearcher,
+        Occur,
+        PhraseQuery,
+        TermQuery,
+    )
+
+    t0 = time.time()
+
+    # ---- index build ----
+    corpus = synth_transcripts(spark, n_turns, seed=42, partitions=cpus * 2)
+    t_build0 = time.time()
+    idx = IndexBuilder(num_segments=cpus * 2).build(corpus)
+    # force full materialization of every index table
+    n_docs = idx.docs.count()
+    n_postings = idx.postings.count()
+    n_terms = idx.term_stats.count()
+    t_build = time.time() - t_build0
+
+    searcher = IndexSearcher(idx)
+
+    def or_q(*ts):
+        return BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in ts])
+
+    def and_q(*ts):
+        return BooleanQuery.of(*[(TermQuery(t), Occur.MUST) for t in ts])
+
+    bench_queries = {
+        "q_term_head": TermQuery("the"),
+        "q_term_mid": TermQuery("postings"),
+        "q_term_rare": TermQuery("rareterm150"),
+        "q_or3": or_q("spark", "query", "data"),
+        "q_or5": or_q("index", "merge", "segment", "token", "score"),
+        "q_and2": and_q("data", "model"),
+        "q_not": BooleanQuery.of(
+            (TermQuery("spark"), Occur.MUST), (TermQuery("the"), Occur.MUST_NOT)
+        ),
+        "q_phrase2": PhraseQuery(("the", "data")),
+    }
+    qtimes: dict[str, float] = {}
+    topk_rows = 0
+    for name, q in bench_queries.items():
+        tq = time.time()
+        rows = searcher.search(q, 10).collect()
+        qtimes[name] = round(time.time() - tq, 4)
+        topk_rows += len(rows)
+
+    total = time.time() - t0
+    out = {
+        "metric": "index_build_plus_topk_bm25",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "index_build_sec": round(t_build, 3),
+        "turns_per_sec": round(n_docs / t_build, 1),
+        "postings_per_sec": round(n_postings / t_build, 1),
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "n_terms": n_terms,
+        "topk_rows": topk_rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,10 +121,28 @@ class IndexSearcher:
         cache = self.norm_inverse_cache()
         return F.array(*[F.lit(float(v)).cast("float") for v in cache])
 
+    # Term dictionaries up to this size are cached whole on the driver
+    # (≙ Lucene's always-in-RAM FST term index) — one lookup job total
+    # instead of one per query.  Larger dictionaries fall back to a
+    # pushed-down scan per query.
+    TERM_CACHE_MAX = 2_000_000
+    _term_cache: dict | None = None
+
     def term_doc_freqs(self, terms: Sequence[str]) -> dict[str, int]:
-        """One small pushed-down scan of term_stats for the query's terms."""
+        """doc_freq for the query's terms: driver-cached dictionary when the
+        vocabulary is small, pushed-down term_stats scan otherwise."""
         if not terms:
             return {}
+        if self._term_cache is None:
+            n = self.index.term_stats.count()
+            if n <= self.TERM_CACHE_MAX:
+                rows = self.index.term_stats.select("term", "doc_freq").collect()
+                self._term_cache = {r.term: int(r.doc_freq) for r in rows}
+            else:
+                self._term_cache = {}  # sentinel: too big, use scans
+                self._term_cache_disabled = True
+        if self._term_cache and not getattr(self, "_term_cache_disabled", False):
+            return {t: self._term_cache[t] for t in set(terms) if t in self._term_cache}
         rows = (
             self.index.term_stats.filter(F.col("term").isin(list(set(terms))))
             .select("term", "doc_freq")
@@ -377,18 +395,57 @@ class IndexSearcher:
         msm = q.min_should_match
 
         parts = []
+        # Batch all scoring TermQuery clauses into ONE postings scan + one
+        # broadcast weight join (one stats lookup total) — the common
+        # "many-term query" fast path; all other clause types lower
+        # individually.  ≙ BooleanWeight building all TermScorers over one
+        # shared leaf pass.
+        term_clauses = []  # (term, boost, must_idx, should_idx)
         for i, sub in enumerate(musts):
-            parts.append(
-                self._scored(sub).select(
-                    "doc_id", "score", F.lit(i).alias("_must"), F.lit(None).cast("int").alias("_should")
+            if isinstance(sub, TermQuery):
+                term_clauses.append((sub.term, sub.boost, i, None))
+            else:
+                parts.append(
+                    self._scored(sub).select(
+                        "doc_id", "score", F.lit(i).alias("_must"),
+                        F.lit(None).cast("int").alias("_should"),
+                    )
                 )
-            )
         for i, sub in enumerate(shoulds):
-            parts.append(
-                self._scored(sub).select(
-                    "doc_id", "score", F.lit(None).cast("int").alias("_must"), F.lit(i).alias("_should")
+            if isinstance(sub, TermQuery):
+                term_clauses.append((sub.term, sub.boost, None, i))
+            else:
+                parts.append(
+                    self._scored(sub).select(
+                        "doc_id", "score", F.lit(None).cast("int").alias("_must"),
+                        F.lit(i).alias("_should"),
+                    )
                 )
-            )
+        if term_clauses:
+            dfs = self.term_doc_freqs([t for t, _, _, _ in term_clauses])
+            rows = [
+                (t, self._weight(b, dfs[t]), mi, si)
+                for t, b, mi, si in term_clauses
+                if t in dfs
+            ]
+            if rows:
+                wdf = self.index.spark.createDataFrame(
+                    rows,
+                    f"term string, _w {self.score_type}, _must int, _should int",
+                )
+                pf = self.index.postings.filter(
+                    F.col("term").isin(sorted({r[0] for r in rows}))
+                ).select("term", "doc_id", "freq", "norm")
+                parts.append(
+                    pf.join(F.broadcast(wdf), "term").select(
+                        "doc_id",
+                        self._bm25_expr(
+                            F.col("_w"), F.col("freq"), F.col("norm")
+                        ).alias("score"),
+                        "_must",
+                        "_should",
+                    )
+                )
 
         if parts:
             u = parts[0]
