@@ -67,8 +67,21 @@ class InvertedIndex:
     term_stats: DataFrame
     stats: dict
     segments: Optional[DataFrame] = None  # block-codec segment table (optional)
+    packed: Optional[DataFrame] = None  # packed block-codec postings (segments.py)
     k1: float = 1.2
     b: float = 0.75
+
+    def with_packed(self, chunk_bits: int = None, cache: bool = True) -> "InvertedIndex":
+        """Attach the packed (delta/varint block) postings table, building it
+        from the logical postings if needed (SURVEY.md §2.4)."""
+        if self.packed is None:
+            from lucene_spark.index.segments import DEFAULT_CHUNK_BITS, pack_postings
+
+            p = pack_postings(
+                self.postings, chunk_bits=chunk_bits or DEFAULT_CHUNK_BITS
+            )
+            self.packed = p.persist() if cache else p
+        return self
 
     def check(self) -> dict:
         """CheckIndex-style invariants (FIXTURES.md §6, CheckIndex.java:526).

@@ -282,3 +282,53 @@ def encode_posting_lists_batch(
             }
         )
     return out
+
+
+def decode_selected_blocks(
+    docs_enc: bytes,
+    freqs_enc: bytes,
+    norms_enc: bytes,
+    skip: list,
+    keep: np.ndarray,
+):
+    """Decode only the blocks where ``keep`` is True, using skip offsets.
+
+    ≙ ImpactsDISI.advanceTarget skipping whole blocks whose impacts can't
+    compete (reference: core/search/ImpactsDISI.java:68-104).  The first
+    delta of block ``i`` continues from block ``i-1``'s last doc, which the
+    skip entry carries, so any subset of blocks decodes independently.
+    Contiguous kept runs decode as one varint pass.
+    """
+    nb = len(skip)
+    doc_parts, freq_parts, norm_parts = [], [], []
+    total_d, total_f = len(docs_enc), len(freqs_enc)
+    posting_starts = np.cumsum([0] + [s["n"] for s in skip])
+    i = 0
+    while i < nb:
+        if not keep[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < nb and keep[j + 1]:
+            j += 1
+        d0 = skip[i]["off_docs"]
+        d1 = skip[j + 1]["off_docs"] if j + 1 < nb else total_d
+        f0 = skip[i]["off_freqs"]
+        f1 = skip[j + 1]["off_freqs"] if j + 1 < nb else total_f
+        base = skip[i - 1]["last_doc"] if i > 0 else 0
+        deltas = varint_decode(docs_enc[d0:d1])
+        doc_parts.append(np.cumsum(deltas) + base)
+        freq_parts.append(varint_decode(freqs_enc[f0:f1]))
+        p0, p1 = posting_starts[i], posting_starts[j + 1]
+        norm_parts.append(
+            np.frombuffer(norms_enc[p0:p1], dtype=np.uint8).astype(np.int64)
+        )
+        i = j + 1
+    if not doc_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return (
+        np.concatenate(doc_parts),
+        np.concatenate(freq_parts),
+        np.concatenate(norm_parts),
+    )

@@ -567,18 +567,58 @@ class IndexSearcher:
         )
 
     # ------------------------------------------------------------------
+    # packed/pruned path (block-max WAND analog — search/packed.py)
+    def _as_term_sum(self, q: Query):
+        """If the (rewritten) query is a TermQuery or an OR/AND-of-TermQuery
+        BooleanQuery, return ({term: weight_boost}, mode) — the shapes the
+        packed block-max plan supports.  Else None."""
+        if isinstance(q, TermQuery):
+            return {q.term: q.boost}, "or"
+        if isinstance(q, BooleanQuery) and q.min_should_match <= 1:
+            occurs = {c.occur for c in q.clauses}
+            if not all(isinstance(c.query, TermQuery) for c in q.clauses):
+                return None
+            terms = {c.query.term: c.query.boost for c in q.clauses}
+            if len(terms) != len(q.clauses):
+                return None  # duplicate terms: keep additive semantics exact
+            if occurs == {Occur.SHOULD}:
+                return terms, "or"
+            if occurs == {Occur.MUST}:
+                return terms, "and"
+        return None
+
+    def scored_packed(self, query: Query, k: int = 10, prune: bool = True) -> DataFrame:
+        """Score via the packed segment table with admissible block-max
+        pruning; identical results to :meth:`scored` for supported shapes."""
+        from lucene_spark.search.packed import PackedScorer
+
+        q = query.rewrite()
+        shape = self._as_term_sum(q)
+        if shape is None or self.index.packed is None:
+            return self._scored(q)
+        term_boosts, mode = shape
+        dfs = self.term_doc_freqs(list(term_boosts))
+        weights = {t: self._weight(b, dfs[t]) for t, b in term_boosts.items() if t in dfs}
+        if not weights:
+            return self._empty_scored()
+        if mode == "and" and len(weights) < len(term_boosts):
+            return self._empty_scored()  # a MUST term missing from the corpus
+        return PackedScorer(self).scored(weights, prune=prune, k=k, mode=mode)
+
+    # ------------------------------------------------------------------
     # public API
     def scored(self, query: Query) -> DataFrame:
         """Full match set: DataFrame(doc_id, score:float)."""
         return self._scored(query.rewrite())
 
-    def search(self, query: Query, k: int = 10, search_after=None) -> DataFrame:
+    def search(self, query: Query, k: int = 10, search_after=None, prune: bool = False) -> DataFrame:
         """Top-k: DataFrame(rank, doc_id, conv_id, turn_idx, score:float),
         ties broken by ascending doc_id (HitQueue.java:77-84).
 
         ``search_after=(score, doc_id)`` gives pagination
-        (IndexSearcher.java:467)."""
-        scored = self.scored(query)
+        (IndexSearcher.java:467).  ``prune=True`` routes eligible queries
+        through the packed block-max plan (requires ``index.packed``)."""
+        scored = self.scored_packed(query, k=k) if prune else self.scored(query)
         if search_after is not None:
             s, d = search_after
             sv = _f32(s) if self.scoring == "lucene_f32" else float(s)

@@ -95,3 +95,27 @@ def test_compression_is_compact():
     enc = encode_posting_list(doc_ids, freqs, norms)
     assert len(enc["docs_enc"]) <= doc_ids.size + 16
     assert len(enc["freqs_enc"]) == doc_ids.size
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_decode_selected_blocks(seed):
+    from lucene_spark.index.codec import decode_selected_blocks
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 2000))
+    doc_ids = np.sort(rng.choice(n * 20, size=n, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 50, size=n, dtype=np.int64)
+    norms = rng.integers(0, 256, size=n, dtype=np.int64)
+    enc = encode_posting_list(doc_ids, freqs, norms)
+    nb = len(enc["skip"])
+    keep = rng.random(nb) < 0.5
+    d, f, m = decode_selected_blocks(
+        enc["docs_enc"], enc["freqs_enc"], enc["norms_enc"], enc["skip"], keep
+    )
+    want = np.zeros(n, dtype=bool)
+    for bi in range(nb):
+        if keep[bi]:
+            want[bi * BLOCK_SIZE : min((bi + 1) * BLOCK_SIZE, n)] = True
+    assert (d == doc_ids[want]).all()
+    assert (f == freqs[want]).all()
+    assert (m == norms[want]).all()
