@@ -71,6 +71,11 @@ class InvertedIndex:
     k1: float = 1.2
     b: float = 0.75
 
+    # set by store.load_index: route term lookups through the packed table
+    # (filter BEFORE the decode UDF -> parquet predicate/partition pushdown)
+    prefer_packed: bool = False
+    n_buckets: Optional[int] = None
+
     def with_packed(self, chunk_bits: int = None, cache: bool = True) -> "InvertedIndex":
         """Attach the packed (delta/varint block) postings table, building it
         from the logical postings if needed (SURVEY.md §2.4)."""
@@ -82,6 +87,32 @@ class InvertedIndex:
             )
             self.packed = p.persist() if cache else p
         return self
+
+    def bucket_filter(self, df: DataFrame, terms) -> DataFrame:
+        """Partition pruning for term lookups on a bucketed stored table
+        (≙ the term-dictionary seek; store.py layout)."""
+        if self.n_buckets and "bucket" in df.columns:
+            from lucene_spark.index.store import term_bucket
+
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+            return df.filter(F.col("bucket").isin(buckets))
+        return df
+
+    def postings_for_terms(self, terms, with_positions: bool = False) -> DataFrame:
+        """Postings rows for an explicit term set, via the cheapest access
+        path: the in-memory logical relation when this index was just built,
+        or packed-scan -> decode (with bucket + term pushdown *before* the
+        decode UDF) when opened from storage.  ≙ TermQuery's
+        postings-seek (TermsEnum.seekExact -> postings())."""
+        terms = sorted(set(terms))
+        if self.packed is not None and self.prefer_packed:
+            from lucene_spark.index.segments import unpack_postings
+
+            pk = self.bucket_filter(self.packed, terms).filter(
+                F.col("term").isin(terms)
+            )
+            return unpack_postings(pk, with_positions=with_positions)
+        return self.postings.filter(F.col("term").isin(terms))
 
     def check(self) -> dict:
         """CheckIndex-style invariants (FIXTURES.md §6, CheckIndex.java:526).

@@ -1,0 +1,121 @@
+"""Persistent index layout: Iceberg-shaped parquet tables + commit manifest.
+
+≙ the reference's on-disk index (SURVEY.md §1.2): per-family files + the
+``segments_N`` commit point (core/index/SegmentInfos.java:55-106).  Here the
+families are parquet tables and the commit point is a JSON snapshot file —
+the same roles an Iceberg catalog would play (TableMetadata + snapshot);
+plain parquet keeps the sandbox dependency-free while preserving the layout
+properties that matter at 100 TB:
+
+* ``postings/`` is **partitioned by bucket = crc32(term) % n_buckets** — a
+  query for a term set touches only its buckets (partition pruning ≙ the
+  FST term-index seek, Lucene90BlockTreeTermsWriter.java:223), and buckets
+  spread uniformly across writers (no head-term write skew, the chunking
+  inside each bucket bounds group sizes).
+* within a bucket, rows are sorted by (term, chunk) so parquet row-group
+  min/max column stats prune to the exact term even inside the bucket.
+* ``docs/`` is range-partitioned+sorted by doc_id — the top-k join back to
+  doc keys prunes row groups by doc_id min/max.
+* all doc-side values (role, tool, ts, length, norm) are plain columns —
+  Lucene's DocValues are free in a columnar format (SURVEY.md §1.1).
+
+The bucket function is crc32 (not hash()) so driver-side Python can compute
+a query term's bucket identically (zlib.crc32) for pushdown literals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.index.builder import InvertedIndex
+
+DEFAULT_BUCKETS = 32
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python-side bucket of a term — must match ``_bucket_col``."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _bucket_col(col, n_buckets: int):
+    return F.pmod(F.crc32(F.encode(col, "utf-8")), F.lit(n_buckets)).cast("int")
+
+
+def save_index(
+    idx: InvertedIndex,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_bits: int | None = None,
+) -> None:
+    """Write the index as a self-contained directory (idempotent overwrite)."""
+    from lucene_spark.index.segments import DEFAULT_CHUNK_BITS
+
+    chunk_bits = chunk_bits or DEFAULT_CHUNK_BITS
+    idx.with_packed(chunk_bits=chunk_bits, cache=False)
+
+    (
+        idx.packed.withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "chunk")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        idx.docs.repartitionByRange(max(idx.docs.rdd.getNumPartitions(), 1), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "docs"))
+    )
+    (
+        idx.term_stats.withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "term_stats"))
+    )
+    commit = {
+        "format_version": 1,
+        "stats": idx.stats,
+        "k1": idx.k1,
+        "b": idx.b,
+        "n_buckets": n_buckets,
+        "chunk_bits": chunk_bits,
+    }
+    with open(os.path.join(path, "commit.json"), "w") as f:
+        json.dump(commit, f, indent=2)
+
+
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    """Point-in-time open (≙ DirectoryReader.open over a commit point).
+
+    The logical ``postings`` view is reconstructed lazily by decoding the
+    packed table; term-filtered queries hit the packed table directly with
+    bucket pushdown (see LoadedIndex.packed_for_terms)."""
+    with open(os.path.join(path, "commit.json")) as f:
+        commit = json.load(f)
+    packed = spark.read.parquet(os.path.join(path, "postings"))
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+    term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
+
+    from lucene_spark.index.segments import unpack_postings
+
+    idx = InvertedIndex(
+        spark=spark,
+        docs=docs,
+        postings=unpack_postings(packed, with_positions=True),
+        term_stats=term_stats,
+        stats=commit["stats"],
+        packed=packed,
+        k1=commit["k1"],
+        b=commit["b"],
+    )
+    idx.n_buckets = commit["n_buckets"]
+    idx.chunk_bits = commit["chunk_bits"]
+    idx.prefer_packed = True
+    return idx

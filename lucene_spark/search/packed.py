@@ -85,7 +85,9 @@ class PackedScorer:
         )
 
     def _packed_for(self, terms) -> DataFrame:
-        return self.index.packed.filter(F.col("term").isin(list(terms)))
+        terms = list(terms)
+        pk = self.index.bucket_filter(self.index.packed, terms)
+        return pk.filter(F.col("term").isin(terms))
 
     # ------------------------------------------------------------------
     def seed_threshold(self, term_weights: dict[str, float], k: int) -> float:

@@ -200,9 +200,9 @@ class IndexSearcher:
         if not weights:
             return self._empty_scored()
         wdf = spark.createDataFrame(weights, f"term string, _w {self.score_type}")
-        pf = self.index.postings.filter(
-            F.col("term").isin([t for t, _ in weights])
-        ).select("term", "doc_id", "freq", "norm")
+        pf = self.index.postings_for_terms([t for t, _ in weights]).select(
+            "term", "doc_id", "freq", "norm"
+        )
         return pf.join(F.broadcast(wdf), "term").select(
             "doc_id",
             self._bm25_expr(F.col("_w"), F.col("freq"), F.col("norm")).alias("score"),
@@ -225,16 +225,33 @@ class IndexSearcher:
         """terms relation filtered by a dictionary predicate."""
         return self.index.term_stats.filter(predicate).select("term", "doc_freq")
 
+    # expansions above this size skip the driver round-trip and semi-join
+    MAX_COLLECTED_EXPANSION = 65536
+
     def _const_score_from_terms(self, terms_df: DataFrame, boost: float) -> DataFrame:
-        """CONSTANT_SCORE rewrite: semi-join expanded terms into postings,
-        distinct docs, score ≡ boost (MultiTermQuery.java:39-83)."""
-        matches = (
-            self.index.postings.join(
-                F.broadcast(terms_df.select("term")), "term", "left_semi"
+        """CONSTANT_SCORE rewrite (MultiTermQuery.java:39-83): expand against
+        the term dictionary, then match postings.  The expansion is collected
+        driver-side when small (the common case — it is vocabulary-bounded),
+        enabling bucket/term pushdown into the postings scan; huge expansions
+        fall back to a broadcast semi-join."""
+        expanded = [
+            r.term
+            for r in terms_df.select("term").limit(self.MAX_COLLECTED_EXPANSION + 1).collect()
+        ]
+        if len(expanded) <= self.MAX_COLLECTED_EXPANSION:
+            if not expanded:
+                return self._empty_scored()
+            matches = (
+                self.index.postings_for_terms(expanded).select("doc_id").distinct()
             )
-            .select("doc_id")
-            .distinct()
-        )
+        else:
+            matches = (
+                self.index.postings.join(
+                    F.broadcast(terms_df.select("term")), "term", "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
         return self._const_scored(matches, boost)
 
     # ------------------------------------------------------------------
@@ -320,7 +337,7 @@ class IndexSearcher:
             return self._empty_scored()
         weight = self._weight(q.boost, max(dfs.values()))
         summed = (
-            self.index.postings.filter(F.col("term").isin(list(q.terms)))
+            self.index.postings_for_terms(list(q.terms))
             .groupBy("doc_id")
             .agg(
                 F.sum("freq").cast("int").alias("freq"),
@@ -433,8 +450,8 @@ class IndexSearcher:
                     rows,
                     f"term string, _w {self.score_type}, _must int, _should int",
                 )
-                pf = self.index.postings.filter(
-                    F.col("term").isin(sorted({r[0] for r in rows}))
+                pf = self.index.postings_for_terms(
+                    sorted({r[0] for r in rows})
                 ).select("term", "doc_id", "freq", "norm")
                 parts.append(
                     pf.join(F.broadcast(wdf), "term").select(
@@ -495,7 +512,7 @@ class IndexSearcher:
         if len(terms) == 1:
             return self._scored_terms({terms[0]: q.boost})
 
-        p = self.index.postings
+        p = self.index.postings_for_terms(terms, with_positions=True)
         base = p.filter(F.col("term") == terms[0]).select(
             "doc_id", F.col("positions").alias("_p0"), "norm"
         )
@@ -533,7 +550,7 @@ class IndexSearcher:
         if any(t not in dfs for t in terms):
             return self._empty_scored()
         weight = self._phrase_weight(terms, dfs, q.boost)
-        p = self.index.postings
+        p = self.index.postings_for_terms(terms, with_positions=True)
         base = p.filter(F.col("term") == terms[0]).select(
             "doc_id", F.col("positions").alias("_p0"), "norm"
         )

@@ -1,0 +1,118 @@
+"""Persistence + checkpoint-resume: stored index == in-memory index.
+
+≙ the reference's commit/reopen semantics (IndexWriter.commit ->
+DirectoryReader.open roundtrip) and the north rule's checkpoint-resumable
+build with per-partition lineage.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.checkpoint import CheckpointedIndexBuilder
+from lucene_spark.index.store import load_index, save_index, term_bucket
+from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, PhraseQuery, TermQuery
+
+
+def _or(*terms):
+    return BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+
+
+def _topk(searcher, q, k=10, **kw):
+    return [
+        (r.conv_id, r.turn_idx, r.score)
+        for r in searcher.search(q, k, **kw).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tiny_index, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "store")
+    save_index(tiny_index, path, n_buckets=8, chunk_bits=5)
+    return load_index(spark, path)
+
+
+def test_store_roundtrip_topk(tiny_index, stored):
+    mem = IndexSearcher(tiny_index)
+    disk = IndexSearcher(stored)
+    for q in [TermQuery("model"), _or("the", "spark", "query"), PhraseQuery(("the", "model"))]:
+        assert _topk(mem, q) == _topk(disk, q)
+
+
+def test_store_pruned_topk(tiny_index, stored):
+    mem = IndexSearcher(tiny_index)
+    disk = IndexSearcher(stored)
+    q = _or("the", "model", "data")
+    assert _topk(mem, q) == _topk(disk, q, prune=True)
+
+
+def test_store_stats_and_bucket(tiny_index, stored):
+    assert stored.stats == tiny_index.stats
+    assert stored.prefer_packed
+    # bucket column matches the driver-side bucket function
+    rows = stored.packed.select("term", "bucket").limit(50).collect()
+    for r in rows:
+        assert r.bucket == term_bucket(r.term, 8)
+
+
+def test_checkpoint_build_equals_direct(spark, tiny_corpus, tiny_index, tmp_path_factory):
+    from lucene_spark.fixtures import transcripts_df
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt") / "build")
+    df = transcripts_df(spark, rows=tiny_corpus)
+    b = CheckpointedIndexBuilder(ckpt, num_shards=3, chunk_bits=5, n_buckets=8)
+
+    # phase 1: partial build (simulates a killed job after 2 shards)
+    plan = b.plan(df)
+    b.build_shard(df, plan, 0)
+    b.build_shard(df, plan, 1)
+    assert b.completed_shards() == [0, 1]
+    m0 = json.load(open(b._manifest_path(0)))
+    assert m0["n_docs"] > 0 and m0["docs_per_sec"] > 0 and m0["n_postings"] > 0
+
+    # phase 2: resume completes only what's missing (shard 0/1 untouched)
+    mtime_before = os.path.getmtime(b._manifest_path(0))
+    idx = b.build(df)
+    assert os.path.getmtime(b._manifest_path(0)) == mtime_before
+
+    # lineage rolled into the commit
+    commit = json.load(open(os.path.join(ckpt, "index", "commit.json")))
+    assert len(commit["shards"]) == 3
+    assert commit["stats"] == tiny_index.stats
+
+    # identical search results vs the single-job in-memory build
+    mem = IndexSearcher(tiny_index)
+    disk = IndexSearcher(idx)
+    for q in [TermQuery("model"), _or("the", "spark", "query")]:
+        assert _topk(mem, q) == _topk(disk, q)
+        assert _topk(mem, q) == _topk(disk, q, prune=True)
+
+    # doc ids remain dense and deterministic (global rank over conv/turn)
+    n = idx.docs.count()
+    agg = idx.docs.agg(
+        F.countDistinct("doc_id").alias("d"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    assert agg.d == n and agg.lo == 0 and agg.hi == n - 1
+    # same doc_id assignment as the direct builder
+    joined = idx.docs.select("conv_id", "turn_idx", "doc_id").join(
+        tiny_index.docs.select("conv_id", "turn_idx", F.col("doc_id").alias("doc_id2")),
+        ["conv_id", "turn_idx"],
+    )
+    assert joined.filter(F.col("doc_id") != F.col("doc_id2")).count() == 0
+
+
+def test_checkpoint_build_is_idempotent(spark, tiny_corpus, tmp_path_factory):
+    from lucene_spark.fixtures import transcripts_df
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt2") / "build")
+    df = transcripts_df(spark, rows=tiny_corpus)
+    b = CheckpointedIndexBuilder(ckpt, num_shards=2, chunk_bits=5, n_buckets=4)
+    idx1 = b.build(df)
+    n1 = idx1.docs.count()
+    commit1 = json.load(open(os.path.join(ckpt, "index", "commit.json")))
+    idx2 = b.build(df)  # everything cached: no shard rebuilds, same commit
+    commit2 = json.load(open(os.path.join(ckpt, "index", "commit.json")))
+    assert commit1 == commit2
+    assert idx2.docs.count() == n1
