@@ -19,3 +19,4 @@ from lucene_spark.search.query import (  # noqa: F401
     WildcardQuery,
 )
 from lucene_spark.search.searcher import IndexSearcher  # noqa: F401
+from lucene_spark.search.parser import QueryParser, QueryParseError  # noqa: F401

@@ -1,0 +1,230 @@
+"""Classic query-string parser -> Query tree.
+
+≙ the reference's classic ``QueryParser`` (SURVEY.md §2.11, grammar
+queryparser/classic/QueryParser.jj; semantics QueryParserBase.java):
+
+supported subset (the syntax exercised by the reference's own demo and
+query sets — SearchFiles.java:120, benchmark/conf/query-*.txt):
+
+* terms: ``hello`` — analyzed with the *index* analyzer
+  (QueryParserBase.getFieldQuery:456 runs the Analyzer on query text);
+  one word analyzing to several tokens becomes SHOULD-of-terms
+* phrases: ``"hello world"`` (+ ``~N`` slop — QueryParserBase:480,
+  getFieldQuery(slop))
+* boolean: ``+must -not term``, ``a AND b``, ``a OR b``, ``NOT a``,
+  parenthesized groups (QueryParserBase.addClause:661 conj/mods logic)
+* boosts: ``term^2`` / ``"a b"^3`` / ``(a b)^2`` (handleBoost)
+* wildcard ``te?m*`` (:691), prefix ``term*`` (:776), fuzzy ``term~``/
+  ``term~1`` (:794), regexp ``/re.gex/``, ranges ``[a TO b]`` / ``{a TO b}``
+  (:509)
+* optional ``text:`` field prefix (single-field engine: any other field
+  name is rejected)
+
+Like the reference, AND/OR do not nest with precedence: clauses accumulate
+into one BooleanQuery where ``a AND b`` promotes both sides to MUST
+(QueryParser's conj handling), and the default operator is OR (SHOULD).
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.analysis.tokenizer import tokenize_text
+from lucene_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<space>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?)
+  | (?P<regexp>/(?P<regexp_body>[^/]+)/)
+  | (?P<range>[\[{][^\]}]+\s+TO\s+[^\]}]+[\]}])
+  | (?P<word>[^\s()+^]+)
+  | (?P<caret>\^)
+    """,
+    re.VERBOSE,
+)
+
+_RANGE_RE = re.compile(r"(?P<lb>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<rb>[\]}])")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _analyze_word(word: str) -> list[str]:
+    return tokenize_text(word)
+
+
+class QueryParser:
+    """Single-field classic parser; ``parse(s)`` returns a Query."""
+
+    def __init__(self, field: str = "text", default_operator: str = "OR"):
+        if default_operator not in ("OR", "AND"):
+            raise QueryParseError("default_operator must be OR or AND")
+        self.field = field
+        self.default_occur = Occur.SHOULD if default_operator == "OR" else Occur.MUST
+
+    # -- lexer ----------------------------------------------------------
+    def _lex(self, s: str):
+        out = []
+        i = 0
+        while i < len(s):
+            m = _TOKEN_RE.match(s, i)
+            if not m:
+                raise QueryParseError(f"cannot lex at {s[i:]!r}")
+            i = m.end()
+            kind = m.lastgroup if m.lastgroup else "word"
+            for k in ("space", "lparen", "rparen", "plus", "minus", "phrase",
+                      "regexp", "range", "word", "caret"):
+                if m.group(k):
+                    kind = k
+                    break
+            if kind == "space":
+                continue
+            out.append((kind, m))
+        return out
+
+    # -- parser ---------------------------------------------------------
+    def parse(self, s: str) -> Query:
+        toks = self._lex(s)
+        q, pos = self._parse_clauses(toks, 0)
+        if pos != len(toks):
+            raise QueryParseError(f"unexpected token at {pos}")
+        return q
+
+    def _parse_clauses(self, toks, pos, stop_at_rparen=False):
+        clauses: list[tuple[Query, Occur]] = []
+        pending_occur = None
+        pending_conj = None  # "AND" | "OR"
+        while pos < len(toks):
+            kind, m = toks[pos]
+            if kind == "rparen":
+                if not stop_at_rparen:
+                    raise QueryParseError("unbalanced )")
+                pos += 1
+                break
+            if kind == "plus":
+                pending_occur = Occur.MUST
+                pos += 1
+                continue
+            if kind == "minus":
+                pending_occur = Occur.MUST_NOT
+                pos += 1
+                continue
+            if kind == "word" and m.group("word") in ("AND", "&&"):
+                pending_conj = "AND"
+                pos += 1
+                continue
+            if kind == "word" and m.group("word") in ("OR", "||"):
+                pending_conj = "OR"
+                pos += 1
+                continue
+            if kind == "word" and m.group("word") in ("NOT", "!"):
+                pending_occur = Occur.MUST_NOT
+                pos += 1
+                continue
+
+            sub, pos = self._parse_atom(toks, pos)
+            occur = pending_occur
+            if occur is None:
+                occur = Occur.MUST if pending_conj == "AND" else self.default_occur
+            if pending_conj == "AND" and clauses and pending_occur is None:
+                # a AND b: promote the left side too (QueryParser conj logic)
+                lq, lo = clauses[-1]
+                if lo == Occur.SHOULD:
+                    clauses[-1] = (lq, Occur.MUST)
+            if sub is not None:
+                clauses.append((sub, occur))
+            pending_occur = None
+            pending_conj = None
+        if not clauses:
+            return MatchNoDocsQuery(), pos
+        if len(clauses) == 1 and clauses[0][1] in (Occur.SHOULD, Occur.MUST):
+            return clauses[0][0], pos
+        return BooleanQuery.of(*clauses), pos
+
+    def _parse_atom(self, toks, pos):
+        kind, m = toks[pos]
+        if kind == "lparen":
+            q, pos = self._parse_clauses(toks, pos + 1, stop_at_rparen=True)
+        elif kind == "phrase":
+            body, slop = m.group("phrase_body"), int(m.group("slop") or 0)
+            terms = _analyze_word(body)
+            if not terms:
+                q = MatchNoDocsQuery()
+            elif len(terms) == 1:
+                q = TermQuery(terms[0])
+            else:
+                q = PhraseQuery(tuple(terms), slop=slop)
+            pos += 1
+        elif kind == "regexp":
+            q = RegexpQuery(m.group("regexp_body"))
+            pos += 1
+        elif kind == "range":
+            rm = _RANGE_RE.match(m.group("range"))
+            if not rm:
+                raise QueryParseError(f"bad range {m.group('range')!r}")
+            lo = None if rm.group("lo") == "*" else rm.group("lo").lower()
+            hi = None if rm.group("hi") == "*" else rm.group("hi").lower()
+            q = TermRangeQuery(
+                lo, hi,
+                include_lower=rm.group("lb") == "[",
+                include_upper=rm.group("rb") == "]",
+            )
+            pos += 1
+        elif kind == "word":
+            q = self._word_query(m.group("word"))
+            pos += 1
+        else:
+            raise QueryParseError(f"unexpected {kind}")
+        # ^boost suffix
+        if pos < len(toks) and toks[pos][0] == "caret":
+            if pos + 1 >= len(toks) or toks[pos + 1][0] != "word":
+                raise QueryParseError("^ must be followed by a number")
+            boost = float(toks[pos + 1][1].group("word"))
+            q = BoostQuery(q, boost).rewrite()
+            pos += 2
+        return q, pos
+
+    def _word_query(self, word: str) -> Query:
+        if ":" in word:
+            field, word = word.split(":", 1)
+            if field != self.field:
+                raise QueryParseError(f"unknown field {field!r}")
+            if not word:
+                raise QueryParseError("empty term after field:")
+        fuzzy = re.fullmatch(r"(?P<base>[^~]+)~(?P<edits>[012])?", word)
+        if fuzzy:
+            base = _analyze_word(fuzzy.group("base"))
+            if len(base) != 1:
+                raise QueryParseError(f"bad fuzzy term {word!r}")
+            return FuzzyQuery(base[0], max_edits=int(fuzzy.group("edits") or 2))
+        if "*" in word or "?" in word:
+            pat = word.lower()
+            if re.fullmatch(r"[^*?]+\*", pat):
+                return PrefixQuery(pat[:-1])
+            return WildcardQuery(pat)
+        terms = _analyze_word(word)
+        if not terms:
+            return MatchNoDocsQuery()
+        if len(terms) == 1:
+            return TermQuery(terms[0])
+        # one query word analyzed into several tokens -> SHOULD of terms
+        return BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])

@@ -1,0 +1,3 @@
+from lucene_spark.streaming.incremental import IncrementalIndexer
+
+__all__ = ["IncrementalIndexer"]

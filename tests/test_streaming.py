@@ -1,0 +1,93 @@
+"""Incremental indexing: micro-batch segments == batch-built index.
+
+≙ the reference's NRT tests: index a corpus in flush increments, reopen,
+and expect the same hits as a single-shot build (SearcherManager semantics).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+from lucene_spark.streaming import IncrementalIndexer
+
+
+def _or(*terms):
+    return BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+
+
+def _topk(searcher, q, k=10):
+    return [(r.conv_id, r.turn_idx, r.score) for r in searcher.search(q, k).collect()]
+
+
+@pytest.fixture(scope="module")
+def inc(spark, tiny_corpus, tmp_path_factory):
+    """Index the fixture corpus in 3 micro-batches, in turn order."""
+    from lucene_spark.fixtures import transcripts_df
+
+    df = transcripts_df(spark, rows=tiny_corpus).orderBy("conv_id", "turn_idx")
+    convs = sorted({r["conv_id"] for r in tiny_corpus})
+    cut1, cut2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    ix = IncrementalIndexer(str(tmp_path_factory.mktemp("inc") / "idx"))
+    ix.process_batch(df.filter(F.col("conv_id") < cut1), batch_id=0)
+    ix.process_batch(
+        df.filter((F.col("conv_id") >= cut1) & (F.col("conv_id") < cut2)), batch_id=1
+    )
+    ix.process_batch(df.filter(F.col("conv_id") >= cut2), batch_id=2)
+    return ix
+
+
+def test_incremental_equals_batch(spark, inc, tiny_index):
+    got = IndexSearcher(inc.open_index(spark))
+    want = IndexSearcher(tiny_index)
+    for q in [TermQuery("model"), _or("the", "spark", "query"), _or("data", "rareterm007")]:
+        assert _topk(got, q) == _topk(want, q)
+
+
+def test_batch_replay_is_idempotent(spark, inc):
+    n_before = len(inc._manifests())
+    docs_before = inc.open_index(spark).stats["max_doc"]
+    # Structured Streaming replays the last batch id after recovery
+    from lucene_spark.fixtures import generate_transcripts, transcripts_df
+
+    df = transcripts_df(spark, rows=generate_transcripts(n_convs=3, seed=9))
+    inc.process_batch(df, batch_id=2)  # same id -> must be a no-op
+    assert len(inc._manifests()) == n_before
+    assert inc.open_index(spark).stats["max_doc"] == docs_before
+
+
+def test_compact_forcemerge(spark, inc, tiny_index):
+    merged = inc.compact(spark, n_buckets=4, chunk_bits=5)
+    assert merged.prefer_packed
+    got = IndexSearcher(merged)
+    want = IndexSearcher(tiny_index)
+    q = _or("the", "model", "data")
+    assert _topk(got, q) == _topk(want, q)
+    assert [r for r in got.search(q, 10, prune=True).collect()] == [
+        r for r in got.search(q, 10).collect()
+    ]
+
+
+def test_streaming_wiring_availablenow(spark, tiny_corpus, tmp_path_factory):
+    """Real readStream -> foreachBatch -> segment flush, one batch per file."""
+    from lucene_spark.fixtures import transcripts_df
+
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "in")
+    df = transcripts_df(spark, rows=tiny_corpus)
+    df.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    df.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    ix = IncrementalIndexer(str(root / "idx"))
+    q = ix.attach(stream, trigger_once=True)
+    q.awaitTermination(120)
+    idx = ix.open_index(spark)
+    assert idx.stats["max_doc"] == df.count()
+    s = IndexSearcher(idx)
+    assert s.search(TermQuery("model"), 5).count() == 5
