@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from lucene_spark.pipeline import dedup as _pl_dedup  # noqa: E402
+from lucene_spark.pipeline import multimodal as _pl_mm  # noqa: E402
+from lucene_spark.pipeline import similarity as _pl_sim  # noqa: E402
+from lucene_spark.pipeline import textstats as _pl_text  # noqa: E402
+
 TURNS_PER_CONV = 10
 
 # ---------------------------------------------------------------------------
@@ -323,6 +328,199 @@ def _q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _q_topk_or_pruned(terms, k):
+    """Same results as the plain OR top-k, computed through the packed
+    block-max-pruned plan (WAND analog) — the driver cross-check doubles as
+    the pruning-admissibility gate at sf0.01."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        idx, searcher = _searcher(spark, sf_dir)
+        idx.with_packed()
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        scored = searcher.scored_packed(q, k=k, prune=True)
+        from pyspark.sql import Window
+
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        out = (
+            scored.join(keys, "doc_id")
+            .withColumn("score_i", F.round(F.col("score") * 10000).cast("long"))
+            .orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+        return out.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "conv_id",
+            "turn_idx",
+            "score_i",
+        ).orderBy("rank")
+
+    return run
+
+
+def _q_grouping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass grouping (grouping/GroupingSearch, SURVEY.md §2.9): pass 1
+    ranks conversations by best turn score; pass 2 keeps top-2 turns within
+    each of the top-5 conversations."""
+    from pyspark.sql import Window
+    from lucene_spark.search import TermQuery
+
+    idx, searcher = _searcher(spark, sf_dir)
+    scored = searcher.scored(TermQuery("data"))
+    keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+    s = scored.join(keys, "doc_id").withColumn(
+        "score_i", F.round(F.col("score") * 10000).cast("long")
+    )
+    conv_best = (
+        s.groupBy("conv_id")
+        .agg(F.max("score_i").alias("best_i"))
+        .orderBy(F.desc("best_i"), F.asc("conv_id"))
+        .limit(5)
+    )
+    wg = Window.orderBy(F.desc("best_i"), F.asc("conv_id"))
+    conv_ranked = conv_best.select(
+        F.row_number().over(wg).cast("int").alias("group_rank"), "conv_id", "best_i"
+    )
+    wt = Window.partitionBy("conv_id").orderBy(F.desc("score_i"), F.asc("turn_idx"))
+    turns = s.withColumn("turn_rank", F.row_number().over(wt).cast("int")).filter(
+        F.col("turn_rank") <= 2
+    )
+    return conv_ranked.join(turns, "conv_id").select(
+        "group_rank", "conv_id", "best_i", "turn_rank", "turn_idx", "score_i"
+    )
+
+
+_GROUPING_SQL = (
+    _PRELUDE
+    + ", "
+    + """
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM("""
+    + _SCORE
+    + """) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = 'data'
+  GROUP BY 1, 2
+), s AS (
+  SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored
+), conv_best AS (
+  SELECT conv_id, max(score_i) AS best_i FROM s GROUP BY 1
+  ORDER BY best_i DESC, conv_id LIMIT 5
+), conv_ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY best_i DESC, conv_id) AS INT) AS group_rank,
+         conv_id, best_i
+  FROM conv_best
+), turns AS (
+  SELECT conv_id, turn_idx, score_i,
+         CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY score_i DESC, turn_idx) AS INT) AS turn_rank
+  FROM s
+)
+SELECT group_rank, cr.conv_id, best_i, turn_rank, turn_idx, score_i
+FROM conv_ranked cr JOIN turns t ON t.conv_id = cr.conv_id
+WHERE turn_rank <= 2"""
+)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+
+_DOCS_REL = "documents"
+_DUP_REL = (
+    "(SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents "
+    "WHERE doc_id % 20 = 0)"
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from lucene_spark.pipeline import dedup as dd
+
+    d = _docs(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return dd.exact_duplicates(d.unionByName(dup))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from lucene_spark.pipeline import dedup as dd
+
+    return dd.near_duplicates_minhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from lucene_spark.pipeline import dedup as dd
+
+    return dd.near_duplicates_simhash(_docs(spark, sf_dir))
+
+
+def _q_text_token_count(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.quality_scores(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_binary_stats(spark, sf_dir):
+    from lucene_spark.pipeline import multimodal as mm
+
+    return mm.binary_stats(mm.media_from_documents(_docs(spark, sf_dir)))
+
+
+# fixed deterministic query vector for similarity search: embedding of
+# vec_id 0 is read per sf_dir (cached with the searcher cache)
+def _qvec(spark, sf_dir):
+    key = ("qvec", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]
+        )
+        _CACHE[key] = [float(x) for x in row.embedding]
+    return _CACHE[key]
+
+
+def _q_sim_bruteforce(spark, sf_dir):
+    from lucene_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.cosine_topk(emb, _qvec(spark, sf_dir), 10)
+
+
+def _q_sim_ann(spark, sf_dir):
+    from lucene_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ann_topk(emb, _qvec(spark, sf_dir), 10)
+
+
 def _q_range_facet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointRangeQuery + range facets analog on the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -363,6 +561,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_role_counts": _q_facet_role_counts,
         "conv_topk_blockjoin": _q_conv_topk,
         "range_facet_events": _q_range_facet_events,
+        "bm25_topk_or_pruned": _q_topk_or_pruned(["spark", "query", "data"], 20),
+        "grouping_topk": _q_grouping_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "binary_stats": _q_binary_stats,
+        "sim_topk_bruteforce": _q_sim_bruteforce,
+        "sim_topk_ann": _q_sim_ann,
     }
 
 
@@ -422,4 +632,19 @@ def oracle_sql() -> dict[str, str]:
               AND ts < TIMESTAMP '2024-01-05 00:00:00'
               AND value > 10.0
             GROUP BY event_type""",
+        # the pruned plan must reproduce the exact same rows as the plain OR
+        "bm25_topk_or_pruned": _topk_sql(["spark", "query", "data"], 20),
+        "grouping_topk": _GROUPING_SQL,
+        "dedup_exact": _pl_dedup.exact_duplicates_sql(_DUP_REL),
+        "dedup_minhash_lsh": _pl_dedup.near_duplicates_minhash_sql(_DOCS_REL),
+        "dedup_simhash": _pl_dedup.near_duplicates_simhash_sql(_DOCS_REL),
+        "text_token_count": _pl_text.token_counts_sql(_DOCS_REL),
+        "text_quality": _pl_text.quality_scores_sql(_DOCS_REL),
+        "text_langid": _pl_text.lang_id_sql(_DOCS_REL),
+        "text_fingerprint": _pl_text.fingerprints_sql(_DOCS_REL),
+        "binary_stats": _pl_mm.binary_stats_sql(
+            f"(SELECT doc_id AS media_id, encode(text) AS payload FROM {_DOCS_REL})"
+        ),
+        "sim_topk_bruteforce": _pl_sim.cosine_topk_sql_view("embeddings", 10),
+        "sim_topk_ann": _pl_sim.ann_topk_sql_view("embeddings", 64, 10),
     }

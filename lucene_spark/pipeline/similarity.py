@@ -1,0 +1,297 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Over an embeddings DataFrame ``(vec_id, embedding: array<float>, ...)``.
+
+Cross-engine exactness trick: embeddings are quantized to integers
+(``round(x * 1e6)``) before the dot products, so intersection arithmetic is
+EXACT int64 (order-independent — float summation order differences between
+engines can't bite); the final cosine does a single double division+sqrt,
+which is deterministic.  ``cos_i = round(1e6 * dot / sqrt(na) / sqrt(nb))``.
+
+Scale paths:
+* ``cosine_topk`` — declarative zip_with/aggregate dot product (JVM);
+  the brute-force baseline, O(N) per query, Catalyst TakeOrderedAndProject
+  for the top-k.
+* ``cosine_topk_batch`` — mapInPandas numpy matrix multiply: queries x
+  corpus per Arrow batch; the vectorized throughput path for many queries.
+* ``ann_topk`` — random-hyperplane LSH (sign sketch): 8 md5-derived integer
+  hyperplanes -> 256 buckets; probe the query's bucket only.  Approximate
+  (recall < 1) but O(N/256) per query; the bucketing is expressible in SQL,
+  so even the ANN path is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+QUANT = 1_000_000  # 1e6 fixed-point quantization
+
+
+def _round_away(x: float) -> int:
+    """round-half-away-from-zero — Spark's F.round / DuckDB's round();
+    Python's round() and np.round are banker's and would diverge on .5."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _np_round_away(x: np.ndarray) -> np.ndarray:
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+# 4 planes -> 16 buckets: sized for the test corpora; at real scale raise
+# to 8-12 planes (256-4096 buckets) and/or multi-probe neighboring buckets
+N_PLANES = 4
+PLANE_MOD = 2001  # plane coefficients in [-1000, 1000]
+
+
+def _quant(col):
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a):
+    return F.aggregate(a, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """(rank, vec_id, cos_i) — exact brute-force cosine top-k, ties broken
+    by ascending vec_id."""
+    from pyspark.sql import Window
+
+    q = [_round_away(float(x) * QUANT) for x in query_vec]
+    qlit = F.array(*[F.lit(v).cast("long") for v in q])
+    qn = float(np.sqrt(sum(v * v for v in q)))
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        (
+            F.round(
+                F.lit(float(QUANT))
+                * _dot(_quant(F.col("embedding")), qlit).cast("double")
+                / F.sqrt(_norm2(_quant(F.col("embedding"))).cast("double"))
+                / F.lit(qn)
+            ).cast("long")
+        ).alias("cos_i"),
+    )
+    top = scored.orderBy(F.desc("cos_i"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos_i"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "vec_id", "cos_i"
+    ).orderBy("rank")
+
+
+def cosine_topk_sql(emb_rel: str, query_vec: list[float], k: int = 10) -> str:
+    q = [_round_away(float(x) * QUANT) for x in query_vec]
+    qn = float(np.sqrt(sum(v * v for v in q)))
+    qarr = "[" + ", ".join(str(v) for v in q) + "]"
+    return f"""
+WITH qv AS (SELECT {qarr}::BIGINT[] AS q),
+s AS (
+  SELECT vec_id,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(round(embedding[i] * {QUANT}) AS BIGINT) * q[i]))::DOUBLE
+      / sqrt(list_sum(list_transform(embedding,
+               x -> CAST(round(x * {QUANT}) AS BIGINT) * CAST(round(x * {QUANT}) AS BIGINT)))::DOUBLE)
+      / {qn!r}) AS BIGINT) AS cos_i
+  FROM {emb_rel}, qv
+)
+SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec_id, cos_i
+FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH
+
+
+def _planes(dim: int) -> list[list[int]]:
+    """Deterministic md5-derived integer hyperplanes (engine-portable)."""
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for d in range(dim):
+            hv = int(hashlib.md5(f"plane|{j}|{d}".encode()).hexdigest()[:15], 16)
+            row.append(hv % PLANE_MOD - (PLANE_MOD - 1) // 2)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec_q, planes: list[list[int]]):
+    """LSH bucket id: bit j = sign(dot(v, plane_j)) — over quantized ints."""
+    bucket = F.lit(0)
+    for j, row in enumerate(planes):
+        plit = F.array(*[F.lit(v).cast("long") for v in row])
+        bit = F.when(_dot(vec_q, plit) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """(rank, vec_id, cos_i) approximate top-k: candidates restricted to the
+    query's hyperplane-LSH bucket, then exact cosine within the bucket."""
+    dim = len(query_vec)
+    planes = _planes(dim)
+    q = [_round_away(float(x) * QUANT) for x in query_vec]
+    qbucket = 0
+    for j, row in enumerate(planes):
+        if sum(a * b for a, b in zip(q, row)) >= 0:
+            qbucket |= 1 << j
+    cand = emb.filter(
+        _bucket_expr(_quant(F.col("embedding")), planes) == F.lit(qbucket)
+    )
+    return cosine_topk(cand, query_vec, k, id_col)
+
+
+def ann_topk_sql(emb_rel: str, query_vec: list[float], k: int = 10) -> str:
+    dim = len(query_vec)
+    planes = _planes(dim)
+    q = [_round_away(float(x) * QUANT) for x in query_vec]
+    qbucket = 0
+    for j, row in enumerate(planes):
+        if sum(a * b for a, b in zip(q, row)) >= 0:
+            qbucket |= 1 << j
+    bits = []
+    for j, row in enumerate(planes):
+        parr = "[" + ", ".join(str(v) for v in row) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(round(embedding[i] * {QUANT}) AS BIGINT) * ({parr}::BIGINT[])[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    inner = cosine_topk_sql("cand", query_vec, k)
+    return f"""
+WITH cand AS (
+  SELECT * FROM {emb_rel}
+  WHERE ({bucket}) = {qbucket}
+),{inner.lstrip().removeprefix("WITH")}"""
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch brute-force (the throughput path)
+
+
+def cosine_topk_batch(
+    emb: DataFrame, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """(query_idx, rank, vec_id, cos_i) for MANY query vectors at once:
+    numpy (batch x dim) @ (dim x n) per Arrow batch via mapInPandas, then a
+    per-query global top-k.  Same integer quantization as cosine_topk."""
+    qm = _np_round_away(np.asarray(queries, dtype=np.float64) * QUANT).astype(np.int64)
+    qnorm = np.sqrt((qm.astype(np.float64) ** 2).sum(axis=1))
+    nq = qm.shape[0]
+
+    def part(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = _np_round_away(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            dots = qm @ mat.T  # exact int64
+            norms = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
+            cos_i = _np_round_away(
+                QUANT * dots.astype(np.float64) / norms[None, :] / qnorm[:, None]
+            ).astype(np.int64)
+            # per-partition top-k per query (partial reduce)
+            kk = min(k, cos_i.shape[1])
+            idx = np.argpartition(-cos_i, kk - 1, axis=1)[:, :kk]
+            out = {
+                "query_idx": np.repeat(np.arange(nq), kk),
+                id_col: ids[idx].ravel(),
+                "cos_i": np.take_along_axis(cos_i, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = emb.select(id_col, "embedding").mapInPandas(
+        part, schema=f"query_idx int, {id_col} long, cos_i long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_idx").orderBy(F.desc("cos_i"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_idx", "rank", F.col(id_col).alias("vec_id"), "cos_i")
+    )
+
+
+# ---------------------------------------------------------------------------
+# view-based SQL oracles: the query vector is DERIVED inside the SQL
+# (embedding of vec_id = 0), so the same static SQL string is valid at any
+# scale factor — mirroring the Spark callables, which read vec_id 0 from
+# the sf_dir at run time.
+
+_QD = f"CAST(round(embedding[i] * {QUANT}) AS BIGINT)"
+
+
+def _self_norm_sql() -> str:
+    return (
+        f"sqrt(list_sum(list_transform(embedding, "
+        f"x -> CAST(round(x * {QUANT}) AS BIGINT) * CAST(round(x * {QUANT}) AS BIGINT)))::DOUBLE)"
+    )
+
+
+def cosine_topk_sql_view(emb_rel: str, k: int = 10, where: str = "TRUE") -> str:
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM {emb_rel} WHERE vec_id = 0
+), s AS (
+  SELECT vec_id,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(embedding) + 1), i -> {_QD} * q[i]))::DOUBLE
+      / {_self_norm_sql()}
+      / sqrt(list_sum(list_transform(q, v -> v * v))::DOUBLE)) AS BIGINT) AS cos_i
+  FROM {emb_rel}, qv
+  WHERE {where}
+)
+SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec_id, cos_i
+FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
+
+
+def ann_topk_sql_view(emb_rel: str, dim: int, k: int = 10) -> str:
+    planes = _planes(dim)
+
+    def bucket_of(vec_expr_prefix: str) -> str:
+        bits = []
+        for j, row in enumerate(planes):
+            parr = "[" + ", ".join(str(v) for v in row) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> {vec_expr_prefix}[i] * ({parr}::BIGINT[])[i])) >= 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(bits)
+
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM {emb_rel} WHERE vec_id = 0
+), qb AS (
+  SELECT ({bucket_of("q")}) AS qbucket FROM qv
+), cand AS (
+  SELECT e.* FROM {emb_rel} e, qb
+  WHERE ({bucket_of(f"list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))")}) = qb.qbucket
+), s AS (
+  SELECT vec_id,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(embedding) + 1), i -> {_QD} * q[i]))::DOUBLE
+      / {_self_norm_sql()}
+      / sqrt(list_sum(list_transform(q, v -> v * v))::DOUBLE)) AS BIGINT) AS cos_i
+  FROM cand, qv
+)
+SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec_id, cos_i
+FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""

@@ -1,0 +1,221 @@
+"""Text analysis for training-data curation: language id, quality scoring,
+token counting, document fingerprinting.
+
+All operators are pure JVM column expressions (whole-stage codegen, no
+Python in the hot path) over a documents DataFrame ``(doc_id, text, ...)``,
+and each has an exact ANSI-SQL equivalent used by the driver's oracle —
+ratios are computed from integer counts with a fixed expression shape, so
+IEEE-double results are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RX = "[a-z0-9]+"
+# BPE-ish segmentation (GPT-2 spirit, RE2-compatible: no lookarounds):
+# word pieces, number pieces, punctuation runs — each optionally preceded
+# by one space.
+BPE_RX = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+# small function-word inventories for the n-gram-free language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "los", "las", "es", "una", "del", "por", "con", "para", "como"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "as", "at", "be", "by", "on", "or"]
+
+
+def tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RX), 0)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens, n_chars) — whitespace/word tokens
+    plus a BPE-ish regex segmentation count (pretraining cost estimates)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(t)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_RX), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def token_counts_sql(doc_rel: str) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_RX}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM {doc_rel}"""
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, quality_i) in [0, 1000] from length / punctuation /
+    stopword-ratio / mean-word-length signals (heuristic quality filter).
+
+    quality = 1000 * (0.35*len_score + 0.25*(1-punct_ratio)
+                      + 0.25*stop_score + 0.15*wordlen_score)
+    computed from integer counts; round at the end only."""
+    t = F.lower(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-z0-9 ]"), 0))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    sum_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(0.0)
+    stop_score = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    mean_wlen = F.when(n_tok > 0, sum_wlen.cast("double") / n_tok.cast("double")).otherwise(0.0)
+    wordlen_score = F.when(
+        (mean_wlen >= 3.0) & (mean_wlen <= 8.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    q = (
+        F.lit(0.35) * len_score
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * stop_score
+        + F.lit(0.15) * wordlen_score
+    )
+    return docs.select(
+        "doc_id", F.round(q * F.lit(1000.0)).cast("long").alias("quality_i")
+    )
+
+
+def quality_scores_sql(doc_rel: str) -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{TOKEN_RX}') AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct
+  FROM {doc_rel}
+), m AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(toks) AS n_tok,
+         len(list_filter(toks, x -> x IN ({stop}))) AS n_stop,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_wlen
+  FROM c
+)
+SELECT doc_id,
+  CAST(round(1000.0 * (
+    0.35 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+  + 0.25 * (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
+  + 0.25 * least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END * 4.0, 1.0)
+  + 0.15 * CASE WHEN n_tok > 0 AND CAST(sum_wlen AS DOUBLE) / n_tok BETWEEN 3.0 AND 8.0
+           THEN 1.0 ELSE 0.0 END)) AS BIGINT) AS quality_i
+FROM m"""
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — function-word-count heuristic + CJK detection.
+
+    zh wins if any CJK codepoint appears; otherwise the language with the
+    most function-word hits (ties broken by LANG_ORDER); 'und' if no hits.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _in_set(arr):
+        # single-arg lambda factory: a default-arg lambda would be seen by
+        # PySpark as the two-arg (element, index) higher-order signature
+        return lambda x: F.array_contains(arr, x)
+
+    counts = {}
+    for lang, ws in LANG_MARKERS.items():
+        counts[lang] = F.size(
+            F.filter(toks, _in_set(F.array(*[F.lit(w) for w in ws])))
+        )
+    has_cjk = F.length(F.regexp_extract(F.col(text_col), "[\\u4e00-\\u9fff]", 0)) > 0
+    best = F.greatest(*[counts[lg] for lg in LANG_ORDER])
+    pred = F.lit("und")
+    for lg in reversed(LANG_ORDER):  # earlier languages override on ties
+        pred = F.when(counts[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(pred)
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def lang_id_sql(doc_rel: str) -> str:
+    cnt = {
+        lg: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lg, ws in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(cnt[lg] for lg in LANG_ORDER)})"
+    pred = "'und'"
+    for lg in reversed(LANG_ORDER):
+        pred = f"CASE WHEN {cnt[lg]} = best THEN '{lg}' ELSE {pred} END"
+    return f"""
+WITH c AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_RX}') AS toks
+  FROM {doc_rel}
+), m AS (
+  SELECT doc_id, text, toks, {best} AS best FROM c
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN best = 0 THEN 'und'
+       ELSE {pred} END AS pred_lang
+FROM m"""
+
+
+FP_K = 5  # token k-gram size for fingerprint shingles
+FP_W = 4  # winnowing window (in consecutive k-gram positions)
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — winnowing fingerprints (Schleimer et al.): hash every
+    token 5-gram, keep the minimum hash of each sliding window of 4
+    consecutive k-grams, emit distinct survivors.  Standard near-dup /
+    provenance fingerprints; ~|tokens|/w values per doc."""
+    from pyspark.sql import Window
+    from lucene_spark.pipeline.hashes import h60
+
+    toks = tokens(F.col(text_col))
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not empty
+    grams = F.when(
+        F.size(toks) >= FP_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(FP_K - 1)),
+            lambda i: F.array_join(F.slice(toks, i, FP_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    g = g.select("doc_id", "pos", h60(F.col("gram")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(FP_W - 1), Window.currentRow)
+    )
+    return g.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+def fingerprints_sql(doc_rel: str) -> str:
+    from lucene_spark.pipeline.hashes import h60_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RX}') AS toks
+  FROM {doc_rel}
+), g AS (
+  SELECT doc_id, i AS pos,
+         {h60_sql(f"array_to_string(list_slice(toks, i, i + {FP_K - 1}), ' ')")} AS h
+  FROM t, LATERAL unnest(range(1, greatest(len(toks) - {FP_K - 2}, 1))) AS u(i)
+), wmin AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {FP_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM wmin"""

@@ -1,0 +1,202 @@
+"""Training-data pipeline operators vs exact DuckDB oracles.
+
+Every operator's Spark plan and its ANSI-SQL formulation must agree row-
+for-row (the md5-based portable hashing + integer quantization make this
+exact, not approximate).
+"""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+DOCS_REL = f"read_parquet('{SF}/documents.parquet')"
+EMB_REL = f"read_parquet('{SF}/embeddings.parquet')"
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def assert_match(sdf, con, sql, ordered=False):
+    a = [tuple(r) for r in sdf.collect()]
+    b = [tuple(r) for r in con.execute(sql).fetchall()]
+    if not ordered:
+        a, b = sorted(a), sorted(b)
+    assert a == b, f"spark={a[:3]}... duck={b[:3]}... ({len(a)} vs {len(b)} rows)"
+    return len(a)
+
+
+# -- textstats ----------------------------------------------------------
+def test_token_counts(docs, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    assert assert_match(ts.token_counts(docs), con, ts.token_counts_sql(DOCS_REL)) > 0
+
+
+def test_quality_scores(docs, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    assert_match(ts.quality_scores(docs), con, ts.quality_scores_sql(DOCS_REL))
+
+
+def test_lang_id(docs, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    assert_match(ts.lang_id(docs), con, ts.lang_id_sql(DOCS_REL))
+
+
+def test_fingerprints(docs, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    n = assert_match(ts.fingerprints(docs), con, ts.fingerprints_sql(DOCS_REL))
+    assert n > 100
+
+
+# -- dedup --------------------------------------------------------------
+def _dup_corpus(docs):
+    dup = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(dup)
+
+
+_DUP_REL = (
+    f"(SELECT * FROM {DOCS_REL} UNION ALL "
+    f"SELECT doc_id + 1000000, text, lang, source, n_chars FROM {DOCS_REL} "
+    f"WHERE doc_id % 20 = 0)"
+)
+
+
+def test_exact_duplicates(docs, con):
+    from lucene_spark.pipeline import dedup as dd
+
+    n = assert_match(
+        dd.exact_duplicates(_dup_corpus(docs)), con, dd.exact_duplicates_sql(_DUP_REL)
+    )
+    assert n > 0, "injected duplicates must be found"
+
+
+def test_minhash_near_duplicates(docs, con):
+    from lucene_spark.pipeline import dedup as dd
+
+    n = assert_match(
+        dd.near_duplicates_minhash(docs), con, dd.near_duplicates_minhash_sql(DOCS_REL)
+    )
+    assert n > 0, "the corpus contains planted near-duplicates"
+
+
+def test_minhash_finds_high_jaccard_pairs(docs, con):
+    """LSH recall sanity: every pair with TRUE Jaccard >= 0.9 must be found
+    (16 hashes / 8 bands: P[miss at j=0.9] = (1-0.81)^8 ~ 2e-6)."""
+    from lucene_spark.pipeline import dedup as dd
+
+    truth = con.execute(
+        f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM {DOCS_REL}),
+s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+       i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS sh FROM t),
+sizes AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM s a JOIN s b ON a.sh=b.sh AND a.doc_id<b.doc_id GROUP BY 1,2)
+SELECT da, db FROM i JOIN sizes za ON za.doc_id=da JOIN sizes zb ON zb.doc_id=db
+WHERE i*1.0/(za.n+zb.n-i) >= 0.9"""
+    ).fetchall()
+    got = {
+        (r.doc_a, r.doc_b) for r in dd.near_duplicates_minhash(docs).collect()
+    }
+    for pair in truth:
+        assert tuple(pair) in got
+
+
+def test_simhash_near_duplicates(docs, con):
+    from lucene_spark.pipeline import dedup as dd
+
+    assert_match(
+        dd.near_duplicates_simhash(docs), con, dd.near_duplicates_simhash_sql(DOCS_REL)
+    )
+
+
+# -- similarity ---------------------------------------------------------
+@pytest.fixture(scope="module")
+def qvec(con):
+    return [float(x) for x in con.execute(f"SELECT embedding FROM {EMB_REL} WHERE vec_id = 0").fetchone()[0]]
+
+
+def test_cosine_topk(emb, con, qvec):
+    from lucene_spark.pipeline import similarity as sim
+
+    assert_match(
+        sim.cosine_topk(emb, qvec, 10), con, sim.cosine_topk_sql(EMB_REL, qvec, 10), ordered=True
+    )
+
+
+def test_ann_topk(emb, con, qvec):
+    from lucene_spark.pipeline import similarity as sim
+
+    assert_match(
+        sim.ann_topk(emb, qvec, 10), con, sim.ann_topk_sql(EMB_REL, qvec, 10), ordered=True
+    )
+
+
+def test_batch_topk_equals_declarative(emb, qvec):
+    from lucene_spark.pipeline import similarity as sim
+
+    a = [(r.rank, r.vec_id, r.cos_i) for r in sim.cosine_topk(emb, qvec, 10).collect()]
+    b = [
+        (r.rank, r.vec_id, r.cos_i)
+        for r in sim.cosine_topk_batch(emb, np.array([qvec]), 10).orderBy("rank").collect()
+    ]
+    assert a == b
+    # multi-query batch: each query's self-match ranks first
+    two = sim.cosine_topk_batch(
+        emb, np.stack([qvec, np.roll(qvec, 1)]), 5
+    ).collect()
+    assert {r.query_idx for r in two} == {0, 1}
+
+
+# -- multimodal ---------------------------------------------------------
+def test_binary_plumbing(docs, con):
+    from lucene_spark.pipeline import multimodal as mm
+
+    media = mm.media_from_documents(docs)
+    assert_match(
+        mm.binary_stats(media),
+        con,
+        mm.binary_stats_sql(
+            f"(SELECT doc_id AS media_id, encode(text) AS payload FROM {DOCS_REL})"
+        ),
+    )
+
+
+def test_byte_features_shapes(docs):
+    from lucene_spark.pipeline import multimodal as mm
+
+    media = mm.media_from_documents(docs)
+    rows = mm.byte_features(media).collect()
+    assert len(rows) == docs.count()
+    for r in rows[:10]:
+        assert len(r.features) == mm.N_BYTE_FEATURES
+        assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_decode_stubs_raise():
+    from lucene_spark.pipeline import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF")
+    assert mm.sniff_mime(b"\x89PNG\r\n") == "image/png"
+    assert mm.sniff_mime(b"plain") == "application/octet-stream"
