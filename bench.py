@@ -35,13 +35,18 @@ def main() -> None:
     except ValueError:
         sf = 0.1  # corpus size only scales with the sf encoded in the dir name
     n_turns = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(3_000_000 * sf))))
+    # fixed partition count (not cpu-derived) so scaling runs at different
+    # parallelism levels execute the IDENTICAL job over identical input
+    n_parts = int(os.environ.get("SPARK_GRAFT_PARTS", str(cpus * 2)))
 
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("lucene_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # shuffle width tied to the data layout, not the core count, so the
+        # same job shape runs at every parallelism level (scaling fairness)
+        .config("spark.sql.shuffle.partitions", str(n_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -62,10 +67,18 @@ def main() -> None:
 
     t0 = time.time()
 
-    # ---- index build ----
-    corpus = synth_transcripts(spark, n_turns, seed=42, partitions=cpus * 2)
+    # ---- corpus: generated once, persisted to parquet, indexed FROM
+    # storage (the 100 TB posture: the build reads a table, and the range
+    # partitioner's sampling pass doesn't re-run the generator) ----
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/lucene_spark_bench")
+    corpus_path = f"{corpus_dir}/corpus_{n_turns}_s42_p{n_parts}.parquet"
+    if not os.path.exists(corpus_path):
+        synth_transcripts(spark, n_turns, seed=42, partitions=n_parts).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     t_build0 = time.time()
-    idx = IndexBuilder(num_segments=cpus * 2).build(corpus)
+    idx = IndexBuilder(num_segments=n_parts).build(corpus)
     # force full materialization of every index table
     n_docs = idx.docs.count()
     n_postings = idx.postings.count()

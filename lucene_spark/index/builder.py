@@ -171,11 +171,15 @@ class IndexBuilder:
         b: float = 0.75,
         num_segments: Optional[int] = None,
         text_col: str = "text",
+        invert: str = "mapside",
     ):
+        if invert not in ("mapside", "shuffle"):
+            raise ValueError(f"unknown invert strategy {invert}")
         self.k1 = k1
         self.b = b
         self.num_segments = num_segments
         self.text_col = text_col
+        self.invert = invert
 
     # -- deterministic dense doc ids ------------------------------------
     def assign_doc_ids(self, df: DataFrame) -> DataFrame:
@@ -223,37 +227,97 @@ class IndexBuilder:
 
     # -- full build ------------------------------------------------------
     def build(self, transcripts: DataFrame) -> InvertedIndex:
+        """Two invert strategies:
+
+        * ``mapside`` (default): per-document inversion as a higher-order
+          array expression — each doc's token array becomes its (term ->
+          positions) entries *inside the map task*, exactly Lucene's
+          doc-at-a-time ``IndexingChain``/``TermsHashPerField`` hash
+          (IndexingChain.java:561, TermsHashPerField.java:190).  NO shuffle
+          touches per-token rows; the only wide exchanges are the doc-id
+          range sort and the (tiny) term_stats aggregation.  O(L*distinct)
+          per doc — right for bounded docs like transcript turns.
+        * ``shuffle``: posexplode + groupBy(term, doc_id) — one hash-agg
+          shuffle over per-token rows; scales to arbitrarily long single
+          documents (no per-doc quadratic term).
+        """
         spark = transcripts.sparkSession
         with_ids = self.assign_doc_ids(transcripts)
 
         toks = with_ids.withColumn("_tokens", tokens_expr(F.col(self.text_col)))
-        docs = (
-            toks.withColumn("length", F.size("_tokens"))
-            .withColumn("norm", _byte4_encode("length"))
-            .select(
+
+        if self.invert == "mapside":
+            tcol = F.col("_tokens")
+            entries = F.transform(
+                F.array_distinct(tcol),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.filter(
+                        F.sequence(F.lit(0), F.size(tcol) - F.lit(1)),
+                        lambda i: F.element_at(tcol, i + F.lit(1)) == t,
+                    ).alias("positions"),
+                ),
+            )
+            base = (
+                toks.withColumn("length", F.size("_tokens"))
+                .withColumn("norm", _byte4_encode("length"))
+                .withColumn(
+                    "_entries",
+                    F.when(F.size(tcol) > 0, entries).otherwise(
+                        F.array().cast(
+                            "array<struct<term:string,positions:array<int>>>"
+                        )
+                    ),
+                )
+                .drop("_tokens")
+                .persist()
+            )
+            docs = base.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",
             )
-            .persist()
-        )
-
-        exploded = toks.select(
-            "doc_id",
-            "segment",
-            F.size("_tokens").alias("length"),
-            F.posexplode("_tokens").alias("pos", "term"),
-        ).withColumn("norm", _byte4_encode("length")).drop("length")
-
-        postings = (
-            exploded.groupBy("term", "doc_id")
-            .agg(
-                F.count("*").cast("int").alias("freq"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                F.first("norm").alias("norm"),
-                F.first("segment").alias("segment"),
+            postings = (
+                base.select(
+                    "doc_id", "segment", "norm", F.explode("_entries").alias("_e")
+                )
+                .select(
+                    F.col("_e.term").alias("term"),
+                    "doc_id",
+                    F.size("_e.positions").cast("int").alias("freq"),
+                    F.col("_e.positions").alias("positions"),
+                    "norm",
+                    "segment",
+                )
+                .persist()
             )
-            .persist()
-        )
+            docs = docs.persist()
+        else:
+            docs = (
+                toks.withColumn("length", F.size("_tokens"))
+                .withColumn("norm", _byte4_encode("length"))
+                .select(
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "length", "norm", "segment",
+                )
+                .persist()
+            )
+            exploded = toks.select(
+                "doc_id",
+                "segment",
+                F.size("_tokens").alias("length"),
+                F.posexplode("_tokens").alias("pos", "term"),
+            ).withColumn("norm", _byte4_encode("length")).drop("length")
+
+            postings = (
+                exploded.groupBy("term", "doc_id")
+                .agg(
+                    F.count("*").cast("int").alias("freq"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                    F.first("norm").alias("norm"),
+                    F.first("segment").alias("segment"),
+                )
+                .persist()
+            )
 
         term_stats = (
             postings.groupBy("term")

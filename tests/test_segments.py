@@ -67,3 +67,18 @@ def test_chunk_doc_freqs_sum_to_term_stats(tiny_index, packed):
         (F.col("doc_freq") != F.col("df2")) | (F.col("max_freq") != F.col("mf2"))
     ).count()
     assert bad == 0
+
+
+def test_mapside_equals_shuffle_invert(spark, tiny_corpus):
+    """Both invert strategies must produce identical postings (the per-doc
+    in-memory inversion is Lucene's own IndexingChain design)."""
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+
+    df = transcripts_df(spark, rows=tiny_corpus)
+    a = IndexBuilder(num_segments=4, invert="mapside").build(df)
+    b = IndexBuilder(num_segments=4, invert="shuffle").build(df)
+    cols = ["term", "doc_id", "freq", "positions", "norm"]
+    assert a.postings.select(cols).exceptAll(b.postings.select(cols)).count() == 0
+    assert b.postings.select(cols).exceptAll(a.postings.select(cols)).count() == 0
+    assert a.stats == b.stats
