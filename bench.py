@@ -81,7 +81,7 @@ def main() -> None:
     idx = IndexBuilder(num_segments=n_parts).build(corpus)
     # force full materialization of every index table
     n_docs = idx.docs.count()
-    n_postings = idx.postings.count()
+    n_postings = (idx.postings_slim if idx.postings_slim is not None else idx.postings).count()
     n_terms = idx.term_stats.count()
     t_build = time.time() - t_build0
 

@@ -68,6 +68,9 @@ class InvertedIndex:
     stats: dict
     segments: Optional[DataFrame] = None  # block-codec segment table (optional)
     packed: Optional[DataFrame] = None  # packed block-codec postings (segments.py)
+    # slim scoring relation (term, doc_id, freq, norm) — cached separately so
+    # term-query scans never deserialize the positions arrays
+    postings_slim: Optional[DataFrame] = None
     k1: float = 1.2
     b: float = 0.75
 
@@ -75,6 +78,14 @@ class InvertedIndex:
     # (filter BEFORE the decode UDF -> parquet predicate/partition pushdown)
     prefer_packed: bool = False
     n_buckets: Optional[int] = None
+    # every DataFrame this index persisted (released by unpersist_all)
+    cached: tuple = ()
+
+    def unpersist_all(self) -> None:
+        for df in self.cached:
+            df.unpersist()
+        if self.packed is not None:
+            self.packed.unpersist()
 
     def with_packed(self, chunk_bits: int = None, cache: bool = True) -> "InvertedIndex":
         """Attach the packed (delta/varint block) postings table, building it
@@ -112,6 +123,8 @@ class InvertedIndex:
                 F.col("term").isin(terms)
             )
             return unpack_postings(pk, with_positions=with_positions)
+        if not with_positions and self.postings_slim is not None:
+            return self.postings_slim.filter(F.col("term").isin(terms))
         return self.postings.filter(F.col("term").isin(terms))
 
     def check(self) -> dict:
@@ -276,21 +289,23 @@ class IndexBuilder:
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",
             )
-            postings = (
-                base.select(
-                    "doc_id", "segment", "norm", F.explode("_entries").alias("_e")
-                )
-                .select(
-                    F.col("_e.term").alias("term"),
-                    "doc_id",
-                    F.size("_e.positions").cast("int").alias("freq"),
-                    F.col("_e.positions").alias("positions"),
-                    "norm",
-                    "segment",
-                )
-                .persist()
+            postings = base.select(
+                "doc_id", "segment", "norm", F.explode("_entries").alias("_e")
+            ).select(
+                F.col("_e.term").alias("term"),
+                "doc_id",
+                F.size("_e.positions").cast("int").alias("freq"),
+                F.col("_e.positions").alias("positions"),
+                "norm",
+                "segment",
             )
+            # positions stay in the cached base (re-derived on demand for
+            # phrases); scoring scans hit only the slim primitive columns
+            postings_slim = postings.select(
+                "term", "doc_id", "freq", "norm"
+            ).persist()
             docs = docs.persist()
+            cached = (base, docs, postings_slim)
         else:
             docs = (
                 toks.withColumn("length", F.size("_tokens"))
@@ -318,9 +333,11 @@ class IndexBuilder:
                 )
                 .persist()
             )
+            postings_slim = postings.select("term", "doc_id", "freq", "norm")
+            cached = (docs, postings)
 
         term_stats = (
-            postings.groupBy("term")
+            postings_slim.groupBy("term")
             .agg(
                 F.count("*").alias("doc_freq"),
                 F.sum("freq").alias("total_term_freq"),
@@ -329,6 +346,7 @@ class IndexBuilder:
             )
             .persist()
         )
+        cached = cached + (term_stats,)
 
         srow = docs.agg(
             F.count("*").alias("max_doc"),
@@ -346,6 +364,8 @@ class IndexBuilder:
             postings=postings,
             term_stats=term_stats,
             stats=stats,
+            postings_slim=postings_slim,
             k1=self.k1,
             b=self.b,
+            cached=cached,
         )

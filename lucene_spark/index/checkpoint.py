@@ -138,9 +138,7 @@ class CheckpointedIndexBuilder:
             "docs_per_sec": round(n_docs / dt, 1) if dt > 0 else None,
             "postings_per_sec": round(n_postings / dt, 1) if dt > 0 else None,
         }
-        idx.docs.unpersist()
-        idx.postings.unpersist()
-        idx.term_stats.unpersist()
+        idx.unpersist_all()
         # manifest written LAST = the shard's commit marker
         with open(self._manifest_path(s), "w") as f:
             json.dump(manifest, f, indent=2)

@@ -76,8 +76,7 @@ class IncrementalIndexer:
         idx.postings.write.mode("overwrite").parquet(os.path.join(seg, "postings"))
         n_postings = idx.postings.count()
         dt = time.time() - t0
-        for df_ in (idx.docs, idx.postings, idx.term_stats):
-            df_.unpersist()
+        idx.unpersist_all()
         manifest = {
             "seq": seq,
             "batch_id": batch_id,
