@@ -38,6 +38,8 @@ def main() -> None:
     # fixed partition count (not cpu-derived) so scaling runs at different
     # parallelism levels execute the IDENTICAL job over identical input
     n_parts = int(os.environ.get("SPARK_GRAFT_PARTS", str(cpus * 2)))
+    min_w = int(os.environ.get("SPARK_GRAFT_MINW", "3"))
+    max_w = int(os.environ.get("SPARK_GRAFT_MAXW", "40"))
 
     from pyspark.sql import SparkSession
 
@@ -71,11 +73,12 @@ def main() -> None:
     # storage (the 100 TB posture: the build reads a table, and the range
     # partitioner's sampling pass doesn't re-run the generator) ----
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/lucene_spark_bench")
-    corpus_path = f"{corpus_dir}/corpus_{n_turns}_s42_p{n_parts}.parquet"
+    corpus_path = f"{corpus_dir}/corpus_{n_turns}_s42_p{n_parts}_w{min_w}-{max_w}.parquet"
     if not os.path.exists(corpus_path):
-        synth_transcripts(spark, n_turns, seed=42, partitions=n_parts).write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+        synth_transcripts(
+            spark, n_turns, seed=42, partitions=n_parts,
+            min_words=min_w, max_words=max_w,
+        ).write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
     t_build0 = time.time()
     idx = IndexBuilder(num_segments=n_parts).build(corpus)
@@ -84,6 +87,13 @@ def main() -> None:
     n_postings = (idx.postings_slim if idx.postings_slim is not None else idx.postings).count()
     n_terms = idx.term_stats.count()
     t_build = time.time() - t_build0
+
+    # warm the positions relation (phrase path) as part of index prep —
+    # reported separately so phrase latencies measure the query, not a
+    # one-time cache build
+    t_pos0 = time.time()
+    idx.postings_for_terms(["the"], with_positions=True).count()
+    t_pos = time.time() - t_pos0
 
     searcher = IndexSearcher(idx)
 
@@ -123,6 +133,7 @@ def main() -> None:
         "cpus": cpus,
         "n_turns": n_turns,
         "index_build_sec": round(t_build, 3),
+        "positions_build_sec": round(t_pos, 3),
         "turns_per_sec": round(n_docs / t_build, 1),
         "postings_per_sec": round(n_postings / t_build, 1),
         "n_docs": n_docs,

@@ -32,18 +32,27 @@ ROLES = ["user", "assistant", "tool"]
 
 
 def synth_transcripts(
-    spark: SparkSession, n_turns: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_turns: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    min_words: int = 3,
+    max_words: int = 40,
 ) -> DataFrame:
     """DataFrame(conv_id, turn_idx, role, text, tool, ts) with Zipf-ish vocab.
 
     Word choice: idx = floor((u^2) * V) with u = uniform hash fraction —
     quadratic skew puts most mass on head terms (Zipf-like head/tail).
+    ``min_words``/``max_words`` size the turns (agent transcripts run long —
+    ~100+ tokens — which is also what makes indexing CPU-bound at scale).
     """
     v = len(_VOCAB)
     vocab_lit = F.array(*[F.lit(w) for w in _VOCAB])
     df = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
     h = lambda *cols: F.xxhash64(F.lit(seed), *cols)  # noqa: E731
-    n_words = (F.pmod(h(F.col("id")), F.lit(38)) + F.lit(3)).cast("int")
+    n_words = (
+        F.pmod(h(F.col("id")), F.lit(max_words - min_words + 1)) + F.lit(min_words)
+    ).cast("int")
     words = F.transform(
         F.sequence(F.lit(1), n_words),
         lambda i: F.element_at(

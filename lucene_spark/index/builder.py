@@ -125,6 +125,13 @@ class InvertedIndex:
             return unpack_postings(pk, with_positions=with_positions)
         if not with_positions and self.postings_slim is not None:
             return self.postings_slim.filter(F.col("term").isin(terms))
+        # positions path on an in-memory index: cache the positions relation
+        # on first use — phrase plans self-join it per term, and an uncached
+        # derivation would re-run the whole tokenize+invert per join side
+        if not getattr(self, "_positions_cached", False):
+            self.postings = self.postings.persist()
+            self.cached = self.cached + (self.postings,)
+            self._positions_cached = True
         return self.postings.filter(F.col("term").isin(terms))
 
     def check(self) -> dict:

@@ -27,13 +27,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, turns: int, sf_dir: str) -> dict:
+def run_bench(cpus: int, turns: int, sf_dir: str, words: str) -> dict:
+    min_w, max_w = words.split("-")
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_TURNS=str(turns),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_PARTS="64",  # identical job shape at every parallelism
+        SPARK_GRAFT_MINW=min_w,
+        SPARK_GRAFT_MAXW=max_w,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -48,17 +51,27 @@ def run_bench(cpus: int, turns: int, sf_dir: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--turns", type=int, default=500_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--words", default="100-200",
+                    help="min-max words per turn (long turns = CPU-bound build)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    results = {}
-    for cpus in (args.low, args.high):
-        print(f"running bench at local[{cpus}], {args.turns} turns ...", flush=True)
-        results[cpus] = run_bench(cpus, args.turns, args.sf_dir)
-        print(json.dumps(results[cpus]), flush=True)
+    # alternate levels and keep each level's BEST run: the sandbox VM shares
+    # hardware, so min-of-N filters neighbor noise out of the comparison
+    runs: dict[int, list] = {args.low: [], args.high: []}
+    for rep in range(args.repeats):
+        for cpus in (args.low, args.high):
+            print(f"[rep {rep}] bench at local[{cpus}], {args.turns} turns ...", flush=True)
+            r = run_bench(cpus, args.turns, args.sf_dir, args.words)
+            print(json.dumps(r), flush=True)
+            runs[cpus].append(r)
+    results = {
+        c: min(rs, key=lambda r: r["index_build_sec"]) for c, rs in runs.items()
+    }
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low
@@ -73,6 +86,7 @@ Same job, same input ({args.turns:,} synthetic transcript turns,
 deterministic seed), run at `local[{args.low}]` and `local[{args.high}]`
 (sandbox proxy for N vs {int(ratio)}N executors; single JVM, so this
 *understates* multi-node scaling, which adds no shared-memory contention).
+Each level ran {args.repeats}x interleaved; best run kept (shared-VM noise).
 
 | parallelism | index build (s) | turns/sec | postings/sec | Σ query latency (s) |
 |---|---|---|---|---|
