@@ -728,6 +728,88 @@ class IndexSearcher:
         """TotalHitCountCollector analog — exact count."""
         return self._matches(query.rewrite()).count()
 
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Score explanation for one document (≙ Weight.explain /
+        Explanation, verified the way CheckHits.checkExplanations does:
+        the explanation's value must equal the scored-plan value).
+
+        Returns {"value": float, "matched": bool, "description": str,
+        "details": [per-clause dicts]} — term clauses break down into
+        boost/idf/tf components with the stats behind them."""
+        q = query.rewrite()
+        if isinstance(q, TermQuery):
+            dfs = self.term_doc_freqs([q.term])
+            if q.term not in dfs:
+                return {"value": 0.0, "matched": False,
+                        "description": f"no term {q.term!r} in index", "details": []}
+            row = (
+                self.index.postings_for_terms([q.term])
+                .filter(F.col("doc_id") == doc_id)
+                .select("freq", "norm")
+                .collect()
+            )
+            if not row:
+                return {"value": 0.0, "matched": False,
+                        "description": f"term {q.term!r} not in doc {doc_id}", "details": []}
+            freq, norm = int(row[0].freq), int(row[0].norm)
+            df_ = dfs[q.term]
+            idf = self.idf(df_)
+            w = self._weight(q.boost, df_)
+            if self.scoring == "lucene_f32":
+                inv = self.norm_inverse_cache()[norm]
+                score = float(np.float32(w) - np.float32(w) / (np.float32(1.0) + np.float32(freq) * inv))
+                dl = float(LENGTH_TABLE[norm])
+            else:
+                dl = float(LENGTH_TABLE[norm])
+                k1, b = float(self.index.k1), float(self.index.b)
+                avgdl = self.index.stats["sum_total_term_freq"] / self.doc_count
+                score = w * freq / (freq + k1 * ((1 - b) + b * dl / avgdl))
+            return {
+                "value": score,
+                "matched": True,
+                "description": f"weight({q.term} in {doc_id}) [BM25 k1={self.index.k1} b={self.index.b}]",
+                "details": [
+                    {"description": "boost", "value": q.boost},
+                    {"description": f"idf, computed from n={df_}, N={self.doc_count}",
+                     "value": float(idf)},
+                    {"description": f"tf, computed from freq={freq}, dl={dl}, "
+                                    f"avgdl={self.index.stats['sum_total_term_freq'] / self.doc_count:.4f}",
+                     "value": score / w if w else 0.0},
+                ],
+            }
+        if isinstance(q, BooleanQuery):
+            details, total, matched = [], 0.0, True
+            any_positive = False
+            for c in q.clauses:
+                sub = self.explain(c.query, doc_id)
+                sub["occur"] = c.occur.value
+                details.append(sub)
+                if c.occur == Occur.MUST_NOT:
+                    if sub["matched"]:
+                        return {"value": 0.0, "matched": False,
+                                "description": "excluded by MUST_NOT clause",
+                                "details": details}
+                    continue
+                if c.occur == Occur.MUST and not sub["matched"]:
+                    matched = False
+                if sub["matched"] and c.occur in (Occur.MUST, Occur.SHOULD):
+                    total += sub["value"]
+                    any_positive = True
+                if c.occur == Occur.FILTER and not sub["matched"]:
+                    matched = False
+            if not any_positive:
+                matched = False
+            v = float(np.float32(total)) if self.scoring == "lucene_f32" else total
+            return {"value": v if matched else 0.0, "matched": matched,
+                    "description": "sum of matching clauses", "details": details}
+        # generic fallback: run the scored plan for this doc
+        row = self.scored(q).filter(F.col("doc_id") == doc_id).collect()
+        if not row:
+            return {"value": 0.0, "matched": False,
+                    "description": "no match", "details": []}
+        return {"value": float(row[0].score), "matched": True,
+                "description": f"score({type(q).__name__})", "details": []}
+
 
 def _and_all(conds):
     out = conds[0]

@@ -89,3 +89,27 @@ def test_rescore(searcher):
     for r in rows:
         if r.doc_id in model_docs:
             assert r.score > base_scores[r.doc_id]
+
+
+def test_explain_matches_scored_value(searcher):
+    """CheckHits.checkExplanations semantics: explanation value == the
+    scored plan's value for the same doc."""
+    from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+    q = BooleanQuery.of(
+        (TermQuery("model"), Occur.SHOULD), (TermQuery("data"), Occur.SHOULD)
+    )
+    top = searcher.search(q, 3).collect()
+    for r in top:
+        ex = searcher.explain(q, r.doc_id)
+        assert ex["matched"]
+        assert abs(ex["value"] - float(r.score)) < 1e-6
+        assert any(d["matched"] for d in ex["details"])
+
+    miss = searcher.explain(TermQuery("zzz-absent"), top[0].doc_id)
+    assert not miss["matched"] and miss["value"] == 0.0
+
+    notq = BooleanQuery.of(
+        (TermQuery("model"), Occur.MUST), (TermQuery("model"), Occur.MUST_NOT)
+    )
+    assert not searcher.explain(notq, top[0].doc_id)["matched"]
