@@ -1,0 +1,177 @@
+"""Per-operator semantics: every remaining Query type vs brute force.
+
+Brute-force truth is computed driver-side from the collected postings/docs
+of the fixture index, so each operator's match-set and scoring contract
+(SURVEY.md §2.6-2.7) is pinned independently of the DataFrame plan.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    IndexSearcher,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PrefixQuery,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_spark.search.query import FieldExistsQuery, RangePredicate
+
+
+@pytest.fixture(scope="module")
+def env(tiny_index):
+    searcher = IndexSearcher(tiny_index)
+    postings = tiny_index.postings.select("term", "doc_id", "freq").collect()
+    docs = {r.doc_id: r for r in tiny_index.docs.collect()}
+    by_term = {}
+    for r in postings:
+        by_term.setdefault(r.term, {})[r.doc_id] = r.freq
+    return searcher, by_term, docs
+
+
+def matches(searcher, q):
+    return {r.doc_id for r in searcher.scored(q).collect()}
+
+
+def scores(searcher, q):
+    return {r.doc_id: float(r.score) for r in searcher.scored(q).collect()}
+
+
+def test_term_in_set(env):
+    searcher, by_term, _ = env
+    q = TermInSetQuery(("model", "data", "zzz-nope"), boost=2.0)
+    want = set(by_term.get("model", {})) | set(by_term.get("data", {}))
+    got = scores(searcher, q)
+    assert set(got) == want
+    assert all(v == 2.0 for v in got.values()), "constant-score rewrite"
+
+
+def test_prefix_wildcard_regexp_range(env):
+    searcher, by_term, _ = env
+    vocab = set(by_term)
+    pre = {t for t in vocab if t.startswith("mo")}
+    want = set().union(*(by_term[t] for t in pre)) if pre else set()
+    assert matches(searcher, PrefixQuery("mo")) == want
+
+    import re as _re
+
+    wl = {t for t in vocab if _re.fullmatch("m.del", t)}
+    want = set().union(*(by_term[t] for t in wl)) if wl else set()
+    assert matches(searcher, WildcardQuery("m?del")) == want
+
+    rx = {t for t in vocab if _re.fullmatch("mod.*", t)}
+    want = set().union(*(by_term[t] for t in rx)) if rx else set()
+    assert matches(searcher, RegexpQuery("mod.*")) == want
+
+    rr = {t for t in vocab if "data" <= t < "model"}
+    want = set().union(*(by_term[t] for t in rr)) if rr else set()
+    assert (
+        matches(searcher, TermRangeQuery("data", "model", include_upper=False)) == want
+    )
+
+
+def test_fuzzy(env):
+    searcher, by_term, _ = env
+    got = matches(searcher, FuzzyQuery("modl", max_edits=1))
+    # 'model' is 1 edit away
+    assert set(by_term.get("model", {})) <= got
+
+
+def test_match_all_none_exists(env):
+    searcher, _, docs = env
+    assert matches(searcher, MatchAllDocsQuery()) == set(docs)
+    assert matches(searcher, MatchNoDocsQuery()) == set()
+    want = {d for d, r in docs.items() if r.tool is not None}
+    assert matches(searcher, FieldExistsQuery("tool")) == want
+
+
+def test_range_predicate(env):
+    searcher, _, docs = env
+    q = RangePredicate("turn_idx", lower=2, upper=5, include_upper=False)
+    want = {d for d, r in docs.items() if 2 <= r.turn_idx < 5}
+    assert matches(searcher, q) == want
+
+
+def test_boost_and_constant_score(env):
+    searcher, _, _ = env
+    base = scores(searcher, TermQuery("model"))
+    boosted = scores(searcher, BoostQuery(TermQuery("model"), 3.0))
+    assert set(base) == set(boosted)
+    for d in base:
+        # boost folds into the term weight (w = boost * idf), not a post-multiply;
+        # float32 algebra keeps it within 1 ulp of 3x
+        assert abs(boosted[d] - 3.0 * base[d]) <= 2e-6 * abs(boosted[d]) + 1e-7
+    const = scores(searcher, ConstantScoreQuery(TermQuery("model"), boost=0.5))
+    assert set(const) == set(base) and all(v == 0.5 for v in const.values())
+
+
+def test_disjunction_max(env):
+    searcher, _, _ = env
+    a = scores(searcher, TermQuery("model"))
+    b = scores(searcher, TermQuery("data"))
+    got = scores(searcher, DisjunctionMaxQuery((TermQuery("model"), TermQuery("data")), tie_breaker=0.0))
+    assert set(got) == set(a) | set(b)
+    for d, v in got.items():
+        want = max(a.get(d, 0.0), b.get(d, 0.0))
+        assert abs(v - want) < 1e-6
+
+
+def test_synonym_query_blended(env):
+    searcher, by_term, _ = env
+    q = SynonymQuery(("model", "data"))
+    got = scores(searcher, q)
+    assert set(got) == set(by_term.get("model", {})) | set(by_term.get("data", {}))
+    # blended df = max member df; freq = summed -> one score per doc, all > 0
+    assert all(v > 0 for v in got.values())
+
+
+def test_filter_occur_and_min_should_match(env):
+    searcher, by_term, _ = env
+    # FILTER: non-scoring conjunction — same matches as MUST but the
+    # filter clause contributes no score
+    q_filter = BooleanQuery.of(
+        (TermQuery("model"), Occur.SHOULD), (TermQuery("data"), Occur.FILTER)
+    )
+    got = scores(searcher, q_filter)
+    want_set = set(by_term.get("model", {})) & set(by_term.get("data", {}))
+    assert set(got) == want_set
+    model_alone = scores(searcher, TermQuery("model"))
+    for d, v in got.items():
+        assert abs(v - model_alone[d]) < 1e-6, "FILTER must not contribute score"
+
+    # minimumNumberShouldMatch = 2 of 3
+    terms = ["model", "data", "query"]
+    q_msm = BooleanQuery.of(
+        *[(TermQuery(t), Occur.SHOULD) for t in terms], min_should_match=2
+    )
+    got = matches(searcher, q_msm)
+    want = {
+        d
+        for d in set().union(*(set(by_term.get(t, {})) for t in terms))
+        if sum(d in by_term.get(t, {}) for t in terms) >= 2
+    }
+    assert got == want
+
+
+def test_count_matches_total_hits(env):
+    searcher, by_term, _ = env
+    q = BooleanQuery.of(
+        (TermQuery("model"), Occur.SHOULD), (TermQuery("data"), Occur.SHOULD)
+    )
+    assert searcher.count(q) == len(
+        set(by_term.get("model", {})) | set(by_term.get("data", {}))
+    )
