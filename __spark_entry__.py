@@ -74,7 +74,7 @@ tf AS (
   FROM toks GROUP BY 1, 2, 3
 ),
 dfreq AS (
-  SELECT term, count(*) AS doc_freq, sum(freq) AS total_term_freq
+  SELECT term, count(*) AS doc_freq, CAST(sum(freq) AS BIGINT) AS total_term_freq
   FROM tf GROUP BY 1
 )
 """
@@ -515,6 +515,16 @@ def _q_sim_bruteforce(spark, sf_dir):
 
 
 def _q_sim_ann(spark, sf_dir):
+    """ANN headline path: IVF-flat (deterministic SQL-derivable centroids,
+    nprobe nearest) — recall measured vs brute force in bench.py."""
+    from lucene_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ivf_topk(emb, _qvec(spark, sf_dir), 10)
+
+
+def _q_sim_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN (8 planes, Hamming<=1 multi-probe)."""
     from lucene_spark.pipeline import similarity as sim
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -573,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_stats": _q_binary_stats,
         "sim_topk_bruteforce": _q_sim_bruteforce,
         "sim_topk_ann": _q_sim_ann,
+        "sim_topk_lsh": _q_sim_lsh,
     }
 
 
@@ -646,5 +657,6 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id AS media_id, encode(text) AS payload FROM {_DOCS_REL})"
         ),
         "sim_topk_bruteforce": _pl_sim.cosine_topk_sql_view("embeddings", 10),
-        "sim_topk_ann": _pl_sim.ann_topk_sql_view("embeddings", 64, 10),
+        "sim_topk_ann": _pl_sim.ivf_topk_sql_view("embeddings", 10),
+        "sim_topk_lsh": _pl_sim.ann_topk_sql_view("embeddings", 64, 10),
     }

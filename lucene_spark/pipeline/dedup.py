@@ -40,8 +40,11 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
     )
+    # plain shuffle join on text_hash: `groups` is unbounded (one row per
+    # duplicate group), so it must NOT be broadcast; AQE will still pick a
+    # broadcast join at runtime when the group relation happens to be small.
     return (
-        h.join(F.broadcast(groups), "text_hash")
+        h.join(groups, "text_hash")
         .select("doc_id", "canonical_id", "text_hash")
     )
 
@@ -62,6 +65,13 @@ SHINGLE_K = 3  # word shingle width
 NUM_HASHES = 16  # signature length
 BAND_R = 2  # rows per band -> 8 bands
 JACCARD_THRESHOLD = 0.5
+# Cap on LSH bucket size: a boilerplate cluster of c near-identical docs
+# would otherwise emit O(c^2) candidate pairs from one bucket.  Buckets
+# larger than the cap are dropped from candidate generation — members of
+# such degenerate clusters are overwhelmingly exact/near-exact boilerplate
+# and are handled by exact_duplicates; cap bounds the worst-case join
+# output per bucket at MAX_BUCKET^2 regardless of corpus size.
+MAX_BUCKET = 1000
 
 
 def _shingles_expr(text_col):
@@ -94,8 +104,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) distinct pairs sharing >= 1 LSH band bucket."""
+def lsh_candidate_pairs(sig: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing >= 1 LSH band bucket.
+
+    Buckets with more than ``max_bucket`` members are excluded (see
+    MAX_BUCKET).  The size filter is a window count over the same bkey
+    partitioning the self-join shuffles on, so it adds no extra shuffle.
+    """
+    from pyspark.sql import Window
+
     bands = []
     for b in range(NUM_HASHES // BAND_R):
         cols = [F.col(f"mh{b * BAND_R + r}") for r in range(BAND_R)]
@@ -104,6 +121,9 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     u = bands[0]
     for df in bands[1:]:
         u = u.unionByName(df)
+    u = u.withColumn("bn", F.count("*").over(Window.partitionBy("bkey"))).filter(
+        F.col("bn") <= max_bucket
+    ).drop("bn")
     a = u.alias("a")
     b_ = u.alias("b")
     return (
@@ -172,8 +192,12 @@ WITH t AS (
 ), sig AS (
   SELECT doc_id, {mh}
   FROM sh0 GROUP BY doc_id
-), bands AS (
+), bands0 AS (
 {bands}
+), bands AS (
+  SELECT doc_id, bkey FROM (
+    SELECT doc_id, bkey, count(*) OVER (PARTITION BY bkey) AS bn FROM bands0)
+  WHERE bn <= {MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -223,10 +247,14 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def near_duplicates_simhash(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = HAMMING_MAX
+    docs: DataFrame, text_col: str = "text", max_hamming: int = HAMMING_MAX,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): pairs sharing a 15-bit band whose full
-    signatures are within max_hamming bits."""
+    signatures are within max_hamming bits.  Band buckets larger than
+    ``max_bucket`` are excluded (see MAX_BUCKET)."""
+    from pyspark.sql import Window
+
     sig = simhash_signatures(docs, text_col)
     bands = []
     for b in range(SIMHASH_BANDS):
@@ -237,6 +265,9 @@ def near_duplicates_simhash(
     u = bands[0]
     for df in bands[1:]:
         u = u.unionByName(df)
+    u = u.withColumn("bn", F.count("*").over(Window.partitionBy("bkey"))).filter(
+        F.col("bn") <= max_bucket
+    ).drop("bn")
     a, b_ = u.alias("a"), u.alias("b")
     pairs = (
         a.join(b_, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -276,8 +307,12 @@ WITH tok AS (
   FROM tok GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, {sim} AS simhash FROM agg
-), bands AS (
+), bands0 AS (
 {bands}
+), bands AS (
+  SELECT doc_id, simhash, bkey FROM (
+    SELECT doc_id, simhash, bkey, count(*) OVER (PARTITION BY bkey) AS bn FROM bands0)
+  WHERE bn <= {MAX_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming

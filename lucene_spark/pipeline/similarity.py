@@ -15,9 +15,15 @@ Scale paths:
 * ``cosine_topk_batch`` — mapInPandas numpy matrix multiply: queries x
   corpus per Arrow batch; the vectorized throughput path for many queries.
 * ``ann_topk`` — random-hyperplane LSH (sign sketch): 8 md5-derived integer
-  hyperplanes -> 256 buckets; probe the query's bucket only.  Approximate
-  (recall < 1) but O(N/256) per query; the bucketing is expressible in SQL,
-  so even the ANN path is oracle-checkable.
+  hyperplanes -> 256 buckets; multi-probe of the Hamming-adjacent buckets
+  (``bit_count(bucket XOR qbucket) <= max_hamming``).  O(N*probes/256) per
+  query; recall depends on how clustered the corpus is (weak on
+  near-isotropic vectors — measured in BENCH.md).
+* ``ivf_topk`` — IVF-flat coarse quantizer with a deterministic,
+  SQL-derivable centroid sample; assignment is a single shuffle-free
+  projection and the query probes its nprobe nearest centroids.  The
+  preferred ANN path: data-dependent, so recall holds where LSH's doesn't.
+  Both ANN paths are expressible in SQL, so they stay oracle-checkable.
 """
 
 from __future__ import annotations
@@ -41,10 +47,22 @@ def _round_away(x: float) -> int:
 def _np_round_away(x: np.ndarray) -> np.ndarray:
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
-# 4 planes -> 16 buckets: sized for the test corpora; at real scale raise
-# to 8-12 planes (256-4096 buckets) and/or multi-probe neighboring buckets
-N_PLANES = 4
+# 8 planes -> 256 buckets; probes are the Hamming-adjacent bucket set
+# (bit_count(bucket XOR qbucket) <= max_hamming), so a probe with the
+# default max_hamming=1 scans 9/256 of the corpus.  At real scale raise to
+# 10-12 planes and max_hamming 2; or prefer ivf_topk (below), whose
+# data-dependent coarse quantizer has far better recall on clustered data.
+N_PLANES = 8
 PLANE_MOD = 2001  # plane coefficients in [-1000, 1000]
+LSH_MAX_HAMMING = 1
+
+# IVF-flat coarse quantizer: centroids are the embeddings of the first
+# IVF_K ids (a deterministic seed sample — SQL-derivable, so the ANN path
+# stays oracle-checkable); probe the nprobe nearest centroids.  At real
+# scale IVF_K ~ sqrt(N) (centroids from a deterministic sample or k-means)
+# with nprobe/IVF_K held constant.
+IVF_K = 16
+IVF_NPROBE = 2
 
 
 def _quant(col):
@@ -138,10 +156,12 @@ def _bucket_expr(vec_q, planes: list[list[int]]):
 
 
 def ann_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+    max_hamming: int = LSH_MAX_HAMMING,
 ) -> DataFrame:
     """(rank, vec_id, cos_i) approximate top-k: candidates restricted to the
-    query's hyperplane-LSH bucket, then exact cosine within the bucket."""
+    buckets within ``max_hamming`` bits of the query's hyperplane-LSH
+    bucket (multi-probe), then exact cosine within the probed buckets."""
     dim = len(query_vec)
     planes = _planes(dim)
     q = [_round_away(float(x) * QUANT) for x in query_vec]
@@ -149,13 +169,17 @@ def ann_topk(
     for j, row in enumerate(planes):
         if sum(a * b for a, b in zip(q, row)) >= 0:
             qbucket |= 1 << j
+    bucket = _bucket_expr(_quant(F.col("embedding")), planes)
     cand = emb.filter(
-        _bucket_expr(_quant(F.col("embedding")), planes) == F.lit(qbucket)
+        F.bit_count(bucket.bitwiseXOR(F.lit(qbucket))) <= F.lit(max_hamming)
     )
     return cosine_topk(cand, query_vec, k, id_col)
 
 
-def ann_topk_sql(emb_rel: str, query_vec: list[float], k: int = 10) -> str:
+def ann_topk_sql(
+    emb_rel: str, query_vec: list[float], k: int = 10,
+    max_hamming: int = LSH_MAX_HAMMING,
+) -> str:
     dim = len(query_vec)
     planes = _planes(dim)
     q = [_round_away(float(x) * QUANT) for x in query_vec]
@@ -176,8 +200,139 @@ def ann_topk_sql(emb_rel: str, query_vec: list[float], k: int = 10) -> str:
     return f"""
 WITH cand AS (
   SELECT * FROM {emb_rel}
-  WHERE ({bucket}) = {qbucket}
+  WHERE bit_count(xor(({bucket}), {qbucket})) <= {max_hamming}
 ),{inner.lstrip().removeprefix("WITH")}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat: deterministic coarse quantizer + probe-nearest-centroids.
+#
+# Centroids are the embeddings of the first IVF_K ids: a deterministic seed
+# sample that an independent SQL engine can derive from the same table, so
+# even the ANN path is hash-checkable cross-engine.  Assignment is a pure
+# map (centroids collected once — IVF_K rows — and inlined as literals into
+# one projection: no join, no shuffle, no explode); the only shuffle in the
+# whole query is the final TakeOrderedAndProject.  At 100 TB: IVF_K ~
+# sqrt(N) centroids from a deterministic sample (or k-means refined — the
+# probe/assign machinery is identical), assignment via a mapInPandas
+# matmul once K is large enough that K inline dot expressions stop being
+# reasonable, and the assignment persisted as a bucketed column so queries
+# prune partitions instead of filtering.
+
+_PRIORITY_BASE = 1024  # cid encoded in the low bits; requires IVF_K <= 1024
+
+
+def _centroids(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
+    """Collect the deterministic centroid sample (tiny: n_centroids rows)
+    as [(cid, quantized_vec, norm_double)] sorted by cid."""
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), "embedding")
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r.cid):
+        qv = [_round_away(float(x) * QUANT) for x in r.embedding]
+        out.append((int(r.cid), qv, math.sqrt(float(sum(v * v for v in qv)))))
+    return out
+
+def _cos_i_to_centroid(vec_q, vec_norm, cvec: list[int], cnorm: float):
+    """cos_i between a quantized vector column and one literal centroid —
+    the same op shapes as cosine_topk so both engines agree bit-for-bit."""
+    clit = F.array(*[F.lit(v).cast("long") for v in cvec])
+    return F.round(
+        F.lit(float(QUANT)) * _dot(vec_q, clit).cast("double") / vec_norm / F.lit(cnorm)
+    ).cast("long")
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+    n_centroids: int = IVF_K, nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(rank, vec_id, cos_i) approximate top-k via an IVF coarse quantizer:
+    each vector is assigned to its nearest centroid (max cos_i, ties to the
+    smallest cid); the query probes its ``nprobe`` nearest centroids and
+    scans only vectors assigned there; exact cosine within candidates."""
+    cents = _centroids(emb, n_centroids, id_col)
+    q = [_round_away(float(x) * QUANT) for x in query_vec]
+    qn = math.sqrt(float(sum(v * v for v in q)))
+    # probe list: nprobe nearest centroids to the query (driver-side over
+    # IVF_K tiny rows, same integer-quantized math as the SQL oracle)
+    qsims = []
+    for cid, cvec, cnorm in cents:
+        dot = sum(a * b for a, b in zip(q, cvec))
+        qsims.append((_round_away(float(QUANT) * float(dot) / cnorm / qn), cid))
+    probes = [cid for s, cid in sorted(qsims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+    vec_q = _quant(F.col("embedding"))
+    vec_norm = F.sqrt(_norm2(vec_q).cast("double"))
+    # argmax over centroids as ONE integer expression: priority =
+    # (cos_i + QUANT) * 1024 + (1023 - cid); greatest() picks max cos_i
+    # with ties to the smallest cid.  Pure map — no join, no shuffle.
+    priorities = [
+        ((_cos_i_to_centroid(vec_q, vec_norm, cvec, cnorm) + F.lit(QUANT))
+         * F.lit(_PRIORITY_BASE) + F.lit(_PRIORITY_BASE - 1 - cid))
+        for cid, cvec, cnorm in cents
+    ]
+    best = priorities[0] if len(priorities) == 1 else F.greatest(*priorities)
+    assigned = F.lit(_PRIORITY_BASE - 1) - (best % F.lit(_PRIORITY_BASE))
+    cand = emb.withColumn("_ivf_cid", assigned).filter(
+        F.col("_ivf_cid").isin(probes)
+    ).drop("_ivf_cid")
+    return cosine_topk(cand, query_vec, k, id_col)
+
+
+def ivf_topk_sql_view(
+    emb_rel: str, k: int = 10, n_centroids: int = IVF_K, nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB oracle for ivf_topk with the query vector AND the centroids
+    derived inside the SQL (query = embedding of vec_id 0; centroids =
+    embeddings of vec_id < n_centroids), valid at any scale factor."""
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM {emb_rel} WHERE vec_id = 0
+), cent AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS cq
+  FROM {emb_rel} WHERE vec_id < {n_centroids}
+), cnorm AS (
+  SELECT cid, cq, sqrt(list_sum(list_transform(cq, v -> v * v))::DOUBLE) AS cn
+  FROM cent
+), sim AS (
+  SELECT e.vec_id, c.cid,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(embedding) + 1), i -> {_QD} * c.cq[i]))::DOUBLE
+      / {_self_norm_sql()} / c.cn) AS BIGINT) AS cos_ci
+  FROM {emb_rel} e CROSS JOIN cnorm c
+), amax AS (
+  SELECT vec_id, max(cos_ci) AS m FROM sim GROUP BY 1
+), assign AS (
+  SELECT s.vec_id, min(s.cid) AS cid
+  FROM sim s JOIN amax a ON a.vec_id = s.vec_id AND s.cos_ci = a.m
+  GROUP BY 1
+), qsim AS (
+  SELECT c.cid,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * c.cq[i]))::DOUBLE
+      / c.cn / sqrt(list_sum(list_transform(q, v -> v * v))::DOUBLE)) AS BIGINT) AS qcos
+  FROM cnorm c, qv
+), probes AS (
+  SELECT cid FROM qsim ORDER BY qcos DESC, cid LIMIT {nprobe}
+), cand AS (
+  SELECT e.* FROM {emb_rel} e
+  JOIN assign a ON a.vec_id = e.vec_id
+  WHERE a.cid IN (SELECT cid FROM probes)
+), s AS (
+  SELECT vec_id,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(embedding) + 1), i -> {_QD} * q[i]))::DOUBLE
+      / {_self_norm_sql()}
+      / sqrt(list_sum(list_transform(q, v -> v * v))::DOUBLE)) AS BIGINT) AS cos_i
+  FROM cand, qv
+)
+SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec_id, cos_i
+FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
 
 
 # ---------------------------------------------------------------------------
@@ -205,9 +360,13 @@ def cosine_topk_batch(
             cos_i = _np_round_away(
                 QUANT * dots.astype(np.float64) / norms[None, :] / qnorm[:, None]
             ).astype(np.int64)
-            # per-partition top-k per query (partial reduce)
+            # per-partition top-k per query (partial reduce); lexsort by
+            # (cos_i desc, id asc) so ties at the k boundary keep the same
+            # members the global (cos_i desc, vec_id asc) ordering would
             kk = min(k, cos_i.shape[1])
-            idx = np.argpartition(-cos_i, kk - 1, axis=1)[:, :kk]
+            idx = np.stack(
+                [np.lexsort((ids, -cos_i[qi]))[:kk] for qi in range(nq)]
+            )
             out = {
                 "query_idx": np.repeat(np.arange(nq), kk),
                 id_col: ids[idx].ravel(),
@@ -262,7 +421,9 @@ SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec
 FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
 
 
-def ann_topk_sql_view(emb_rel: str, dim: int, k: int = 10) -> str:
+def ann_topk_sql_view(
+    emb_rel: str, dim: int, k: int = 10, max_hamming: int = LSH_MAX_HAMMING
+) -> str:
     planes = _planes(dim)
 
     def bucket_of(vec_expr_prefix: str) -> str:
@@ -284,7 +445,7 @@ WITH qv AS (
   SELECT ({bucket_of("q")}) AS qbucket FROM qv
 ), cand AS (
   SELECT e.* FROM {emb_rel} e, qb
-  WHERE ({bucket_of(f"list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))")}) = qb.qbucket
+  WHERE bit_count(xor(({bucket_of(f"list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))")}), qb.qbucket)) <= {max_hamming}
 ), s AS (
   SELECT vec_id,
     CAST(round({float(QUANT)} *
