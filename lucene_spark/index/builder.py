@@ -89,14 +89,21 @@ class InvertedIndex:
 
     def with_packed(self, chunk_bits: int = None, cache: bool = True) -> "InvertedIndex":
         """Attach the packed (delta/varint block) postings table, building it
-        from the logical postings if needed (SURVEY.md §2.4)."""
-        if self.packed is None:
-            from lucene_spark.index.segments import DEFAULT_CHUNK_BITS, pack_postings
+        from the logical postings if needed (SURVEY.md §2.4).  Requesting a
+        ``chunk_bits`` different from an already-attached table's rebuilds
+        the table at the new granularity (never silently ignored)."""
+        from lucene_spark.index.segments import DEFAULT_CHUNK_BITS, pack_postings
 
-            p = pack_postings(
-                self.postings, chunk_bits=chunk_bits or DEFAULT_CHUNK_BITS
-            )
+        want = chunk_bits or DEFAULT_CHUNK_BITS
+        if self.packed is not None and want != getattr(
+            self, "packed_chunk_bits", DEFAULT_CHUNK_BITS
+        ):
+            self.packed.unpersist()
+            self.packed = None
+        if self.packed is None:
+            p = pack_postings(self.postings, chunk_bits=want)
             self.packed = p.persist() if cache else p
+            self.packed_chunk_bits = want
         return self
 
     def bucket_filter(self, df: DataFrame, terms) -> DataFrame:

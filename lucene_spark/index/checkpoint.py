@@ -84,14 +84,23 @@ class CheckpointedIndexBuilder:
             with open(self._plan_path()) as f:
                 return json.load(f)
         n = self.num_shards
+        # deterministic sample: sort before the cap so the boundary
+        # quantiles are stable (an unordered distinct().limit() could pick
+        # an arbitrary, skewed subset)
         sample = (
             transcripts.select("conv_id")
             .distinct()
-            .sample(fraction=1.0, seed=7)  # distinct is cheap per-shuffle; cap below
+            .orderBy("conv_id")
             .limit(PLAN_SAMPLES_PER_SHARD * n * 50)
             .collect()
         )
         convs = sorted(r.conv_id for r in sample)
+        if not convs:
+            # empty corpus: a single unbounded shard (no boundaries)
+            plan = {"num_shards": 1, "bounds": [], "version": 1}
+            with open(self._plan_path(), "w") as f:
+                json.dump(plan, f, indent=2)
+            return plan
         bounds = []
         for i in range(1, n):
             bounds.append(convs[min(len(convs) - 1, (len(convs) * i) // n)])
@@ -150,8 +159,10 @@ class CheckpointedIndexBuilder:
         sort-merge-shuffle merge stage) and commit."""
         if os.path.exists(os.path.join(self._index_path(), "commit.json")):
             return
+        with open(self._plan_path()) as f:
+            n_shards = json.load(f)["num_shards"]
         manifests = []
-        for s in range(self.num_shards):
+        for s in range(n_shards):
             with open(self._manifest_path(s)) as f:
                 manifests.append(json.load(f))
         offsets, acc = {}, 0
@@ -221,8 +232,8 @@ class CheckpointedIndexBuilder:
         return load_index(spark, self._index_path())
 
     def completed_shards(self) -> list[int]:
-        return [
-            s
-            for s in range(self.num_shards)
-            if os.path.exists(self._manifest_path(s))
-        ]
+        n = self.num_shards
+        if os.path.exists(self._plan_path()):
+            with open(self._plan_path()) as f:
+                n = json.load(f)["num_shards"]
+        return [s for s in range(n) if os.path.exists(self._manifest_path(s))]

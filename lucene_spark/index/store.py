@@ -117,5 +117,6 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     )
     idx.n_buckets = commit["n_buckets"]
     idx.chunk_bits = commit["chunk_bits"]
+    idx.packed_chunk_bits = commit["chunk_bits"]
     idx.prefer_packed = True
     return idx

@@ -122,8 +122,12 @@ class PackedScorer:
         """DataFrame(doc_id, score) for sum-of-terms (OR) or all-terms (AND).
 
         With ``prune=True``: chunk-level + block-level admissible pruning
-        against tau (seeded if not given).  Scores are identical to the
-        unpruned logical-postings plan.
+        against tau (seeded if not given).  The contract is scoped to the
+        top-k: the k best (score, doc_id) rows are identical to the unpruned
+        logical-postings plan.  Rows BELOW the top-k may carry underestimated
+        scores (a term's pruned blocks drop that term's contribution for
+        docs whose bound fell under tau) — callers that need the full exact
+        match set must pass ``prune=False``.
         """
         s = self.searcher
         if not term_weights:

@@ -142,14 +142,28 @@ class QueryParser:
                 continue
 
             sub, pos = self._parse_atom(toks, pos)
+            # conj effect on the LEFT clause (QueryParserBase.addClause):
+            # 'a AND b' promotes the left side to MUST; with an AND default
+            # operator, 'a OR b' demotes the left side to SHOULD (even an
+            # explicit '+a OR b' parses as 'a OR b' in the reference).
+            # Prohibited left clauses are never touched.
+            if pending_conj == "AND" and clauses:
+                lq, lo = clauses[-1]
+                if lo != Occur.MUST_NOT:
+                    clauses[-1] = (lq, Occur.MUST)
+            elif pending_conj == "OR" and clauses and self.default_occur == Occur.MUST:
+                lq, lo = clauses[-1]
+                if lo != Occur.MUST_NOT:
+                    clauses[-1] = (lq, Occur.SHOULD)
             occur = pending_occur
             if occur is None:
-                occur = Occur.MUST if pending_conj == "AND" else self.default_occur
-            if pending_conj == "AND" and clauses and pending_occur is None:
-                # a AND b: promote the left side too (QueryParser conj logic)
-                lq, lo = clauses[-1]
-                if lo == Occur.SHOULD:
-                    clauses[-1] = (lq, Occur.MUST)
+                if pending_conj == "AND":
+                    occur = Occur.MUST
+                elif pending_conj == "OR":
+                    # OR yields SHOULD regardless of the default operator
+                    occur = Occur.SHOULD
+                else:
+                    occur = self.default_occur
             if sub is not None:
                 clauses.append((sub, occur))
             pending_occur = None

@@ -120,3 +120,54 @@ def test_end_to_end_parsing_matches_programmatic(tiny_index):
         10,
     ).collect()
     assert [(r.doc_id, r.score) for r in parsed] == [(r.doc_id, r.score) for r in built]
+
+
+# -- conj semantics vs QueryParserBase.addClause ---------------------------
+
+
+def test_or_with_and_default_yields_should():
+    """'a OR b' under default_operator=AND must be SHOULD+SHOULD, not
+    MUST+MUST (QueryParserBase.addClause demotes the left clause when the
+    next one is introduced by OR)."""
+    p = QueryParser(default_operator="AND")
+    q = p.parse("hello OR world")
+    assert occurs(q) == [
+        (TermQuery("hello"), Occur.SHOULD),
+        (TermQuery("world"), Occur.SHOULD),
+    ]
+
+
+def test_plus_then_or_demotes_explicit_must():
+    """'+a OR b' parses as 'a OR b' in the reference (the demotion applies
+    even to an explicitly-required left clause)."""
+    p = QueryParser(default_operator="AND")
+    q = p.parse("+hello OR world")
+    assert occurs(q) == [
+        (TermQuery("hello"), Occur.SHOULD),
+        (TermQuery("world"), Occur.SHOULD),
+    ]
+
+
+def test_not_left_survives_or():
+    """'-a OR b': prohibited left clause is never demoted."""
+    q = QueryParser(default_operator="AND").parse("-hello OR world")
+    assert occurs(q) == [
+        (TermQuery("hello"), Occur.MUST_NOT),
+        (TermQuery("world"), Occur.SHOULD),
+    ]
+
+
+def test_and_default_plain_terms_are_must():
+    q = QueryParser(default_operator="AND").parse("hello world")
+    assert occurs(q) == [
+        (TermQuery("hello"), Occur.MUST),
+        (TermQuery("world"), Occur.MUST),
+    ]
+
+
+def test_and_promotes_left_even_with_explicit_plus_on_right():
+    q = P.parse("hello AND +world")
+    assert occurs(q) == [
+        (TermQuery("hello"), Occur.MUST),
+        (TermQuery("world"), Occur.MUST),
+    ]
