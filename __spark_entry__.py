@@ -252,6 +252,114 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_phrase_slop(terms, slop, k):
+    from lucene_spark.search import PhraseQuery
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, searcher = _searcher(spark, sf_dir)
+        return _ranked_topk(searcher, PhraseQuery(tuple(terms), slop=slop), k)
+
+    return run
+
+
+def _slop_lcm(slop: int) -> int:
+    import math as _m
+
+    l = 1
+    for d in range(2, slop + 2):
+        l = l * d // _m.gcd(l, d)
+    return l
+
+
+def _sloppy_phrase_sql(t0: str, t1: str, slop: int, k: int) -> str:
+    """Sloppy 2-term phrase freq via the SloppyPhraseMatcher frontier chain
+    (see searcher._sloppy_chain_scored): per-element widths + a recursive
+    CTE walking the alternating chain; match weights 1/(1+w) are quantized
+    by L = lcm(1..slop+1) so the freq sum is an exact order-free integer."""
+    L = _slop_lcm(slop)
+    idf_sum = (
+        f"ln(1 + (stats.doc_count - COALESCE(d0.doc_freq, 0) + 0.5) / (COALESCE(d0.doc_freq, 0) + 0.5))"
+        f" + ln(1 + (stats.doc_count - COALESCE(d1.doc_freq, 0) + 0.5) / (COALESCE(d1.doc_freq, 0) + 0.5))"
+    )
+    return (
+        _PRELUDE.replace("WITH tr", "WITH RECURSIVE tr", 1)
+        + f""",
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+el AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t0}'), i -> i - 1)) AS ppos,
+         0 AS off
+  FROM parr
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t1}'), i -> i - 2)) AS ppos,
+         1 AS off
+  FROM parr
+),
+wel AS (
+  SELECT e.conv_id, e.turn_idx, e.ppos, e.off,
+         e.ppos - (SELECT max(o.ppos) FROM el o
+                   WHERE o.conv_id = e.conv_id AND o.turn_idx = e.turn_idx
+                     AND o.off = 1 - e.off AND o.ppos <= e.ppos) AS w,
+         (SELECT min(o2.ppos) FROM el o2
+          WHERE o2.conv_id = e.conv_id AND o2.turn_idx = e.turn_idx
+            AND o2.off = 1 - e.off AND o2.ppos > e.ppos) AS nxt
+  FROM el e
+),
+f1 AS (
+  SELECT conv_id, turn_idx, ppos, off, w, nxt FROM (
+    SELECT wel.*,
+           row_number() OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY ppos, off) AS rn
+    FROM wel
+    WHERE (off = 0 AND EXISTS (SELECT 1 FROM el o
+             WHERE o.conv_id = wel.conv_id AND o.turn_idx = wel.turn_idx
+               AND o.off = 1 AND o.ppos < wel.ppos))
+       OR (off = 1 AND EXISTS (SELECT 1 FROM el o
+             WHERE o.conv_id = wel.conv_id AND o.turn_idx = wel.turn_idx
+               AND o.off = 0 AND o.ppos <= wel.ppos))
+  ) WHERE rn = 1
+),
+chain AS (
+  SELECT conv_id, turn_idx, ppos, off, w, nxt FROM f1
+  UNION ALL
+  SELECT w2.conv_id, w2.turn_idx, w2.ppos, w2.off, w2.w, w2.nxt
+  FROM chain c
+  JOIN wel w2 ON w2.conv_id = c.conv_id AND w2.turn_idx = c.turn_idx
+             AND w2.off = 1 - c.off AND w2.ppos = c.nxt
+),
+fq AS (
+  SELECT conv_id, turn_idx,
+         sum(CASE WHEN w <= {slop} THEN {L} // (1 + w) ELSE 0 END) AS fqq
+  FROM chain GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.conv_id, f.turn_idx,
+         ({idf_sum})
+         * (f.fqq::DOUBLE / {L}) / ((f.fqq::DOUBLE / {L})
+           + 1.2 * (0.25 + 0.75 * dlq.dlq
+             / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM fq f
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  LEFT JOIN dfreq d0 ON d0.term = '{t0}'
+  LEFT JOIN dfreq d1 ON d1.term = '{t1}'
+  WHERE f.fqq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, _ = _searcher(spark, sf_dir)
     return idx.term_stats.select(
@@ -564,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _q_topk(["table", "join"], 10, kind="and"),
         "bm25_topk_not": _q_topk(["spark"], 10, exclude=["slow"]),
         "bm25_phrase": _q_phrase(["the", "customer"], 10),
+        "bm25_phrase_slop": _q_phrase_slop(["customer", "join"], 2, 10),
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -594,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _topk_sql(["table", "join"], 10, kind="and"),
         "bm25_topk_not": _topk_sql(["spark"], 10, exclude=["slow"]),
         "bm25_phrase": _phrase_sql(["the", "customer"], 10),
+        "bm25_phrase_slop": _sloppy_phrase_sql("customer", "join", 2, 10),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

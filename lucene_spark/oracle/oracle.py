@@ -163,13 +163,16 @@ class OracleIndex:
             doc_ids -= set(self.postings.get(t, {}))
         return self._topk(self._sum_scores(per_term, doc_ids), k)
 
-    def search_phrase(self, terms: list[str], k: int):
+    def search_phrase(self, terms: list[str], k: int,
+                      positions: list[int] | None = None):
         """Exact phrase (slop=0): freq = number of phrase occurrences; scored
         like a term with the SUMMED idf of all phrase terms
         (``BM25Similarity.idfExplain(termStats[])`` sums idf in double then
-        casts; ``PhraseWeight`` uses phrase freq)."""
+        casts; ``PhraseWeight`` uses phrase freq).  ``positions`` = explicit
+        query positions (stopword holes); None = consecutive."""
         if not terms:
             return []
+        offs = list(positions) if positions else list(range(len(terms)))
         # sum per-term float32 idfs in double, then cast (idfExplain)
         idf = np.float32(sum(float(self.idf(t)) for t in terms))
         cache = self.norm_inverse_cache()
@@ -182,11 +185,41 @@ class OracleIndex:
             first = self.positions[terms[0]][d]
             freq = 0
             for p in first:
-                if all(p + i in self.positions[t].get(d, ()) for i, t in enumerate(terms[1:], 1)):
+                if all(
+                    p + (offs[i] - offs[0]) in self.positions[t].get(d, ())
+                    for i, t in enumerate(terms[1:], 1)
+                ):
                     freq += 1
             if freq > 0:
                 inv = cache[self.docs[d].norm]
                 scores[d] = np.float32(idf - idf / (one + np.float32(freq) * inv))
+        return self._topk(scores, k)
+
+    def search_sloppy_phrase(self, terms: list[str], slop: int, k: int,
+                             positions: list[int] | None = None):
+        """Sloppy phrase with exact reference semantics: freq = float32
+        Σ 1/(1+matchLength) over the greedy SloppyPhraseMatcher traversal
+        (SloppyPhraseMatcher.java:172-204, PhraseScorer.java:76-84),
+        simulated per doc by lucene_spark.search.sloppy.sloppy_freq."""
+        from lucene_spark.search.sloppy import sloppy_freq
+
+        if not terms:
+            return []
+        offs = list(positions) if positions else list(range(len(terms)))
+        idf = np.float32(sum(float(self.idf(t)) for t in terms))
+        cache = self.norm_inverse_cache()
+        one = np.float32(1.0)
+        cands = set(self.positions.get(terms[0], {}))
+        for t in terms[1:]:
+            cands &= set(self.positions.get(t, {}))
+        scores = {}
+        for d in cands:
+            plists = [self.positions[t][d] for t in terms]
+            freq = sloppy_freq(plists, offs, slop, f32=True)
+            if freq > 0:
+                scores[d] = np.float32(
+                    idf - idf / (one + np.float32(freq) * cache[self.docs[d].norm])
+                )
         return self._topk(scores, k)
 
     def _topk(self, scores: dict[int, np.float32], k: int):

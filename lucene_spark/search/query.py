@@ -100,11 +100,14 @@ class BooleanQuery(Query):
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     """core/search/PhraseQuery.java:69-141 — terms at consecutive positions;
-    slop>0 = sloppy phrase (SloppyPhraseMatcher.java:52)."""
+    slop>0 = sloppy phrase (SloppyPhraseMatcher.java:52).  ``positions``
+    gives explicit query positions (PhraseQuery.Builder.add(term, position))
+    — e.g. holes left by removed stopwords; None = consecutive 0..n-1."""
 
     terms: tuple
     slop: int = 0
     boost: float = 1.0
+    positions: tuple | None = None
 
 
 @dataclass(frozen=True)

@@ -496,10 +496,35 @@ class IndexSearcher:
             scored = scored.join(self._matches(sub), "doc_id", "left_anti")
         return scored
 
+    def _gather_positions(self, terms: Sequence[str]) -> DataFrame:
+        """(doc_id, norm, _p0.._p{n-1}) for docs containing ALL terms — the
+        per-term position arrays gathered in ONE groupBy (single shuffle)
+        instead of an n-way self-join of the positions relation.  Repeated
+        terms share one postings row via the conditional aggregation."""
+        uniq = sorted(set(terms))
+        p = self.index.postings_for_terms(uniq, with_positions=True)
+        aggs = [
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_p{i}")
+            for i, t in enumerate(terms)
+        ]
+        g = p.groupBy("doc_id").agg(F.min("norm").alias("norm"), *aggs)
+        return g.filter(
+            _and_all([F.col(f"_p{i}").isNotNull() for i in range(len(terms))])
+        )
+
+    @staticmethod
+    def _phrase_offsets(q: PhraseQuery) -> list[int]:
+        """Explicit query positions (PhraseQuery.Builder.add(term, position))
+        or consecutive 0..n-1; holes (e.g. removed stopwords) shift them."""
+        if getattr(q, "positions", None):
+            return list(q.positions)
+        return list(range(len(q.terms)))
+
     def _scored_phrase(self, q: PhraseQuery) -> DataFrame:
         """Exact phrase via positions-array algebra (all JVM higher-order
         functions — ExactPhraseMatcher.java:38 semantics): freq = count of
-        start positions p in positions(t0) with p+i ∈ positions(ti) ∀i.
+        start positions p in positions(t0) with p+Δi ∈ positions(ti) ∀i
+        (Δi = query-position gap, supporting stopword holes).
         Weight = boost * float32(Σ float32 idf(ti)) (BM25Similarity
         idfExplain over the term array sums in double then casts)."""
         terms = list(q.terms)
@@ -511,25 +536,20 @@ class IndexSearcher:
         if any(t not in dfs for t in terms):
             return self._empty_scored()
         weight = self._phrase_weight(terms, dfs, q.boost)
+        offs = self._phrase_offsets(q)
 
         if len(terms) == 1:
             return self._scored_terms({terms[0]: q.boost})
 
-        p = self.index.postings_for_terms(terms, with_positions=True)
-        base = p.filter(F.col("term") == terms[0]).select(
-            "doc_id", F.col("positions").alias("_p0"), "norm"
-        )
-        for i, t in enumerate(terms[1:], 1):
-            side = p.filter(F.col("term") == t).select(
-                "doc_id", F.col("positions").alias(f"_p{i}")
-            )
-            base = base.join(side, "doc_id")
+        base = self._gather_positions(terms)
         freq = F.size(
             F.filter(
                 F.col("_p0"),
                 lambda pos: _and_all(
                     [
-                        F.array_contains(F.col(f"_p{i}"), pos + F.lit(i))
+                        F.array_contains(
+                            F.col(f"_p{i}"), pos + F.lit(offs[i] - offs[0])
+                        )
                         for i in range(1, len(terms))
                     ]
                 ),
@@ -544,40 +564,139 @@ class IndexSearcher:
         )
 
     def _scored_sloppy_phrase(self, q: PhraseQuery) -> DataFrame:
-        """Sloppy phrase (slop > 0): matches docs where terms occur within a
-        window; freq = number of start positions of a valid window.  This is
-        a simplified admissible variant of SloppyPhraseMatcher.java:52 (which
-        computes weighted interval freqs); documented engine difference."""
+        """Sloppy phrase (slop > 0) with EXACT reference semantics
+        (SloppyPhraseMatcher.java:172-204 + PhraseScorer.java:76-84):
+        freq = Σ 1/(1+matchLength) over the greedy matcher's matches.
+
+        Two lowering strategies:
+        * 2 distinct terms (the overwhelmingly common case): a pure-JVM fold
+          over the merged phrase-position sequence — the matcher's traversal
+          reduces to an alternating "frontier chain" (first element whose
+          other-list predecessor exists; then the smallest other-list
+          element strictly past the last frontier; width = frontier minus
+          the other list's largest position ≤ it).  Equivalence to the
+          simulation is pinned by 100k randomized trials in
+          tests/test_sloppy.py.
+        * generic n terms / repeated terms: Arrow-batched UDF running the
+          faithful simulation (lucene_spark.search.sloppy) per doc.
+        """
         terms = list(q.terms)
         dfs = self.term_doc_freqs(terms)
         if any(t not in dfs for t in terms):
             return self._empty_scored()
         weight = self._phrase_weight(terms, dfs, q.boost)
-        p = self.index.postings_for_terms(terms, with_positions=True)
-        base = p.filter(F.col("term") == terms[0]).select(
-            "doc_id", F.col("positions").alias("_p0"), "norm"
-        )
-        for i, t in enumerate(terms[1:], 1):
-            side = p.filter(F.col("term") == t).select(
-                "doc_id", F.col("positions").alias(f"_p{i}")
-            )
-            base = base.join(side, "doc_id")
-        slop = q.slop
-        freq = F.size(
-            F.filter(
-                F.col("_p0"),
-                lambda pos: _and_all(
-                    [
-                        F.exists(
-                            F.col(f"_p{i}"),
-                            lambda pp, i=i: (pp >= pos - F.lit(slop))
-                            & (pp <= pos + F.lit(i + slop)),
-                        )
-                        for i in range(1, len(terms))
-                    ]
+        offs = self._phrase_offsets(q)
+        if len(terms) == 2 and terms[0] != terms[1]:
+            return self._sloppy_chain_scored(terms, offs, q.slop, weight)
+        return self._sloppy_udf_scored(terms, offs, q.slop, weight)
+
+    @staticmethod
+    def _slop_lcm(slop: int) -> int:
+        """lcm(1..slop+1): quantizes match weights 1/(1+w), w<=slop, to
+        integers so the f64-mode freq is an order-free exact integer sum."""
+        l = 1
+        for d in range(2, slop + 2):
+            l = l * d // math.gcd(l, d)
+        return l
+
+    def _sloppy_chain_scored(self, terms, offs, slop: int, weight: float) -> DataFrame:
+        """JVM chain-fold lowering of the 2-distinct-term sloppy matcher."""
+        base = self._gather_positions(terms)
+        o0, o1 = offs
+        A = F.col("_p0")
+        B = F.transform(F.col("_p1"), lambda x: x - F.lit(o1 - o0))
+        merged = F.array_sort(
+            F.concat(
+                F.transform(
+                    A, lambda p: F.struct(p.alias("pos"), F.lit(0).alias("off"))
+                ),
+                F.transform(
+                    B, lambda p: F.struct(p.alias("pos"), F.lit(1).alias("off"))
                 ),
             )
         )
+        f32 = self.scoring == "lucene_f32"
+        lq = self._slop_lcm(slop)
+        acc0 = F.lit(0.0).cast("float") if f32 else F.lit(0).cast("long")
+        init = F.struct(
+            F.lit(False).alias("sa"),
+            F.lit(False).alias("sb"),
+            F.lit(-1).alias("exp"),
+            F.lit(0).alias("fp"),
+            acc0.alias("acc"),
+        )
+
+        def step(acc, x):
+            is_a = x["off"] == F.lit(0)
+            frontier = (
+                F.when(
+                    acc["exp"] == F.lit(-1),
+                    F.when(is_a, acc["sb"]).otherwise(acc["sa"]),
+                )
+                .otherwise((x["off"] == acc["exp"]) & (x["pos"] > acc["fp"]))
+            )
+            # width = frontier pos - other list's largest ppos <= it (the
+            # matcher's <=-absorbing minimization)
+            w = F.when(
+                is_a, x["pos"] - F.array_max(F.filter(B, lambda y: y <= x["pos"]))
+            ).otherwise(
+                x["pos"] - F.array_max(F.filter(A, lambda y: y <= x["pos"]))
+            )
+            counted = frontier & (w <= F.lit(slop))
+            if f32:
+                one = F.lit(1.0).cast("float")
+                contrib = (one / (one + w.cast("float"))).cast("float")
+                nacc = F.when(counted, (acc["acc"] + contrib).cast("float")).otherwise(
+                    acc["acc"]
+                )
+            else:
+                nacc = F.when(
+                    counted, acc["acc"] + (F.lit(lq) / (w + F.lit(1))).cast("long")
+                ).otherwise(acc["acc"])
+            return F.struct(
+                (acc["sa"] | is_a).alias("sa"),
+                (acc["sb"] | ~is_a).alias("sb"),
+                F.when(frontier, F.lit(1) - x["off"]).otherwise(acc["exp"]).alias("exp"),
+                F.when(frontier, x["pos"]).otherwise(acc["fp"]).alias("fp"),
+                nacc.alias("acc"),
+            )
+
+        acc = F.aggregate(merged, init, step)["acc"]
+        if f32:
+            out = base.withColumn("_freq", acc).filter(F.col("_freq") > 0)
+        else:
+            out = base.withColumn(
+                "_freq", acc.cast("double") / F.lit(float(lq))
+            ).filter(F.col("_freq") > 0)
+        return out.select(
+            "doc_id",
+            self._bm25_expr(
+                F.lit(weight).cast(self.score_type), F.col("_freq"), F.col("norm")
+            ).alias("score"),
+        )
+
+    def _sloppy_udf_scored(self, terms, offs, slop: int, weight: float) -> DataFrame:
+        """Arrow-batched faithful simulation for n-term / repeated-term
+        sloppy phrases (lucene_spark.search.sloppy.sloppy_freq per doc)."""
+        import pandas as pd
+
+        from lucene_spark.search.sloppy import sloppy_freq as _sf
+
+        base = self._gather_positions(terms)
+        f32 = self.scoring == "lucene_f32"
+        offsets = list(offs)
+        slop_ = int(slop)
+
+        @F.pandas_udf("double")
+        def fudf(*cols):
+            out = []
+            for lists in zip(*cols):
+                out.append(
+                    _sf([list(x) for x in lists], offsets, slop_, f32)
+                )
+            return pd.Series(out, dtype="float64")
+
+        freq = fudf(*[F.col(f"_p{i}") for i in range(len(terms))])
         out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
         return out.select(
             "doc_id",
@@ -607,23 +726,30 @@ class IndexSearcher:
         flat = [t for ts in slot_terms for t in ts]
         weight = self._phrase_weight(flat, dfs, q.boost)
 
+        # one groupBy gathers every slot's unioned position set (single
+        # shuffle instead of a per-slot agg + n-way join)
         p = self.index.postings_for_terms(all_terms, with_positions=True)
-        bases = []
-        for i, ts in enumerate(slot_terms):
-            side = (
-                p.filter(F.col("term").isin(list(ts)))
-                .groupBy("doc_id")
-                .agg(
-                    F.array_sort(
-                        F.array_distinct(F.flatten(F.collect_list("positions")))
-                    ).alias(f"_p{i}"),
-                    *([F.min("norm").alias("norm")] if i == 0 else []),
+        aggs = [
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("term").isin(list(ts)), F.col("positions"))
+                        )
+                    )
+                )
+            ).alias(f"_p{i}")
+            for i, ts in enumerate(slot_terms)
+        ]
+        base = (
+            p.groupBy("doc_id")
+            .agg(F.min("norm").alias("norm"), *aggs)
+            .filter(
+                _and_all(
+                    [F.size(F.col(f"_p{i}")) > 0 for i in range(len(slot_terms))]
                 )
             )
-            bases.append(side)
-        base = bases[0]
-        for side in bases[1:]:
-            base = base.join(side, "doc_id")
+        )
         if len(slot_terms) == 1:
             freq = F.size("_p0")
         else:

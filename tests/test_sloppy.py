@@ -1,0 +1,192 @@
+"""Sloppy phrase: exact SloppyPhraseMatcher semantics.
+
+Three layers:
+1. the simulation (search/sloppy.py) vs the reference's OWN documented
+   expectations (TestSloppyPhraseQuery.java scenarios + the
+   SloppyPhraseMatcher Javadoc example);
+2. the engine's JVM chain-fold (2 distinct terms) vs the simulation on the
+   tiny corpus, both scoring modes — rank AND score identical;
+3. the generic UDF path (3 terms, repeated terms) vs the oracle.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher, PhraseQuery
+from lucene_spark.search.sloppy import sloppy_freq
+
+
+def _plists(doc: str, terms):
+    toks = doc.lower().split()
+    return [[i for i, t in enumerate(toks) if t == q] for q in terms]
+
+
+def _freq(doc: str, query: str, slop: int) -> float:
+    terms = query.lower().split()
+    return sloppy_freq(_plists(doc, terms), list(range(len(terms))), slop)
+
+
+# -- layer 1: simulation vs reference expectations -------------------------
+
+DOC_1 = "x a a a y"
+DOC_1_B = "x a a a y n n n n a a a z"
+DOC_2 = "x a 1 2 3 a 4 5 6 a y"
+DOC_2_B = "x a 1 2 3 a 4 5 6 a y n n n n a 1 2 3 a 4 5 6 a z"
+DOC_3 = "x a a a a y"
+DOC_3_B = "x a a a a y n n n n a a a a y"
+DOC_4 = "a a x a x b a x b b a a x b a a"
+Q1 = "a a a"
+Q2 = "a 1 2 3 a 4 5 6 a"
+Q4 = "x a a"
+
+
+def test_doc4_query4_all_slops():
+    """TestSloppyPhraseQuery.testDoc4_Query4: no match at slop 0, exactly
+    the 3rd A-run matches for every slop >= 1."""
+    for slop in range(0, 30):
+        f = _freq(DOC_4, Q4, slop)
+        assert (f > 0) == (slop >= 1), (slop, f)
+
+
+def test_doc1_query1_all_slops_and_doubled_doc_scores_higher():
+    for slop in range(0, 30):
+        f1, f2 = _freq(DOC_1, Q1, slop), _freq(DOC_1_B, Q1, slop)
+        assert f1 > 0 and f2 > f1, (slop, f1, f2)
+
+
+def test_doc2_query1_slop_6_is_the_threshold():
+    """LUCENE-1310: 6 (not 7) is the minimum slop matching QUERY_1 to DOC_2."""
+    for slop in range(0, 30):
+        f1 = _freq(DOC_2, Q1, slop)
+        assert (f1 > 0) == (slop >= 6), (slop, f1)
+        if slop >= 6:
+            assert _freq(DOC_2_B, Q1, slop) > f1
+
+
+def test_doc2_query2_and_doc3_query1_all_slops():
+    for slop in range(0, 30):
+        assert _freq(DOC_2, Q2, slop) > 0
+        assert _freq(DOC_2_B, Q2, slop) > _freq(DOC_2, Q2, slop)
+        assert _freq(DOC_3, Q1, slop) > 0
+        assert _freq(DOC_3_B, Q1, slop) > _freq(DOC_3, Q1, slop)
+
+
+def test_javadoc_example_two_matches():
+    """SloppyPhraseMatcher Javadoc: "a b"~2 on "x a b a y" matches twice —
+    distance 0 and distance 2 — so freq = f32(1 + 1/3)."""
+    f = _freq("x a b a y", "a b", 2)
+    one = np.float32(1.0)
+    exp = float(np.float32(one + one / np.float32(3.0)))
+    assert f == exp
+
+
+def test_exact_run_of_repeats():
+    assert _freq("h h h h", "h h h h", 0) == 1.0
+
+
+def test_empty_and_missing_positions():
+    assert sloppy_freq([[0, 1], []], [0, 1], 2) == 0.0
+    assert sloppy_freq([[], []], [0, 1], 2) == 0.0
+
+
+# -- layer 1b: chain-model equivalence (pure python mirror of the fold) ----
+
+
+def _chain_freq(A, B1, slop, gap=1, f32=True):
+    """Python mirror of the JVM chain fold in _sloppy_chain_scored."""
+    B = [b - gap for b in B1]
+    elems = sorted([(p, 0) for p in A] + [(p, 1) for p in B])
+    sa = sb = False
+    expect, lastfp = None, None
+    ws = []
+    for pos, off in elems:
+        if expect is None:
+            frontier = (off == 0 and sb) or (off == 1 and sa)
+        else:
+            frontier = expect == off and pos > lastfp
+        if frontier:
+            other = B if off == 0 else A
+            ws.append(pos - max(x for x in other if x <= pos))
+            expect, lastfp = 1 - off, pos
+        sa, sb = sa or off == 0, sb or off == 1
+    ws = [w for w in ws if w <= slop]
+    if not ws:
+        return 0.0
+    if f32:
+        one = np.float32(1.0)
+        acc = np.float32(0.0)
+        for w in ws:
+            acc = np.float32(acc + one / (one + np.float32(w)))
+        return float(acc)
+    return sum(1.0 / (1 + w) for w in ws)
+
+
+def test_chain_model_equals_simulation_randomized():
+    rng = random.Random(20260817)
+    for _ in range(4000):
+        n, m = rng.randint(1, 8), rng.randint(1, 8)
+        allpos = rng.sample(range(0, 30), n + m)
+        A, B1 = sorted(allpos[:n]), sorted(allpos[n:])
+        slop = rng.randint(0, 8)
+        assert abs(
+            sloppy_freq([A, B1], [0, 1], slop) - _chain_freq(A, B1, slop)
+        ) < 1e-12, (A, B1, slop)
+
+
+# -- layers 2+3: engine vs oracle on the tiny corpus -----------------------
+
+SLOPPY_CASES = [
+    (("model", "training"), 2),
+    (("the", "customer"), 1),
+    (("data", "pipeline"), 3),
+    (("a", "the"), 4),
+]
+
+
+@pytest.mark.parametrize("terms,slop", SLOPPY_CASES, ids=lambda v: str(v))
+def test_engine_sloppy_matches_oracle_f32(spark, tiny_index, tiny_oracle, terms, slop):
+    searcher = IndexSearcher(tiny_index)
+    engine = searcher.search(PhraseQuery(tuple(terms), slop=slop), 10).collect()
+    oracle = tiny_oracle.topk_keys(
+        tiny_oracle.search_sloppy_phrase(list(terms), slop, 10)
+    )
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [(c, t) for c, t, _ in oracle]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([s for _, _, s in oracle], dtype=np.float32),
+    )
+
+
+@pytest.mark.parametrize(
+    "terms,slop",
+    [(("the", "model", "training"), 2), (("the", "the", "model"), 3)],
+    ids=["three-terms", "repeated-term"],
+)
+def test_engine_sloppy_udf_path_matches_oracle(spark, tiny_index, tiny_oracle, terms, slop):
+    searcher = IndexSearcher(tiny_index)
+    engine = searcher.search(PhraseQuery(tuple(terms), slop=slop), 10).collect()
+    oracle = tiny_oracle.topk_keys(
+        tiny_oracle.search_sloppy_phrase(list(terms), slop, 10)
+    )
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [(c, t) for c, t, _ in oracle]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([s for _, _, s in oracle], dtype=np.float32),
+    )
+
+
+def test_phrase_with_positions_holes(spark, tiny_index, tiny_oracle):
+    """Explicit query positions (stopword-hole shape): "a _ b" must match
+    terms two apart, exact and sloppy."""
+    q = PhraseQuery(("the", "model"), positions=(0, 2))
+    engine = IndexSearcher(tiny_index).search(q, 10).collect()
+    oracle = tiny_oracle.topk_keys(
+        tiny_oracle.search_phrase(["the", "model"], 10, positions=[0, 2])
+    )
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [(c, t) for c, t, _ in oracle]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([s for _, _, s in oracle], dtype=np.float32),
+    )
