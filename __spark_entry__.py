@@ -129,6 +129,137 @@ def _topk_sql(terms: list[str], k: int, kind: str = "or", exclude: list[str] | N
 
 
 # ---------------------------------------------------------------------------
+# analyzed-index prelude (EnglishAnalyzer-style chain, SQL-expressible):
+# stopword removal WITH position holes + Harman S-stemmer.  The synthetic
+# corpus has no plural forms, so the transcripts view appends a
+# deterministic plural tail per doc (doc_id % 3) to make the stemming rules
+# fire differentially — mirrored exactly on both engines.
+
+from lucene_spark.analysis import ENGLISH_STOP_WORDS as _EN_STOPS  # noqa: E402
+from lucene_spark.analysis import s_stem_sql as _s_stem_sql  # noqa: E402
+
+_AN_STOPLIST = ", ".join(f"'{w}'" for w in sorted(_EN_STOPS))
+_TEXT2_SQL = (
+    "text || CASE doc_id % 3 WHEN 0 THEN ' queries tables' "
+    "WHEN 1 THEN ' joins keys' ELSE '' END"
+)
+
+_PRELUDE_AN = f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         lang AS role, source AS tool,
+         {_TEXT2_SQL} AS text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+aent AS (
+  SELECT conv_id, turn_idx, {_s_stem_sql('tok')} AS term, pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr)
+  WHERE tok NOT IN ({_AN_STOPLIST})
+),
+adl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM aent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+adlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM adl
+),
+astats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM adl
+),
+atf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM aent GROUP BY 1, 2, 3
+),
+adfreq AS (
+  SELECT term, count(*) AS doc_freq FROM atf GROUP BY 1
+)
+"""
+
+_AN_SCORE = (
+    "ln(1 + (astats.doc_count - adfreq.doc_freq + 0.5) / (adfreq.doc_freq + 0.5))"
+    " * atf.freq / (atf.freq + 1.2 * (0.25 + 0.75 * adlq.dlq"
+    " / (CAST(astats.sttf AS DOUBLE) / astats.doc_count)))"
+)
+
+
+def _an_topk_sql(stemmed_terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in stemmed_terms)
+    return (
+        _PRELUDE_AN
+        + f""",
+scored AS (
+  SELECT atf.conv_id, atf.turn_idx, SUM({_AN_SCORE}) AS score
+  FROM atf
+  JOIN adfreq USING (term)
+  JOIN adlq USING (conv_id, turn_idx)
+  CROSS JOIN astats
+  WHERE atf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _an_hole_phrase_sql(t0: str, t1: str, gap: int, k: int) -> str:
+    """Exact phrase with a stopword hole: t1 must sit exactly ``gap``
+    positions after t0 in the ANALYZED (hole-carrying) position space."""
+    idf = (
+        f"ln(1 + (astats.doc_count - COALESCE(d0.doc_freq, 0) + 0.5) / (COALESCE(d0.doc_freq, 0) + 0.5))"
+        f" + ln(1 + (astats.doc_count - COALESCE(d1.doc_freq, 0) + 0.5) / (COALESCE(d1.doc_freq, 0) + 0.5))"
+    )
+    return (
+        _PRELUDE_AN
+        + f""",
+pf AS (
+  SELECT a.conv_id, a.turn_idx, count(*) AS freq
+  FROM aent a JOIN aent b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+   AND a.term = '{t0}' AND b.term = '{t1}' AND b.pos = a.pos + {gap}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT pf.conv_id, pf.turn_idx,
+         ({idf})
+         * pf.freq / (pf.freq + 1.2 * (0.25 + 0.75 * adlq.dlq
+           / (CAST(astats.sttf AS DOUBLE) / astats.doc_count))) AS score
+  FROM pf
+  JOIN adlq USING (conv_id, turn_idx)
+  CROSS JOIN astats
+  LEFT JOIN adfreq d0 ON d0.term = '{t0}'
+  LEFT JOIN adfreq d1 ON d1.term = '{t1}'
+  WHERE pf.freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark side
 _CACHE: dict[str, tuple] = {}
 
@@ -158,6 +289,104 @@ def _searcher(spark: SparkSession, sf_dir: str):
         idx = IndexBuilder(num_segments=8).build(_transcripts_df(spark, sf_dir))
         _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
     return _CACHE[key]
+
+
+def _transcripts_an_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts view for the analyzed-index queries: same derivation
+    plus the deterministic plural tail (mirrors _TEXT2_SQL)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" queries tables"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" joins keys"))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        F.concat(
+            F.lit("conv"),
+            F.lpad((F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"), 6, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        text2.alias("text"),
+        F.col("source").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _searcher_an(spark: SparkSession, sf_dir: str):
+    """Analyzed-index searcher: English stopwords (position holes) +
+    S-stemmer — the SQL-expressible analysis chain."""
+    key = ("an", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        an = Analyzer(stopwords=_EN_STOPS, stemmer="s")
+        idx = IndexBuilder(num_segments=8, analyzer=an).build(
+            _transcripts_an_df(spark, sf_dir)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_topk_after_delete(terms, k: int, del_turn: int):
+    """Tombstone every turn with turn_idx == del_turn, search the deleted
+    view.  Reference staleness semantics: collection stats / doc_freq stay
+    those of the FULL corpus until expunge, so surviving docs keep their
+    pre-delete scores — the oracle mirrors this by restricting only the
+    candidate set, not the statistics."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.index.deletes import with_deletes
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("del", os.path.abspath(sf_dir), del_turn)
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            ts = (
+                idx.docs.filter(F.col("turn_idx") == del_turn)
+                .select("conv_id", "turn_idx")
+            )
+            view = with_deletes(idx, ts)
+            _CACHE[key] = (view, IndexSearcher(view, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _topk_after_delete_sql(terms, k: int, del_turn: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    where = f"tf.term IN ({tlist}) AND tf.turn_idx <> {del_turn}"
+    return (
+        _PRELUDE
+        + ", "
+        + _scored_from(where).lstrip()
+        + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
+def _q_topk_stemmed(query_text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher_an(spark, sf_dir)
+        terms = searcher.parse_terms(query_text)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _q_phrase_hole(phrase_text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, searcher = _searcher_an(spark, sf_dir)
+        return _ranked_topk(searcher, searcher.parse_phrase(phrase_text), k)
+
+    return run
 
 
 def _ranked_topk(searcher, query, k: int) -> DataFrame:
@@ -673,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_not": _q_topk(["spark"], 10, exclude=["slow"]),
         "bm25_phrase": _q_phrase(["the", "customer"], 10),
         "bm25_phrase_slop": _q_phrase_slop(["customer", "join"], 2, 10),
+        "bm25_topk_stemmed": _q_topk_stemmed("queries joins tables", 20),
+        "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
+        "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -704,6 +936,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_not": _topk_sql(["spark"], 10, exclude=["slow"]),
         "bm25_phrase": _phrase_sql(["the", "customer"], 10),
         "bm25_phrase_slop": _sloppy_phrase_sql("customer", "join", 2, 10),
+        "bm25_topk_stemmed": _an_topk_sql(["query", "join", "table"], 20),
+        "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
+        "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

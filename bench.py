@@ -114,6 +114,7 @@ def main() -> None:
             (TermQuery("spark"), Occur.MUST), (TermQuery("the"), Occur.MUST_NOT)
         ),
         "q_phrase2": PhraseQuery(("the", "data")),
+        "q_phrase_slop2": PhraseQuery(("the", "data"), slop=2),
     }
     qtimes: dict[str, float] = {}
     topk_rows = 0
@@ -122,6 +123,33 @@ def main() -> None:
         rows = searcher.search(q, 10).collect()
         qtimes[name] = round(time.time() - tq, 4)
         topk_rows += len(rows)
+
+    # ---- ANN quality: recall@10 vs brute-force cosine on the sf-dir
+    # embeddings (IVF = the headline sim_topk_ann path; LSH multi-probe
+    # reported alongside for the honest comparison) ----
+    ann = {}
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from lucene_spark.pipeline import similarity as sim
+
+        emb = spark.read.parquet(emb_path).persist()
+        emb.count()
+        qvec = [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+        ]
+        tq = time.time()
+        brute = {r.vec_id for r in sim.cosine_topk(emb, qvec, 10).collect()}
+        ann["t_brute"] = round(time.time() - tq, 4)
+        tq = time.time()
+        ivf = {r.vec_id for r in sim.ivf_topk(emb, qvec, 10).collect()}
+        ann["t_ivf"] = round(time.time() - tq, 4)
+        tq = time.time()
+        lsh = {r.vec_id for r in sim.ann_topk(emb, qvec, 10).collect()}
+        ann["t_lsh"] = round(time.time() - tq, 4)
+        ann["recall_ivf_at10"] = round(len(brute & ivf) / max(len(brute), 1), 2)
+        ann["recall_lsh_at10"] = round(len(brute & lsh) / max(len(brute), 1), 2)
+        emb.unpersist()
 
     total = time.time() - t0
     out = {
@@ -140,6 +168,10 @@ def main() -> None:
         "n_postings": n_postings,
         "n_terms": n_terms,
         "topk_rows": topk_rows,
+        # corpus shape pin: BENCH.md and BENCH_rNN.json are comparable only
+        # at identical turns x words/turn; these fields make that auditable
+        "words_per_turn": [min_w, max_w],
+        "ann": ann,
     }
     print(json.dumps(out))
     spark.stop()

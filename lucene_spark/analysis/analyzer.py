@@ -1,0 +1,224 @@
+"""Analyzer chain v2: tokenize → stop (position holes) → stem → synonyms.
+
+≙ the reference's analysis chain (SURVEY.md §2.2):
+
+* StopFilter with position holes — ``core/analysis/StopFilter.java`` /
+  ``FilteringTokenFilter.java:61-77``: a removed token advances the next
+  surviving token's position increment, so survivors keep their ORIGINAL
+  token positions (phrase queries must honor the gaps).
+* Stemming — ``analysis/common/.../en/PorterStemFilter.java`` (full Porter,
+  see analysis/porter.py, validated against the reference's own
+  porterTestData vectors) or the S-stemmer (Harman 1991, "How effective is
+  suffixing?"), a 3-rule light stemmer that is expressible as plain SQL /
+  JVM CASE expressions — the cross-engine-checkable option.
+* Synonyms — ``analysis/common/.../synonym/SynonymGraphFilter.java``
+  subset: single-token, index-time additive synonyms; each mapped term also
+  emits its synonyms at the SAME position (posIncrement 0).  Multi-word
+  synonyms are out of scope.
+* Document length (norms): every EMITTED token counts
+  (``FieldInvertState.length``): stopped tokens don't count, synonym
+  emissions do — dl = #survivors + #synonym-emissions.
+
+Engine lowering: the whole chain except Porter runs as JVM column
+expressions over the token array (stopset/synonym maps are tiny literals).
+Porter is applied by the IndexBuilder on the DISTINCT TERM DICTIONARY via
+an Arrow-batched UDF + broadcast join — O(|vocabulary|) Python work, never
+per token (see builder.apply_porter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from lucene_spark.analysis.porter import porter_stem
+from lucene_spark.analysis.tokenizer import tokenize_text
+
+# EnglishAnalyzer.java:46-50 — the default English stop set
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def s_stem(w: str) -> str:
+    """Harman S-stemmer: 3 ordered rules; the FIRST rule whose suffix
+    matches ends processing (its exception list blocks without falling
+    through): ies→y (unless eies/aies); es→e (unless aes/ees/oes);
+    s→ε (unless us/ss)."""
+    if w.endswith("ies"):
+        return w if w.endswith(("eies", "aies")) else w[:-3] + "y"
+    if w.endswith("es"):
+        return w if w.endswith(("aes", "ees", "oes")) else w[:-1]
+    if w.endswith("s"):
+        return w if w.endswith(("us", "ss")) else w[:-1]
+    return w
+
+
+def s_stem_sql(expr: str) -> str:
+    """DuckDB twin of s_stem over a VARCHAR expression."""
+    return f"""CASE
+  WHEN ({expr}) LIKE '%eies' OR ({expr}) LIKE '%aies' THEN ({expr})
+  WHEN ({expr}) LIKE '%ies' THEN substr(({expr}), 1, length(({expr})) - 3) || 'y'
+  WHEN ({expr}) LIKE '%aes' OR ({expr}) LIKE '%ees' OR ({expr}) LIKE '%oes' THEN ({expr})
+  WHEN ({expr}) LIKE '%es' THEN substr(({expr}), 1, length(({expr})) - 1)
+  WHEN ({expr}) LIKE '%us' OR ({expr}) LIKE '%ss' THEN ({expr})
+  WHEN ({expr}) LIKE '%s' THEN substr(({expr}), 1, length(({expr})) - 1)
+  ELSE ({expr}) END"""
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Immutable analyzer spec shared by engine, oracle, and SQL twins.
+
+    stemmer: None | 's' (Harman, SQL-expressible) | 'porter' (full Porter,
+    applied on the term dictionary by the builder).
+    synonyms: mapping term -> tuple of additional terms emitted at the same
+    position (applied AFTER stemming, on the stemmed form, like an
+    index-time SynonymGraphFilter placed last in the chain).
+    """
+
+    stopwords: frozenset = frozenset()
+    stemmer: str | None = None
+    synonyms: tuple = ()  # tuple of (term, extra_term) pairs
+
+    def __post_init__(self):
+        if self.stemmer not in (None, "s", "porter"):
+            raise ValueError(f"unknown stemmer {self.stemmer!r}")
+        if self.stemmer == "porter" and self.synonyms:
+            # porter runs on the term dictionary AFTER inversion; a synonym
+            # stage ordered after it would need a second dictionary pass —
+            # out of scope (use stemmer='s' with synonyms instead)
+            raise ValueError("synonyms are not supported with stemmer='porter'")
+
+    @property
+    def syn_map(self) -> dict[str, list[str]]:
+        m: dict[str, list[str]] = {}
+        for t, extra in self.synonyms:
+            m.setdefault(t, []).append(extra)
+        return m
+
+    def is_noop(self) -> bool:
+        return not self.stopwords and self.stemmer is None and not self.synonyms
+
+    # -- commit.json round-trip -----------------------------------------
+    def to_json(self) -> dict | None:
+        if self.is_noop():
+            return None
+        return {
+            "stopwords": sorted(self.stopwords),
+            "stemmer": self.stemmer,
+            "synonyms": [list(p) for p in self.synonyms],
+        }
+
+    @classmethod
+    def from_json(cls, d: dict | None) -> "Analyzer | None":
+        if not d:
+            return None
+        return cls(
+            stopwords=frozenset(d.get("stopwords", ())),
+            stemmer=d.get("stemmer"),
+            synonyms=tuple((s, e) for s, e in d.get("synonyms", ())),
+        )
+
+    # -- python reference (oracle path) ---------------------------------
+    def analyze_text(self, text: str | None) -> list[tuple[str, int]]:
+        """[(term, position)] after the full chain.  Positions carry stop
+        holes; synonym emissions share their source's position."""
+        toks = tokenize_text(text)
+        out: list[tuple[str, int]] = []
+        syn = self.syn_map
+        for pos, t in enumerate(toks):
+            if t in self.stopwords:
+                continue
+            if self.stemmer == "s":
+                t = s_stem(t)
+            elif self.stemmer == "porter":
+                t = porter_stem(t)
+            out.append((t, pos))
+            for extra in syn.get(t, ()):
+                out.append((extra, pos))
+        return out
+
+    def analyze_query_positions(self, text: str | None) -> list[tuple[str, int]]:
+        """Query-side analysis with hole-carrying positions (for
+        PhraseQuery).  No synonym expansion — the reference expands query
+        synonyms via SynonymQuery, not the index chain; QueryParser does
+        that explicitly."""
+        out: list[tuple[str, int]] = []
+        for pos, t in enumerate(tokenize_text(text)):
+            if t in self.stopwords:
+                continue
+            if self.stemmer == "s":
+                t = s_stem(t)
+            elif self.stemmer == "porter":
+                t = porter_stem(t)
+            out.append((t, pos))
+        return out
+
+    def analyze_query(self, text: str | None) -> list[str]:
+        return [t for t, _ in self.analyze_query_positions(text)]
+
+    # -- JVM lowering ----------------------------------------------------
+    def entries_expr(self, col):
+        """Column(string) -> Column(array<struct<term string, pos int>>)
+        applying tokenize → stop → s-stem → synonyms, all JVM.  For
+        stemmer='porter' the PORTER STAGE IS NOT APPLIED here — the builder
+        stems the term dictionary (builder.apply_porter); everything else
+        (stop holes, positions, synonyms ordering) is identical."""
+        from pyspark.sql import functions as F
+
+        from lucene_spark.analysis.tokenizer import tokens_expr
+
+        toks = tokens_expr(col)
+        entries = F.transform(
+            toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
+        )
+        if self.stopwords:
+            stop_lit = F.array(*[F.lit(s) for s in sorted(self.stopwords)])
+            entries = F.filter(
+                entries, lambda e: ~F.array_contains(stop_lit, e["term"])
+            )
+        if self.stemmer == "s":
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    _s_stem_col(e["term"]).alias("term"), e["pos"].alias("pos")
+                ),
+            )
+        if self.synonyms:
+            # emit [token, syn1, syn2...] per entry, then flatten — additive
+            # same-position synonyms
+            pairs = sorted(self.syn_map.items())
+            def expand(e):
+                cases = None
+                for src, extras in pairs:
+                    arr = F.array(
+                        e["term"].alias("term"),
+                        *[F.lit(x) for x in extras],
+                    )
+                    c = F.when(e["term"] == F.lit(src), arr)
+                    cases = c if cases is None else cases.when(e["term"] == F.lit(src), arr)
+                cases = cases.otherwise(F.array(e["term"]))
+                return F.transform(
+                    cases, lambda t: F.struct(t.alias("term"), e["pos"].alias("pos"))
+                )
+
+            entries = F.flatten(F.transform(entries, expand))
+        return entries
+
+
+def _s_stem_col(col):
+    from pyspark.sql import functions as F
+
+    def cut(n):
+        return F.substring(col, 1, F.length(col) - n)
+
+    return (
+        F.when(col.endswith("eies") | col.endswith("aies"), col)
+        .when(col.endswith("ies"), F.concat(cut(3), F.lit("y")))
+        .when(col.endswith("aes") | col.endswith("ees") | col.endswith("oes"), col)
+        .when(col.endswith("es"), cut(1))
+        .when(col.endswith("us") | col.endswith("ss"), col)
+        .when(col.endswith("s"), cut(1))
+        .otherwise(col)
+    )

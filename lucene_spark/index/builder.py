@@ -30,6 +30,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lucene_spark.analysis.analyzer import Analyzer
 from lucene_spark.analysis.tokenizer import tokens_expr
 from lucene_spark.util.smallfloat import NUM_FREE_VALUES
 
@@ -73,6 +74,9 @@ class InvertedIndex:
     postings_slim: Optional[DataFrame] = None
     k1: float = 1.2
     b: float = 0.75
+    # the analysis chain this index was built with (None = plain standard
+    # tokenize); searchers MUST analyze query text with the same chain
+    analyzer: Optional[Analyzer] = None
 
     # set by store.load_index: route term lookups through the packed table
     # (filter BEFORE the decode UDF -> parquet predicate/partition pushdown)
@@ -199,6 +203,7 @@ class IndexBuilder:
         num_segments: Optional[int] = None,
         text_col: str = "text",
         invert: str = "mapside",
+        analyzer: Optional[Analyzer] = None,
     ):
         if invert not in ("mapside", "shuffle"):
             raise ValueError(f"unknown invert strategy {invert}")
@@ -207,6 +212,7 @@ class IndexBuilder:
         self.num_segments = num_segments
         self.text_col = text_col
         self.invert = invert
+        self.analyzer = analyzer
 
     # -- deterministic dense doc ids ------------------------------------
     def assign_doc_ids(self, df: DataFrame) -> DataFrame:
@@ -252,6 +258,43 @@ class IndexBuilder:
         )
         return out
 
+    # -- Porter on the term dictionary ----------------------------------
+    @staticmethod
+    def apply_porter(postings: DataFrame) -> DataFrame:
+        """Stem the postings' terms with full Porter.
+
+        Spark-first shape: Porter runs ONCE PER DISTINCT TERM (Arrow-batched
+        UDF over the vocabulary — O(|V|) Python, never per token), the tiny
+        (term, stem) map broadcast-joins back, and a (stem, doc) re-agg
+        merges postings of terms that collapse to the same stem (summed
+        freq, union-sorted positions) — exactly what the reference's
+        per-token PorterStemFilter yields at the index level.  Cost: one
+        extra (term, doc_id) shuffle at build time."""
+        import pandas as pd
+
+        from lucene_spark.analysis.porter import porter_stem
+
+        def stem_part(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"term": pdf["term"], "stem": [porter_stem(t) for t in pdf["term"]]}
+                )
+
+        vocab = postings.select("term").distinct()
+        stem_map = vocab.mapInPandas(stem_part, "term string, stem string")
+        return (
+            postings.join(F.broadcast(stem_map), "term")
+            .groupBy(F.col("stem").alias("term"), F.col("doc_id"))
+            .agg(
+                F.sum("freq").cast("int").alias("freq"),
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                ),
+                F.min("norm").alias("norm"),
+                F.min("segment").alias("segment"),
+            )
+        )
+
     # -- full build ------------------------------------------------------
     def build(self, transcripts: DataFrame) -> InvertedIndex:
         """Two invert strategies:
@@ -271,22 +314,33 @@ class IndexBuilder:
         spark = transcripts.sparkSession
         with_ids = self.assign_doc_ids(transcripts)
 
-        toks = with_ids.withColumn("_tokens", tokens_expr(F.col(self.text_col)))
+        # analysis chain -> array<struct<term,pos>> token entries.  Plain
+        # standard-analyze (no analyzer) keeps dense positions; an analyzer
+        # adds stop holes / stemming / synonyms (analysis/analyzer.py).  The
+        # Porter stage is deferred to the term dictionary (apply_porter).
+        if self.analyzer is None or self.analyzer.is_noop():
+            te = F.transform(
+                tokens_expr(F.col(self.text_col)),
+                lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos")),
+            )
+        else:
+            te = self.analyzer.entries_expr(F.col(self.text_col))
+        toks = with_ids.withColumn("_te", te)
 
         if self.invert == "mapside":
-            tcol = F.col("_tokens")
+            tcol = F.col("_te")
             entries = F.transform(
-                F.array_distinct(tcol),
+                F.array_distinct(F.transform(tcol, lambda e: e["term"])),
                 lambda t: F.struct(
                     t.alias("term"),
-                    F.filter(
-                        F.sequence(F.lit(0), F.size(tcol) - F.lit(1)),
-                        lambda i: F.element_at(tcol, i + F.lit(1)) == t,
+                    F.transform(
+                        F.filter(tcol, lambda e: e["term"] == t),
+                        lambda e: e["pos"],
                     ).alias("positions"),
                 ),
             )
             base = (
-                toks.withColumn("length", F.size("_tokens"))
+                toks.withColumn("length", F.size("_te"))
                 .withColumn("norm", _byte4_encode("length"))
                 .withColumn(
                     "_entries",
@@ -296,7 +350,7 @@ class IndexBuilder:
                         )
                     ),
                 )
-                .drop("_tokens")
+                .drop("_te")
                 .persist()
             )
             docs = base.select(
@@ -313,16 +367,20 @@ class IndexBuilder:
                 "norm",
                 "segment",
             )
-            # positions stay in the cached base (re-derived on demand for
-            # phrases); scoring scans hit only the slim primitive columns
+            cached = (base,)
+            if self.analyzer is not None and self.analyzer.stemmer == "porter":
+                postings = self.apply_porter(postings).persist()
+                cached = cached + (postings,)
+            # positions stay cached (re-derived on demand for phrases);
+            # scoring scans hit only the slim primitive columns
             postings_slim = postings.select(
                 "term", "doc_id", "freq", "norm"
             ).persist()
             docs = docs.persist()
-            cached = (base, docs, postings_slim)
+            cached = cached + (docs, postings_slim)
         else:
             docs = (
-                toks.withColumn("length", F.size("_tokens"))
+                toks.withColumn("length", F.size("_te"))
                 .withColumn("norm", _byte4_encode("length"))
                 .select(
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
@@ -330,12 +388,20 @@ class IndexBuilder:
                 )
                 .persist()
             )
-            exploded = toks.select(
-                "doc_id",
-                "segment",
-                F.size("_tokens").alias("length"),
-                F.posexplode("_tokens").alias("pos", "term"),
-            ).withColumn("norm", _byte4_encode("length")).drop("length")
+            exploded = (
+                toks.select(
+                    "doc_id",
+                    "segment",
+                    F.size("_te").alias("length"),
+                    F.explode("_te").alias("_e"),
+                )
+                .withColumn("norm", _byte4_encode("length"))
+                .select(
+                    "doc_id", "segment", "norm",
+                    F.col("_e.pos").alias("pos"),
+                    F.col("_e.term").alias("term"),
+                )
+            )
 
             postings = (
                 exploded.groupBy("term", "doc_id")
@@ -345,8 +411,10 @@ class IndexBuilder:
                     F.first("norm").alias("norm"),
                     F.first("segment").alias("segment"),
                 )
-                .persist()
             )
+            if self.analyzer is not None and self.analyzer.stemmer == "porter":
+                postings = self.apply_porter(postings)
+            postings = postings.persist()
             postings_slim = postings.select("term", "doc_id", "freq", "norm")
             cached = (docs, postings)
 
@@ -381,5 +449,6 @@ class IndexBuilder:
             postings_slim=postings_slim,
             k1=self.k1,
             b=self.b,
+            analyzer=self.analyzer,
             cached=cached,
         )

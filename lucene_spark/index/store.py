@@ -86,6 +86,7 @@ def save_index(
         "b": idx.b,
         "n_buckets": n_buckets,
         "chunk_bits": chunk_bits,
+        "analyzer": idx.analyzer.to_json() if idx.analyzer else None,
     }
     with open(os.path.join(path, "commit.json"), "w") as f:
         json.dump(commit, f, indent=2)
@@ -118,5 +119,8 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     idx.n_buckets = commit["n_buckets"]
     idx.chunk_bits = commit["chunk_bits"]
     idx.packed_chunk_bits = commit["chunk_bits"]
+    from lucene_spark.analysis.analyzer import Analyzer
+
+    idx.analyzer = Analyzer.from_json(commit.get("analyzer"))
     idx.prefer_packed = True
     return idx

@@ -58,21 +58,31 @@ class OracleIndex:
     b: float = 0.75
 
     @classmethod
-    def build(cls, rows, k1: float = 1.2, b: float = 0.75) -> "OracleIndex":
+    def build(cls, rows, k1: float = 1.2, b: float = 0.75, analyzer=None) -> "OracleIndex":
         """rows: iterable of dicts with conv_id, turn_idx, text (and extras).
 
         doc_id = dense rank over (conv_id, turn_idx) — the engine's
         deterministic global ordinal (SURVEY.md §1.1 docID mapping).
-        """
+        ``analyzer``: an analysis.Analyzer applied per doc (stop holes,
+        stemming, synonyms); dl counts EMITTED tokens (FieldInvertState
+        semantics) and positions keep the holes."""
         idx = cls(k1=k1, b=b)
         ordered = sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"]))
         for doc_id, r in enumerate(ordered):
-            toks = tokenize_text(r.get("text"))
-            norm = int(int_to_byte4(len(toks)))
+            if analyzer is not None and not analyzer.is_noop():
+                entries = analyzer.analyze_text(r.get("text"))
+            else:
+                entries = list(enumerate(tokenize_text(r.get("text"))))
+                entries = [(t, p) for p, t in entries]
+            norm = int(int_to_byte4(len(entries)))
+            # OracleDoc.tokens keeps the emitted terms (dl = len(tokens))
             idx.docs.append(
-                OracleDoc(doc_id, r["conv_id"], int(r["turn_idx"]), toks, norm)
+                OracleDoc(
+                    doc_id, r["conv_id"], int(r["turn_idx"]),
+                    [t for t, _ in entries], norm,
+                )
             )
-            for pos, t in enumerate(toks):
+            for t, pos in entries:
                 idx.postings.setdefault(t, {})
                 idx.postings[t][doc_id] = idx.postings[t].get(doc_id, 0) + 1
                 idx.positions.setdefault(t, {}).setdefault(doc_id, []).append(pos)

@@ -68,18 +68,30 @@ class QueryParseError(ValueError):
     pass
 
 
-def _analyze_word(word: str) -> list[str]:
-    return tokenize_text(word)
-
-
 class QueryParser:
-    """Single-field classic parser; ``parse(s)`` returns a Query."""
+    """Single-field classic parser; ``parse(s)`` returns a Query.
 
-    def __init__(self, field: str = "text", default_operator: str = "OR"):
+    ``analyzer``: the index's analysis chain — query words run through it
+    (QueryParserBase.getFieldQuery:456 runs the Analyzer on query text);
+    phrases keep its position holes."""
+
+    def __init__(self, field: str = "text", default_operator: str = "OR",
+                 analyzer=None):
         if default_operator not in ("OR", "AND"):
             raise QueryParseError("default_operator must be OR or AND")
         self.field = field
         self.default_occur = Occur.SHOULD if default_operator == "OR" else Occur.MUST
+        self.analyzer = analyzer
+
+    def _analyze_word(self, word: str) -> list[str]:
+        if self.analyzer is not None:
+            return self.analyzer.analyze_query(word)
+        return tokenize_text(word)
+
+    def _analyze_phrase(self, body: str) -> list[tuple[str, int]]:
+        if self.analyzer is not None:
+            return self.analyzer.analyze_query_positions(body)
+        return [(t, i) for i, t in enumerate(tokenize_text(body))]
 
     # -- lexer ----------------------------------------------------------
     def _lex(self, s: str):
@@ -180,13 +192,20 @@ class QueryParser:
             q, pos = self._parse_clauses(toks, pos + 1, stop_at_rparen=True)
         elif kind == "phrase":
             body, slop = m.group("phrase_body"), int(m.group("slop") or 0)
-            terms = _analyze_word(body)
-            if not terms:
+            pairs = self._analyze_phrase(body)
+            if not pairs:
                 q = MatchNoDocsQuery()
-            elif len(terms) == 1:
-                q = TermQuery(terms[0])
+            elif len(pairs) == 1:
+                q = TermQuery(pairs[0][0])
             else:
-                q = PhraseQuery(tuple(terms), slop=slop)
+                ps = tuple(p for _, p in pairs)
+                q = PhraseQuery(
+                    tuple(t for t, _ in pairs),
+                    slop=slop,
+                    # dense positions are the default — only holes need
+                    # explicit positions (keeps plain phrases' equality)
+                    positions=None if ps == tuple(range(len(ps))) else ps,
+                )
             pos += 1
         elif kind == "regexp":
             q = RegexpQuery(m.group("regexp_body"))
@@ -226,7 +245,7 @@ class QueryParser:
                 raise QueryParseError("empty term after field:")
         fuzzy = re.fullmatch(r"(?P<base>[^~]+)~(?P<edits>[012])?", word)
         if fuzzy:
-            base = _analyze_word(fuzzy.group("base"))
+            base = self._analyze_word(fuzzy.group("base"))
             if len(base) != 1:
                 raise QueryParseError(f"bad fuzzy term {word!r}")
             return FuzzyQuery(base[0], max_edits=int(fuzzy.group("edits") or 2))
@@ -235,7 +254,7 @@ class QueryParser:
             if re.fullmatch(r"[^*?]+\*", pat):
                 return PrefixQuery(pat[:-1])
             return WildcardQuery(pat)
-        terms = _analyze_word(word)
+        terms = self._analyze_word(word)
         if not terms:
             return MatchNoDocsQuery()
         if len(terms) == 1:

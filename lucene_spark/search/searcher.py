@@ -848,7 +848,29 @@ class IndexSearcher:
 
     def parse_terms(self, text: str) -> list[str]:
         """Analyze query text with the index analyzer (QueryParserBase:456)."""
+        a = self.index.analyzer
+        if a is not None and not a.is_noop():
+            return a.analyze_query(text)
         return tokenize_text(text)
+
+    def parse_phrase(self, text: str, slop: int = 0) -> Query:
+        """Analyze query text into a PhraseQuery that carries the index
+        analyzer's position holes (stopword gaps)."""
+        a = self.index.analyzer
+        if a is not None and not a.is_noop():
+            pairs = a.analyze_query_positions(text)
+        else:
+            pairs = [(t, i) for i, t in enumerate(tokenize_text(text))]
+        if not pairs:
+            return MatchNoDocsQuery()
+        if len(pairs) == 1:
+            return TermQuery(pairs[0][0])
+        ps = tuple(p for _, p in pairs)
+        return PhraseQuery(
+            tuple(t for t, _ in pairs),
+            slop=slop,
+            positions=None if ps == tuple(range(len(ps))) else ps,
+        )
 
     def count(self, query: Query) -> int:
         """TotalHitCountCollector analog — exact count."""

@@ -80,16 +80,63 @@ def main():
             (idx.with_packed(chunk_bits=6), mem_s.scored_packed(orq("spark", "query", "data"), k=10))[1],
         ),
         (
-            "Phrase query (positions algebra)",
-            "Positions arrays flow through JVM higher-order functions "
-            "(no Python); per-term sides join on doc_id.",
-            mem_s.scored(PhraseQuery(("the", "data"))),
+            "Phrase query (single-shuffle gather + positions algebra)",
+            "ONE Exchange total for the phrase-specific portion: per-term "
+            "position arrays gather in a single groupBy(doc_id) with "
+            "conditional aggregation (no n-way self-join); the start-position "
+            "intersection runs as JVM higher-order functions (no Python).",
+            mem_s.scored(PhraseQuery(("the", "data", "model"))),
+        ),
+        (
+            "Sloppy phrase (JVM chain fold)",
+            "Same single-Exchange gather; the SloppyPhraseMatcher frontier "
+            "chain runs as one aggregate() fold over the merged position "
+            "structs — no Python UDF for the 2-distinct-term case.",
+            mem_s.scored(PhraseQuery(("the", "data"), slop=2)),
         ),
         (
             "Stored docs top-k join-back",
             "doc_id range scan: the join back to (conv_id, turn_idx) should "
             "prune row groups via doc_id min/max.",
             disk_s.search(TermQuery("spark"), 5),
+        ),
+    ]
+
+    # pipeline-op plans over a small synthetic documents/embeddings frame
+    from pyspark.sql import functions as F
+
+    docs = corpus.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    from lucene_spark.pipeline import dedup as dd
+    from lucene_spark.pipeline import similarity as sim
+
+    emb = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.sin(F.col("id") * i).cast("float"),
+        ).alias("embedding"),
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    sections += [
+        (
+            "Exact dedup (shuffle join, no forced broadcast)",
+            "The duplicate-group relation joins back on text_hash WITHOUT a "
+            "broadcast hint — it is unbounded at scale; AQE may still pick "
+            "broadcast at runtime when the group table is actually small.",
+            dd.exact_duplicates(docs),
+        ),
+        (
+            "IVF ANN top-k (shuffle-free assignment)",
+            "Centroid assignment is a single projection (greatest() over "
+            "inlined centroid dots — no join, no explode); the only wide "
+            "operator is the final TakeOrderedAndProject.",
+            sim.ivf_topk(emb, qv, 10),
         ),
     ]
 

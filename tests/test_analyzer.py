@@ -1,0 +1,180 @@
+"""Analyzer chain v2: stopwords with position holes, Porter / S stemming,
+same-position synonyms — engine vs oracle rank+score parity."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis import ENGLISH_STOP_WORDS, Analyzer, porter_stem, s_stem
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, PhraseQuery, TermQuery
+
+
+# -- unit: stemmers ---------------------------------------------------------
+
+
+def test_porter_known_pairs():
+    """Spot vectors from the official Porter voc/output set (the full 23k
+    set is validated offline against porterTestData.zip)."""
+    for w, s in [
+        ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+        ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+        ("plastered", "plaster"), ("motoring", "motor"), ("sing", "sing"),
+        ("conflated", "conflat"), ("hopping", "hop"), ("relational", "relat"),
+        ("rational", "ration"), ("happy", "happi"), ("sky", "sky"),
+        ("electricity", "electr"), ("roll", "roll"), ("controller", "control"),
+        ("generalization", "gener"), ("oscillators", "oscil"),
+    ]:
+        assert porter_stem(w) == s, (w, porter_stem(w), s)
+
+
+def test_s_stem_rules():
+    assert s_stem("queries") == "query"
+    assert s_stem("tables") == "table"
+    assert s_stem("joins") == "join"
+    assert s_stem("glass") == "glass"
+    assert s_stem("corpus") == "corpus"
+    assert s_stem("goes") == "goes"
+    assert s_stem("model") == "model"
+
+
+# -- unit: position holes / synonyms ---------------------------------------
+
+EN = Analyzer(stopwords=ENGLISH_STOP_WORDS, stemmer="porter")
+
+
+def test_stop_holes_keep_original_positions():
+    out = EN.analyze_text("the model is training the data")
+    # 'the'(0) dropped, model@1, 'is'(2) dropped, training@3, 'the'(4), data@5
+    assert out == [("model", 1), ("train", 3), ("data", 5)]
+
+
+def test_synonyms_same_position_and_length():
+    a = Analyzer(synonyms=(("fast", "quick"),))
+    out = a.analyze_text("a fast join")
+    assert out == [("a", 0), ("fast", 1), ("quick", 1), ("join", 2)]
+
+
+def test_porter_plus_synonyms_rejected():
+    with pytest.raises(ValueError):
+        Analyzer(stemmer="porter", synonyms=(("a", "b"),))
+
+
+# -- engine vs oracle parity ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def en_index(spark, tiny_corpus):
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+
+    df = transcripts_df(spark, rows=tiny_corpus)
+    return IndexBuilder(num_segments=4, analyzer=EN).build(df)
+
+
+@pytest.fixture(scope="module")
+def en_oracle(tiny_corpus):
+    return OracleIndex.build(tiny_corpus, analyzer=EN)
+
+
+def _check(engine_rows, oracle_hits, oracle):
+    okeys = oracle.topk_keys(oracle_hits)
+    assert [(r.conv_id, r.turn_idx) for r in engine_rows] == [
+        (c, t) for c, t, _ in okeys
+    ]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine_rows], dtype=np.float32),
+        np.array([s for _, _, s in okeys], dtype=np.float32),
+    )
+
+
+def test_stemmed_term_query_parity(spark, en_index, en_oracle):
+    s = IndexSearcher(en_index)
+    # query text 'training' -> stem 'train'
+    terms = s.parse_terms("training models")
+    assert terms == ["train", "model"]
+    q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    _check(s.search(q, 10).collect(), en_oracle.search_or(terms, 10), en_oracle)
+
+
+def test_stopword_only_query_matches_nothing(spark, en_index):
+    s = IndexSearcher(en_index)
+    assert s.parse_terms("the and of") == []
+
+
+def test_phrase_with_hole_parity(spark, en_index, en_oracle):
+    """Phrase '<word> the <word>' — the stopword leaves a hole the phrase
+    must respect (positions 0,2)."""
+    s = IndexSearcher(en_index)
+    q = s.parse_phrase("model the training")
+    assert isinstance(q, PhraseQuery) and q.positions == (0, 2)
+    engine = s.search(q, 10).collect()
+    oracle = en_oracle.search_phrase(
+        ["model", "train"], 10, positions=[0, 2]
+    )
+    _check(engine, oracle, en_oracle)
+
+
+def test_sloppy_phrase_on_analyzed_index_parity(spark, en_index, en_oracle):
+    s = IndexSearcher(en_index)
+    q = s.parse_phrase("model training", slop=2)
+    assert q.positions is None  # dense positions normalize to None
+    engine = s.search(q, 10).collect()
+    oracle = en_oracle.search_sloppy_phrase(["model", "train"], 2, 10)
+    _check(engine, oracle, en_oracle)
+    # and with a real hole: "model the training" -> positions (0, 2)
+    q2 = s.parse_phrase("model the training", slop=2)
+    assert q2.positions == (0, 2)
+    engine2 = s.search(q2, 10).collect()
+    oracle2 = en_oracle.search_sloppy_phrase(
+        ["model", "train"], 2, 10, positions=[0, 2]
+    )
+    _check(engine2, oracle2, en_oracle)
+
+
+def test_norms_exclude_stopwords(spark, en_index, en_oracle, tiny_corpus):
+    rows = {
+        (r.conv_id, r.turn_idx): (r.length, r.norm)
+        for r in en_index.docs.collect()
+    }
+    for d in en_oracle.docs:
+        assert rows[(d.conv_id, d.turn_idx)] == (len(d.tokens), d.norm)
+
+
+def test_synonym_index_parity(spark, tiny_corpus):
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+
+    syn = Analyzer(
+        stopwords=frozenset({"the"}), stemmer="s",
+        synonyms=(("model", "network"),),
+    )
+    df = transcripts_df(spark, rows=tiny_corpus)
+    idx = IndexBuilder(num_segments=4, analyzer=syn).build(df)
+    orc = OracleIndex.build(tiny_corpus, analyzer=syn)
+    s = IndexSearcher(idx)
+    # 'network' now hits every doc containing 'model' (synonym emission)
+    _check(
+        s.search(TermQuery("network"), 10).collect(),
+        orc.search_or(["network"], 10),
+        orc,
+    )
+
+
+def test_store_roundtrip_preserves_analyzer(spark, en_index, tmp_path):
+    from lucene_spark.index.store import load_index, save_index
+
+    p = str(tmp_path / "enidx")
+    save_index(en_index, p)
+    idx2 = load_index(spark, p)
+    assert idx2.analyzer is not None
+    assert idx2.analyzer.stemmer == "porter"
+    assert "the" in idx2.analyzer.stopwords
+    s = IndexSearcher(idx2)
+    assert s.parse_terms("training") == ["train"]
+    assert s.search(TermQuery("model"), 5).count() > 0
+    # loaded-index search parity with the in-memory index
+    a = IndexSearcher(en_index).search(TermQuery("model"), 5).collect()
+    b = s.search(TermQuery("model"), 5).collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in a] == [
+        (r.conv_id, r.turn_idx, r.score) for r in b
+    ]
