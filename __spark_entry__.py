@@ -275,7 +275,11 @@ def _transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("role"),
         F.col("text"),
         F.col("source").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"),
+        # deterministic timestamp (97-hour cycle) for sort-by-field queries
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(doc_id % 97 AS INT), 0, 0)"
+        ).alias("ts"),
     )
 
 
@@ -366,6 +370,60 @@ def _topk_after_delete_sql(terms, k: int, del_turn: int) -> str:
         + ", "
         + _scored_from(where).lstrip()
         + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
+def _q_topk_by_ts_then_score(term: str, k: int):
+    """Sort/SortField surface (SortField.java:60-119, TopFieldCollector):
+    top-k by (ts desc, score desc, doc asc).  Both engines order by the
+    IDENTICAL f64 score values; output carries round(score*1e4) + epoch."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import Sort, SortField, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        srt = Sort.by(SortField("ts", reverse=True), SortField("score"))
+        top = searcher.search_sorted(TermQuery(term), k, srt)
+        return top.select(
+            F.col("rank").cast("int").alias("rank"),
+            "conv_id",
+            "turn_idx",
+            F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+            F.round(F.col("score") * 10000).cast("long").alias("score_i"),
+        ).orderBy("rank")
+
+    return run
+
+
+def _topk_by_ts_sql(term: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+tsd AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 97) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+  GROUP BY 1, 2
+),
+ordered AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY ts DESC, score DESC, s.conv_id, s.turn_idx) AS INT) AS rank,
+         s.conv_id, s.turn_idx,
+         CAST(epoch(ts) AS BIGINT) AS ts_epoch,
+         CAST(round(score * 10000) AS BIGINT) AS score_i
+  FROM scored s JOIN tsd USING (conv_id, turn_idx)
+)
+SELECT rank, conv_id, turn_idx, ts_epoch, score_i
+FROM ordered WHERE rank <= {k} ORDER BY rank"""
     )
 
 
@@ -905,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stemmed": _q_topk_stemmed("queries joins tables", 20),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
+        "topk_by_ts_then_score": _q_topk_by_ts_then_score("data", 10),
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -939,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_stemmed": _an_topk_sql(["query", "join", "table"], 20),
         "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
         "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),
+        "topk_by_ts_then_score": _topk_by_ts_sql("data", 10),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

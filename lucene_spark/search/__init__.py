@@ -12,6 +12,8 @@ from lucene_spark.search.query import (  # noqa: F401
     PrefixQuery,
     Query,
     RegexpQuery,
+    Sort,
+    SortField,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,

@@ -120,6 +120,41 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class SortField:
+    """core/search/SortField.java:60-119 — sort by a doc-values field.
+
+    ``field``: a docs-relation column name, or the specials ``"score"``
+    (relevance — natural order is best-first, i.e. descending score) and
+    ``"doc"`` (docID — natural order ascending).  ``reverse`` flips the
+    natural order, exactly like the reference's ``SortField(f, type,
+    reverse)``.  Missing (null) values sort last in natural order."""
+
+    field: str
+    reverse: bool = False
+
+
+@dataclass(frozen=True)
+class Sort:
+    """core/search/Sort.java — an ordered chain of SortFields.  An implicit
+    (doc asc) tie-break terminates every chain (TopFieldCollector
+    semantics)."""
+
+    fields: tuple  # tuple[SortField, ...]
+
+    @classmethod
+    def by(cls, *fields: SortField) -> "Sort":
+        return cls(tuple(fields))
+
+    @classmethod
+    def relevance(cls) -> "Sort":
+        return cls((SortField("score"),))
+
+    @classmethod
+    def index_order(cls) -> "Sort":
+        return cls((SortField("doc"),))
+
+
+@dataclass(frozen=True)
 class TermInSetQuery(Query):
     """core/search/TermInSetQuery.java:72 — field IN (set), constant score."""
 

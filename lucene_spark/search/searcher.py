@@ -49,6 +49,8 @@ from lucene_spark.search.query import (
     Query,
     RangePredicate,
     RegexpQuery,
+    Sort,
+    SortField,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,
@@ -844,6 +846,79 @@ class IndexSearcher:
             "conv_id",
             "turn_idx",
             "score",
+        ).orderBy("rank")
+
+    # -- sort-by-field surface (SortField.java:60-119 / TopFieldCollector)
+    def _sort_specs(self, sort: "Sort"):
+        """[(column, descending, name)] for a Sort chain + implicit doc
+        tie-break."""
+        specs = []
+        for f in sort.fields:
+            if f.field == "score":
+                col, name, desc_natural = F.col("score"), "score", True
+            elif f.field == "doc":
+                col, name, desc_natural = F.col("doc_id"), "doc_id", False
+            else:
+                col, name, desc_natural = F.col(f.field), f.field, False
+            specs.append((col, desc_natural != f.reverse, name))
+        specs.append((F.col("doc_id"), False, "doc_id"))
+        return specs
+
+    def search_sorted(
+        self, query: Query, k: int, sort: "Sort", search_after=None
+    ) -> DataFrame:
+        """Top-k by an explicit Sort (≙ IndexSearcher.search(q, n, sort) via
+        TopFieldCollector): DataFrame(rank, doc_id, conv_id, turn_idx,
+        score, <sort fields...>), ordered by the sort chain with the
+        implicit (doc asc) terminal tie-break.  Lowers to
+        TakeOrderedAndProject — no global sort materializes.
+
+        ``search_after``: tuple of the last page's sort-field values (in
+        sort-chain order, doc_id last) — TopFieldCollector's paging.
+        """
+        from pyspark.sql import Window
+
+        scored = self.scored(query)
+        field_names = [
+            f.field for f in sort.fields if f.field not in ("score", "doc")
+        ]
+        base = self.index.docs.select(
+            "doc_id", "conv_id", "turn_idx",
+            *[c for c in dict.fromkeys(field_names) if c not in ("conv_id", "turn_idx")],
+        )
+        df = scored.join(base, "doc_id")
+        specs = self._sort_specs(sort)
+        if search_after is not None:
+            if len(search_after) != len(specs):
+                raise ValueError(
+                    f"search_after needs {len(specs)} values (sort fields + doc_id)"
+                )
+            # lexicographic strictly-after predicate honoring per-field
+            # direction (TopFieldCollector.searchAfter semantics)
+            pred = None
+            for i, (col, descending, _) in enumerate(specs):
+                cond = None
+                for j in range(i):
+                    cj = specs[j][0]
+                    eq = cj.eqNullSafe(F.lit(search_after[j]))
+                    cond = eq if cond is None else cond & eq
+                av = F.lit(search_after[i])
+                strict = (col < av) if descending else (col > av)
+                cond = strict if cond is None else cond & strict
+                pred = cond if pred is None else pred | cond
+            df = df.filter(pred)
+        order = [
+            (F.desc_nulls_last(c) if d else F.asc_nulls_last(c))
+            for c, d, _ in specs
+        ]
+        top = df.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        out_cols = ["doc_id", "conv_id", "turn_idx", "score"] + [
+            c for c in dict.fromkeys(field_names)
+            if c not in ("conv_id", "turn_idx")
+        ]
+        return top.select(
+            F.row_number().over(w).alias("rank"), *out_cols
         ).orderBy("rank")
 
     def parse_terms(self, text: str) -> list[str]:

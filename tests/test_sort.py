@@ -1,0 +1,85 @@
+"""Sort/SortField surface: field ordering, reverse, score mixing,
+searchAfter paging — verified against a driver-side brute force over the
+full match set."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher, Sort, SortField, TermQuery
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return IndexSearcher(tiny_index)
+
+
+def _brute(searcher, term, keyfuncs):
+    """Full match set joined to doc fields, sorted by keyfuncs."""
+    idx = searcher.index
+    scored = searcher.scored(TermQuery(term))
+    rows = (
+        scored.join(
+            idx.docs.select("doc_id", "conv_id", "turn_idx", "length"), "doc_id"
+        )
+    ).collect()
+    return sorted(rows, key=keyfuncs)
+
+
+def test_sort_by_field_asc(searcher):
+    got = searcher.search_sorted(
+        TermQuery("model"), 10, Sort.by(SortField("turn_idx"))
+    ).collect()
+    want = _brute(searcher, "model", lambda r: (r.turn_idx, r.doc_id))[:10]
+    assert [(r.conv_id, r.turn_idx) for r in got] == [
+        (r.conv_id, r.turn_idx) for r in want
+    ]
+
+
+def test_sort_by_field_reverse(searcher):
+    got = searcher.search_sorted(
+        TermQuery("model"), 10, Sort.by(SortField("turn_idx", reverse=True))
+    ).collect()
+    want = _brute(searcher, "model", lambda r: (-r.turn_idx, r.doc_id))[:10]
+    assert [(r.conv_id, r.turn_idx) for r in got] == [
+        (r.conv_id, r.turn_idx) for r in want
+    ]
+
+
+def test_sort_field_then_score(searcher):
+    got = searcher.search_sorted(
+        TermQuery("model"), 10,
+        Sort.by(SortField("length"), SortField("score")),
+    ).collect()
+    want = _brute(searcher, "model", lambda r: (r.length, -r.score, r.doc_id))[:10]
+    assert [(r.conv_id, r.turn_idx) for r in got] == [
+        (r.conv_id, r.turn_idx) for r in want
+    ]
+
+
+def test_sort_relevance_matches_search(searcher):
+    a = searcher.search(TermQuery("model"), 10).collect()
+    b = searcher.search_sorted(TermQuery("model"), 10, Sort.relevance()).collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in a] == [
+        (r.conv_id, r.turn_idx, r.score) for r in b
+    ]
+
+
+def test_search_after_pages_are_disjoint_and_ordered(searcher):
+    srt = Sort.by(SortField("turn_idx"), SortField("score"))
+    page1 = searcher.search_sorted(TermQuery("model"), 5, srt).collect()
+    last = page1[-1]
+    page2 = searcher.search_sorted(
+        TermQuery("model"), 5, srt,
+        search_after=(last.turn_idx, float(last.score), last.doc_id),
+    ).collect()
+    want = _brute(searcher, "model", lambda r: (r.turn_idx, -r.score, r.doc_id))[:10]
+    got = [(r.conv_id, r.turn_idx) for r in page1 + page2]
+    assert got == [(r.conv_id, r.turn_idx) for r in want]
+    assert len({(r.conv_id, r.turn_idx) for r in page1 + page2}) == len(got)
+
+
+def test_search_after_arity_check(searcher):
+    with pytest.raises(ValueError):
+        searcher.search_sorted(
+            TermQuery("model"), 5, Sort.by(SortField("turn_idx")),
+            search_after=(1,),
+        )

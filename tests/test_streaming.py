@@ -91,3 +91,59 @@ def test_streaming_wiring_availablenow(spark, tiny_corpus, tmp_path_factory):
     assert idx.stats["max_doc"] == df.count()
     s = IndexSearcher(idx)
     assert s.search(TermQuery("model"), 5).count() == 5
+
+
+def test_tiered_merge_many_microbatches(spark, tiny_corpus, tmp_path_factory):
+    """25 micro-batches with a tight tier budget compact to a handful of
+    segments; results and stats are identical to the unmerged view, replay
+    stays idempotent across merged batch_ids, and the reopen plan has ONE
+    parquet scan node regardless of segment count."""
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.streaming.incremental import TieredMergePolicy
+
+    df = transcripts_df(spark, rows=tiny_corpus).orderBy("conv_id", "turn_idx")
+    convs = sorted({r["conv_id"] for r in tiny_corpus})
+    n_batches = 25
+    pol = TieredMergePolicy(segs_per_tier=3, max_merge_at_once=4, floor_docs=10)
+    ix = IncrementalIndexer(
+        str(tmp_path_factory.mktemp("tiered") / "idx"), merge_policy=pol
+    )
+    ref = IncrementalIndexer(str(tmp_path_factory.mktemp("ref") / "idx"))
+    for b in range(n_batches):
+        sel = [c for i, c in enumerate(convs) if i % n_batches == b]
+        part = df.filter(F.col("conv_id").isin(sel))
+        ix.process_batch(part, batch_id=b)
+        ix.maybe_merge(spark)
+        ref.process_batch(part, batch_id=b)
+
+    live = ix._manifests()
+    assert len(live) <= pol.allowed_seg_count([m["n_docs"] for m in live]) + 1
+    assert len(live) < n_batches // 2
+    assert len(ref._manifests()) == n_batches
+
+    got = ix.open_index(spark)
+    want = ref.open_index(spark)
+    assert got.stats == want.stats
+    gs, ws = IndexSearcher(got), IndexSearcher(want)
+    for q in [TermQuery("model"), _or("the", "spark", "query")]:
+        assert _topk(gs, q) == _topk(ws, q)
+
+    # merged batch_ids keep replay idempotent
+    n_before = len(ix._manifests())
+    ix.process_batch(df.limit(5), batch_id=3)
+    assert len(ix._manifests()) == n_before
+
+    # flat plan: one parquet FileScan per family regardless of segment count
+    plan = got.docs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_allowed_seg_count_budget():
+    from lucene_spark.streaming.incremental import TieredMergePolicy
+
+    pol = TieredMergePolicy(segs_per_tier=10, max_merge_at_once=10, floor_docs=1000)
+    # 100 floor-sized segments are way over budget
+    assert pol.allowed_seg_count([1000] * 100) < 30
+    # a few big segments are within budget
+    assert pol.allowed_seg_count([1_000_000, 900_000, 800_000]) >= 3
+    assert pol.select_merge([]) is None
