@@ -647,6 +647,123 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_highlight(term: str, k: int, width: int = 60):
+    """Top-k for a term + SQL-reproducible first-match snippet (the full
+    UnifiedHighlighter-style passage path is search.highlight.highlight_hits,
+    pytest-gated; this variant keeps the driver hash-checkable)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.highlight import first_match_snippets
+
+        idx, searcher = _searcher(spark, sf_dir)
+        top = _ranked_topk(searcher, TermQuery(term), k)
+        text_df = (
+            _transcripts_df(spark, sf_dir)
+            .join(idx.docs.select("doc_id", "conv_id", "turn_idx"),
+                  ["conv_id", "turn_idx"])
+            .select("doc_id", "text")
+        )
+        hits = top.join(
+            idx.docs.select("doc_id", "conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+        )
+        out = first_match_snippets(hits, text_df, term, width)
+        return out.select("rank", "conv_id", "turn_idx", "score_i", "snippet").orderBy(
+            "rank"
+        )
+
+    return run
+
+
+def _highlight_sql(term: str, k: int, width: int = 60) -> str:
+    half = width // 2
+    return (
+        _PRELUDE
+        + ", "
+        + _scored_from(f"tf.term = '{term}'").lstrip()
+        + f""",
+snip AS (
+  SELECT r.rank, r.conv_id, r.turn_idx, r.score_i,
+         CASE WHEN strpos(lower(t.text), '{term}') > 0 THEN
+           replace(substr(lower(t.text),
+                   CAST(greatest(1, strpos(lower(t.text), '{term}') - {half}) AS INT),
+                   {width}),
+                   '{term}', '<b>{term}</b>')
+         ELSE '' END AS snippet
+  FROM ranked r JOIN tr t USING (conv_id, turn_idx)
+  WHERE r.rank <= {k}
+)
+SELECT rank, conv_id, turn_idx, score_i, snippet FROM snip ORDER BY rank"""
+    )
+
+
+def _q_common_terms(terms, k: int, mtf: float):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.query import CommonTermsQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = CommonTermsQuery(tuple(terms), max_term_frequency=mtf)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _common_terms_sql(terms, k: int, mtf: float) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+cls AS (
+  SELECT term, doc_freq > {mtf} * (SELECT count(*) FROM tr) AS is_high
+  FROM dfreq WHERE term IN ({tlist})
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  JOIN cls ON cls.term = tf.term
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+  HAVING count(DISTINCT CASE WHEN NOT cls.is_high THEN tf.term END) >= 1
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_suggest_prefix(prefix: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.suggest import suggest_terms
+
+        idx, _ = _searcher(spark, sf_dir)
+        return suggest_terms(idx, prefix, k)
+
+    return run
+
+
+def _suggest_prefix_sql(prefix: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+cands AS (
+  SELECT term, total_term_freq AS weight FROM dfreq WHERE term LIKE '{prefix}%'
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY weight DESC, term) AS INT) AS rank,
+         term, weight
+  FROM cands
+)
+SELECT rank, term, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, _ = _searcher(spark, sf_dir)
     return idx.term_stats.select(
@@ -964,6 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
         "topk_by_ts_then_score": _q_topk_by_ts_then_score("data", 10),
+        "common_terms_topk": _q_common_terms(["dup", "the", "data"], 10, 0.5),
+        "suggest_prefix": _q_suggest_prefix("s", 10),
+        "highlight_term_topk": _q_highlight("spark", 10),
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -999,6 +1119,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
         "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),
         "topk_by_ts_then_score": _topk_by_ts_sql("data", 10),
+        "common_terms_topk": _common_terms_sql(["dup", "the", "data"], 10, 0.5),
+        "suggest_prefix": _suggest_prefix_sql("s", 10),
+        "highlight_term_topk": _highlight_sql("spark", 10),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

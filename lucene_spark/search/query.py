@@ -47,6 +47,24 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """queries/.../CommonTermsQuery.java:66 — terms split by document
+    frequency: low-frequency terms drive matching (``low_freq_occur`` +
+    ``low_freq_min_should_match``), high-frequency (common) terms only
+    contribute score.  A term is "common" when doc_freq >
+    ``max_term_frequency`` (a fraction of maxDoc when < 1, an absolute
+    count otherwise — CommonTermsQuery.java:338-344).  The searcher
+    rewrites against the live term dictionary (needs doc freqs)."""
+
+    terms: tuple
+    max_term_frequency: float = 0.01
+    low_freq_occur: "Occur" = None  # defaults applied in searcher (SHOULD)
+    high_freq_occur: "Occur" = None
+    low_freq_min_should_match: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: Query
     occur: Occur

@@ -268,6 +268,10 @@ class IndexSearcher:
     def _scored(self, q: Query) -> DataFrame:
         if isinstance(q, TermQuery):
             return self._scored_terms({q.term: q.boost})
+        from lucene_spark.search.query import CommonTermsQuery
+
+        if isinstance(q, CommonTermsQuery):
+            return self._scored_common_terms(q)
         if isinstance(q, SynonymQuery):
             return self._scored_synonym(q)
         if isinstance(q, BooleanQuery):
@@ -497,6 +501,46 @@ class IndexSearcher:
         for sub in must_nots:
             scored = scored.join(self._matches(sub), "doc_id", "left_anti")
         return scored
+
+    def _scored_common_terms(self, q: "CommonTermsQuery") -> DataFrame:
+        """CommonTermsQuery.java:283-344 buildQuery: split terms at the
+        doc-freq cutoff; low-frequency terms drive matching, high-frequency
+        terms join as optional score contributors."""
+        from lucene_spark.search.query import CommonTermsQuery  # noqa: F401
+
+        terms = list(q.terms)
+        if not terms:
+            return self._empty_scored()
+        dfs = self.term_doc_freqs(terms)
+        max_doc = self.index.stats["max_doc"]
+        cutoff = (
+            q.max_term_frequency * max_doc
+            if 0 < q.max_term_frequency < 1.0
+            else q.max_term_frequency
+        )
+        low_occ = q.low_freq_occur or Occur.SHOULD
+        high_occ = q.high_freq_occur or Occur.SHOULD
+        low = [t for t in terms if dfs.get(t, 0) <= cutoff]
+        high = [t for t in terms if dfs.get(t, 0) > cutoff]
+        if not low:
+            built = BooleanQuery.of(
+                *[(TermQuery(t, boost=q.boost), high_occ) for t in high]
+            )
+        elif not high:
+            built = BooleanQuery.of(
+                *[(TermQuery(t, boost=q.boost), low_occ) for t in low],
+                min_should_match=q.low_freq_min_should_match,
+            )
+        else:
+            low_sub = BooleanQuery.of(
+                *[(TermQuery(t, boost=q.boost), low_occ) for t in low],
+                min_should_match=q.low_freq_min_should_match,
+            )
+            high_sub = BooleanQuery.of(
+                *[(TermQuery(t, boost=q.boost), high_occ) for t in high]
+            )
+            built = BooleanQuery.of((low_sub, Occur.MUST), (high_sub, Occur.SHOULD))
+        return self._scored(built.rewrite())
 
     def _gather_positions(self, terms: Sequence[str]) -> DataFrame:
         """(doc_id, norm, _p0.._p{n-1}) for docs containing ALL terms — the

@@ -1,0 +1,86 @@
+"""CommonTermsQuery + suggest module."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search.query import CommonTermsQuery
+from lucene_spark.search.suggest import suggest_fuzzy, suggest_terms
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return IndexSearcher(tiny_index)
+
+
+def _expected_common(oracle, terms, mtf, k):
+    """Brute force vs the oracle: docs matching >=1 low-frequency term,
+    scored over all matched terms (low + high)."""
+    max_doc = len(oracle.docs)
+    cutoff = mtf * max_doc if 0 < mtf < 1 else mtf
+    low = [t for t in terms if oracle.doc_freq(t) <= cutoff]
+    per_term = {t: oracle.term_scores(t) for t in terms}
+    doc_ids = set()
+    for t in low:
+        doc_ids |= set(per_term[t])
+    scores = {}
+    for d in doc_ids:
+        acc = 0.0
+        for t in terms:
+            if d in per_term[t]:
+                acc += float(per_term[t][d])
+        scores[d] = np.float32(acc)
+    return oracle.topk_keys(oracle._topk(scores, k))
+
+
+def test_common_terms_vs_oracle(searcher, tiny_oracle):
+    terms = ("rareterm007", "the", "model")
+    q = CommonTermsQuery(terms, max_term_frequency=0.5)
+    got = searcher.search(q, 10).collect()
+    want = _expected_common(tiny_oracle, terms, 0.5, 10)
+    assert [(r.conv_id, r.turn_idx) for r in got] == [(c, t) for c, t, _ in want]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in got], dtype=np.float32),
+        np.array([s for _, _, s in want], dtype=np.float32),
+    )
+
+
+def test_common_terms_all_high_degrades_to_or(searcher):
+    from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+    q = CommonTermsQuery(("the", "model"), max_term_frequency=0.0000001)
+    got = searcher.search(q, 10).collect()
+    want = searcher.search(
+        BooleanQuery.of((TermQuery("the"), Occur.SHOULD), (TermQuery("model"), Occur.SHOULD)),
+        10,
+    ).collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in got] == [
+        (r.conv_id, r.turn_idx, r.score) for r in want
+    ]
+
+
+def test_suggest_prefix_matches_brute(searcher, tiny_index):
+    got = suggest_terms(tiny_index, "s", 10).collect()
+    stats = {
+        r.term: int(r.total_term_freq)
+        for r in tiny_index.term_stats.collect()
+        if r.term.startswith("s")
+    }
+    want = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.term, r.weight) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_suggest_fuzzy_recovers_typo(searcher, tiny_index):
+    exact = {r.term for r in suggest_terms(tiny_index, "mod", 10).collect()}
+    fuzzy = {r.term for r in suggest_fuzzy(tiny_index, "mdd", 10, max_edits=1).collect()}
+    assert "model" in exact
+    assert "model" in fuzzy  # one substitution away from 'mod'
+
+
+def test_suggest_custom_weights(spark, tiny_index):
+    w = spark.createDataFrame(
+        [("model", 5), ("merge", 500)], "term string, weight long"
+    )
+    got = suggest_terms(tiny_index, "m", 10, weights=w).collect()
+    assert [r.term for r in got] == ["merge", "model"]

@@ -1,0 +1,84 @@
+"""Highlighting: passage extraction semantics + Spark plumbing."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher, TermQuery
+from lucene_spark.search.highlight import (
+    extract_passages,
+    first_match_snippets,
+    highlight_hits,
+)
+
+
+# -- unit: extract_passages -------------------------------------------------
+
+
+def test_wraps_all_matches_in_best_passage():
+    out = extract_passages("the spark engine sparks joy", {"spark": 1.0})
+    assert "<b>spark</b>" in out
+    # 'sparks' is a different token — not wrapped
+    assert "<b>sparks</b>" not in out and "sparks" in out
+
+
+def test_picks_highest_weighted_passage():
+    text = ("alpha beta gamma delta epsilon zeta " * 3
+            + " needle needle needle "
+            + "eta theta iota kappa " * 3)
+    out = extract_passages(text, {"needle": 2.0, "alpha": 0.1},
+                           max_passages=1, passage_chars=40)
+    assert "<b>needle</b>" in out
+    assert "<b>alpha</b>" not in out
+
+
+def test_multiple_passages_in_text_order():
+    text = ("first match here " + "x " * 60
+            + "second match there")
+    out = extract_passages(text, {"match": 1.0}, max_passages=2, passage_chars=30)
+    assert out.count("<b>match</b>") == 2
+    assert " ... " in out
+    assert out.index("first") < out.index("second")
+
+
+def test_no_match_yields_empty():
+    assert extract_passages("nothing relevant here", {"absent": 1.0}) == ""
+    assert extract_passages("", {"x": 1.0}) == ""
+
+
+def test_case_preserved_outside_tags():
+    out = extract_passages("The Spark Engine", {"spark": 1.0})
+    assert "<b>Spark</b>" in out  # original casing kept inside the wrap
+
+
+# -- Spark plumbing ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def text_df(spark, tiny_corpus, tiny_index):
+    from lucene_spark.fixtures import transcripts_df
+
+    tr = transcripts_df(spark, rows=tiny_corpus)
+    return tr.join(
+        tiny_index.docs.select("doc_id", "conv_id", "turn_idx"),
+        ["conv_id", "turn_idx"],
+    ).select("doc_id", "text")
+
+
+def test_highlight_hits_end_to_end(spark, tiny_index, text_df):
+    s = IndexSearcher(tiny_index)
+    hits = s.search(TermQuery("model"), 5)
+    out = highlight_hits(s, ["model"], hits, text_df=text_df).collect()
+    assert len(out) == 5
+    for r in out:
+        assert "<b>" in r.snippet and "</b>" in r.snippet
+        assert "model" in r.snippet.lower()
+
+
+def test_first_match_snippets_jvm(spark, tiny_index, text_df):
+    s = IndexSearcher(tiny_index)
+    hits = s.search(TermQuery("model"), 5)
+    out = first_match_snippets(hits, text_df, "model", width=40).collect()
+    for r in out:
+        assert "<b>model</b>" in r.snippet
+        assert len(r.snippet) <= 40 + len("<b></b>") * (
+            r.snippet.count("<b>")
+        )
