@@ -647,6 +647,157 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_intervals(t0: str, t1: str, k: int):
+    """IntervalQuery: maxgaps(0, ordered(t0, t1)) — the engine runs the
+    full minimal-interval iterator UDF; the oracle derives the same
+    intervals via the validated 2-term closed form (pred + no intervening
+    occurrence), which for gaps=0 reduces to adjacency, so freq is an
+    exact order-free integer in both engines."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.intervals import maxgaps, ordered
+        from lucene_spark.search.query import IntervalQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = IntervalQuery(maxgaps(0, ordered(t0, t1)))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _intervals_sql(t0: str, t1: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+parr2 AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pa AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t0}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+pb AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t1}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+fq AS (
+  SELECT b.conv_id, b.turn_idx, count(*) AS freq
+  FROM pb b JOIN pa a
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.pos = b.pos - 1
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT conv_id, turn_idx, 1.0 * (1 - 1.0 / (1 + freq)) AS score
+  FROM fq WHERE freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor/percolator: registered queries matched against the document
+    batch (stream-static join analog)."""
+    from lucene_spark.search import BooleanQuery, Occur, PhraseQuery, PrefixQuery, TermQuery
+    from lucene_spark.streaming.monitor import Monitor
+
+    mon = Monitor(
+        {
+            "q_term": TermQuery("spark"),
+            "q_bool": BooleanQuery.of(
+                (TermQuery("data"), Occur.MUST), (TermQuery("slow"), Occur.MUST_NOT)
+            ),
+            "q_phrase": PhraseQuery(("the", "customer")),
+            "q_prefix": PrefixQuery("mod"),
+        }
+    )
+    docs = _transcripts_df(spark, sf_dir)
+    return mon.match_batch(docs, id_cols=("conv_id", "turn_idx"))
+
+
+_MONITOR_SQL = (
+    _PRELUDE
+    + """,
+parr3 AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+)
+SELECT DISTINCT conv_id, turn_idx, 'q_term' AS query_id
+FROM toks WHERE term = 'spark'
+UNION ALL
+SELECT conv_id, turn_idx, 'q_bool' AS query_id
+FROM (SELECT DISTINCT conv_id, turn_idx FROM toks WHERE term = 'data') d
+WHERE NOT EXISTS (SELECT 1 FROM toks x
+                  WHERE x.conv_id = d.conv_id AND x.turn_idx = d.turn_idx
+                    AND x.term = 'slow')
+UNION ALL
+SELECT conv_id, turn_idx, 'q_phrase' AS query_id
+FROM parr3
+WHERE len(list_filter(range(1, len(arr)),
+      i -> arr[i] = 'the' AND arr[i + 1] = 'customer')) > 0
+UNION ALL
+SELECT DISTINCT conv_id, turn_idx, 'q_prefix' AS query_id
+FROM toks WHERE term LIKE 'mod%'"""
+)
+
+
+_SCORE_CLASSIC = (
+    "(ln((stats.doc_count + 1) / (dfreq.doc_freq + 1.0)) + 1)"
+    " * sqrt(tf.freq) / sqrt(dlq.dlq)"
+)
+
+
+def _q_tfidf(terms, k: int):
+    """ClassicSimilarity (TFIDF) scoring plug: same index, different
+    Similarity — classic_f64 mode for the cross-engine check."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("classic", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="classic_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _tfidf_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE_CLASSIC}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_highlight(term: str, k: int, width: int = 60):
     """Top-k for a term + SQL-reproducible first-match snippet (the full
     UnifiedHighlighter-style passage path is search.highlight.highlight_hits,
@@ -1084,6 +1235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": _q_common_terms(["dup", "the", "data"], 10, 0.5),
         "suggest_prefix": _q_suggest_prefix("s", 10),
         "highlight_term_topk": _q_highlight("spark", 10),
+        "tfidf_topk": _q_tfidf(["spark", "query", "data"], 10),
+        "intervals_ordered_topk": _q_intervals("customer", "join", 10),
+        "monitor_matches": _q_monitor,
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -1122,6 +1276,9 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _common_terms_sql(["dup", "the", "data"], 10, 0.5),
         "suggest_prefix": _suggest_prefix_sql("s", 10),
         "highlight_term_topk": _highlight_sql("spark", 10),
+        "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
+        "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
+        "monitor_matches": _MONITOR_SQL,
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

@@ -136,6 +136,30 @@ class OracleIndex:
             out[doc_id] = np.float32(score)
         return out
 
+    def term_scores_classic(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        """ClassicSimilarity (TFIDFSimilarity.java:506-510): score =
+        (sqrt(freq) * queryWeight) * normTable[norm]; queryWeight = boost *
+        float32(log((docCount+1)/(docFreq+1)) + 1); normTable[i] =
+        float32(1/sqrt(length_i)), slot 0 = 1f/normTable[255]."""
+        N, n = self.doc_count, self.doc_freq(term)
+        idf = np.float32(math.log((N + 1) / (n + 1)) + 1.0)
+        qw = np.float32(np.float32(boost) * idf)
+        table = np.zeros(256, dtype=np.float32)
+        for i in range(1, 256):
+            table[i] = np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[i])))
+        table[0] = np.float32(1.0) / table[255]
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in self.postings.get(term, {}).items():
+            tf = np.float32(math.sqrt(float(freq)))
+            raw = np.float32(tf * qw)
+            out[doc_id] = np.float32(raw * table[self.docs[doc_id].norm])
+        return out
+
+    def search_or_classic(self, terms: list[str], k: int):
+        per_term = [self.term_scores_classic(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
     def _sum_scores(self, per_term: list[dict[int, np.float32]], doc_ids) -> dict[int, np.float32]:
         out = {}
         for d in doc_ids:

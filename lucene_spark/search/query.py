@@ -138,6 +138,35 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """core/search/BlendedTermQuery.java:281-315 — several related terms
+    scored as if they shared statistics: every term's docFreq is replaced
+    by the MAX docFreq across members (so rarer variants aren't over-
+    boosted), then combined with DisjunctionMax(tie_breaker=0.01)
+    (DISJUNCTION_MAX_REWRITE, :154-189).  ``boosts`` pairs with ``terms``
+    (default all 1.0)."""
+
+    terms: tuple
+    boosts: tuple | None = None
+    tie_breaker: float = 0.01
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """queries/.../intervals/IntervalQuery.java — match docs where an
+    IntervalsSource (search.intervals: Term/Ordered/Unordered/MaxGaps/
+    MaxWidth) produces at least one interval; score = saturation:
+    boost * (1 - pivot/(pivot + freq)) with freq = Σ 1/max(len-minExtent+1,
+    1) over the traversal's intervals (IntervalScorer.java:66-74,
+    IntervalScoreFunction.java:56-75)."""
+
+    source: object  # search.intervals.IntervalsSource
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SortField:
     """core/search/SortField.java:60-119 — sort by a doc-values field.
 

@@ -65,23 +65,28 @@ def _f32(x) -> float:
 
 
 class IndexSearcher:
-    """Two scoring modes:
+    """Scoring modes (the Similarity plug point, SURVEY.md §2.12):
 
-    * ``lucene_f32`` (default): bit-exact reference float32 algebra with the
-      256-entry normInverse cache — rank/score-identical to the reference.
-    * ``plain_f64``: the same BM25 (same idf, same byte4-quantized document
-      lengths) evaluated in plain double precision with the textbook shape
-      ``idf * freq / (freq + k1*((1-b) + b*dl/avgdl))`` — expressible in
-      ANSI SQL, used for cross-engine oracle comparison (the scoring-
-      expression plug point, ≙ custom Similarity, SURVEY.md §2.12).
+    * ``lucene_f32`` (default): bit-exact reference BM25 float32 algebra
+      with the 256-entry normInverse cache — rank/score-identical.
+    * ``plain_f64``: the same BM25 in plain double with the textbook shape
+      ``idf * freq / (freq + k1*((1-b) + b*dl/avgdl))`` — ANSI-SQL
+      reproducible, used for cross-engine oracle comparison.
+    * ``classic_f32``: bit-exact ClassicSimilarity (TFIDF —
+      TFIDFSimilarity.java:506-510): (sqrt(freq) * boost*idf) *
+      (1/sqrt(length)) with idf = log((N+1)/(df+1)) + 1.
+    * ``classic_f64``: the TFIDF shape in double — SQL reproducible.
     """
 
+    SCORING_MODES = ("lucene_f32", "plain_f64", "classic_f32", "classic_f64")
+
     def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32"):
-        if scoring not in ("lucene_f32", "plain_f64"):
+        if scoring not in self.SCORING_MODES:
             raise ValueError(f"unknown scoring mode {scoring}")
         self.index = index
         self.scoring = scoring
-        self.score_type = "float" if scoring == "lucene_f32" else "double"
+        self.family = "classic" if scoring.startswith("classic") else "bm25"
+        self.score_type = "float" if scoring.endswith("f32") else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
 
@@ -98,18 +103,22 @@ class IndexSearcher:
 
     def idf(self, doc_freq: int):
         n, N = doc_freq, self.doc_count
-        v = math.log(1 + (N - n + 0.5) / (n + 0.5))
-        return np.float32(v) if self.scoring == "lucene_f32" else v
+        if self.family == "classic":
+            # ClassicSimilarity.idf: log((docCount+1)/(docFreq+1)) + 1
+            v = math.log((N + 1) / (n + 1)) + 1.0
+        else:
+            v = math.log(1 + (N - n + 0.5) / (n + 0.5))
+        return np.float32(v) if self.score_type == "float" else v
 
     def _weight(self, boost: float, doc_freq: int) -> float:
-        if self.scoring == "lucene_f32":
+        if self.score_type == "float":
             return _f32(np.float32(boost) * self.idf(doc_freq))
         return float(boost) * self.idf(doc_freq)
 
     def _phrase_weight(self, terms, dfs, boost: float) -> float:
         """Phrase weight = boost * idf-sum (idfExplain sums per-term float32
         idfs in a double then casts — BM25Similarity.java idfExplain)."""
-        if self.scoring == "lucene_f32":
+        if self.score_type == "float":
             idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
             return _f32(np.float32(boost) * idf_sum)
         return float(boost) * sum(self.idf(dfs[t]) for t in terms)
@@ -156,9 +165,42 @@ class IndexSearcher:
     # ------------------------------------------------------------------
     # scoring primitives
     def _bm25_expr(self, weight_col, freq_col, norm_col):
+        """Per-(term, doc) similarity score expression — the Similarity plug
+        point (SURVEY.md §2.12): BM25 (default) or ClassicSimilarity, each
+        in bit-exact float32 or SQL-reproducible double."""
+        if self.family == "classic":
+            if self.score_type == "float":
+                return self._classic_expr_f32(weight_col, freq_col, norm_col)
+            return self._classic_expr_f64(weight_col, freq_col, norm_col)
         if self.scoring == "plain_f64":
             return self._bm25_expr_f64(weight_col, freq_col, norm_col)
         return self._bm25_expr_f32(weight_col, freq_col, norm_col)
+
+    def _classic_norm_lit(self):
+        """TFIDFSimilarity.java:477-481 normTable: (float)(1/sqrt(length))
+        per byte4-decoded length; slot 0 = 1f / normTable[255]."""
+        table = np.zeros(256, dtype=np.float32)
+        for i in range(1, 256):
+            table[i] = np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[i])))
+        table[0] = np.float32(1.0) / table[255]
+        return F.array(*[F.lit(float(v)).cast("float") for v in table])
+
+    def _classic_expr_f32(self, weight_col, freq_col, norm_col):
+        """TFIDFScorer.score (TFIDFSimilarity.java:506-510):
+        raw = (float)sqrt(freq) * queryWeight; score = raw * normTable[norm]
+        — float32 rounding after every op, like the BM25 twin."""
+        tf = F.sqrt(freq_col.cast("double")).cast("float")
+        raw = (tf * weight_col).cast("float")
+        normv = F.element_at(self._classic_norm_lit(), norm_col + F.lit(1))
+        return (raw * normv).cast("float")
+
+    def _classic_expr_f64(self, weight_col, freq_col, norm_col):
+        """Textbook double shape: idf * sqrt(freq) / sqrt(dl) over the
+        byte4-quantized length — ANSI-SQL-reproducible."""
+        dl = F.element_at(self._dl_lit(), norm_col + F.lit(1))
+        return (
+            weight_col * F.sqrt(freq_col.cast("double")) / F.sqrt(dl)
+        ).cast("double")
 
     def _bm25_expr_f32(self, weight_col, freq_col, norm_col):
         """weight - weight / (1f + freq * cache[norm]) with a float32
@@ -217,7 +259,7 @@ class IndexSearcher:
         )
 
     def _const_scored(self, doc_ids: DataFrame, boost: float) -> DataFrame:
-        b = _f32(boost) if self.scoring == "lucene_f32" else float(boost)
+        b = _f32(boost) if self.score_type == "float" else float(boost)
         return doc_ids.select(
             "doc_id", F.lit(b).cast(self.score_type).alias("score")
         )
@@ -268,10 +310,18 @@ class IndexSearcher:
     def _scored(self, q: Query) -> DataFrame:
         if isinstance(q, TermQuery):
             return self._scored_terms({q.term: q.boost})
-        from lucene_spark.search.query import CommonTermsQuery
+        from lucene_spark.search.query import (
+            BlendedTermQuery,
+            CommonTermsQuery,
+            IntervalQuery,
+        )
 
         if isinstance(q, CommonTermsQuery):
             return self._scored_common_terms(q)
+        if isinstance(q, IntervalQuery):
+            return self._scored_intervals(q)
+        if isinstance(q, BlendedTermQuery):
+            return self._scored_blended(q)
         if isinstance(q, SynonymQuery):
             return self._scored_synonym(q)
         if isinstance(q, BooleanQuery):
@@ -325,7 +375,7 @@ class IndexSearcher:
             )
         if isinstance(q, BoostQuery):
             sub = self._scored(q.query)
-            b = _f32(q.boost) if self.scoring == "lucene_f32" else float(q.boost)
+            b = _f32(q.boost) if self.score_type == "float" else float(q.boost)
             return sub.select(
                 "doc_id",
                 (F.col("score") * F.lit(b).cast(self.score_type))
@@ -394,7 +444,7 @@ class IndexSearcher:
         u = subs[0]
         for s in subs[1:]:
             u = u.unionByName(s)
-        tie = _f32(q.tie_breaker) if self.scoring == "lucene_f32" else float(q.tie_breaker)
+        tie = _f32(q.tie_breaker) if self.score_type == "float" else float(q.tie_breaker)
         agg = u.groupBy("doc_id").agg(
             F.max("score").alias("_mx"), F.sum("score").alias("_sm")
         )
@@ -501,6 +551,85 @@ class IndexSearcher:
         for sub in must_nots:
             scored = scored.join(self._matches(sub), "doc_id", "left_anti")
         return scored
+
+    def _scored_blended(self, q) -> DataFrame:
+        """BlendedTermQuery: per-term scoring with the blended (max) df,
+        DisjunctionMax(tie) combine."""
+        terms = list(q.terms)
+        boosts = list(q.boosts) if q.boosts else [1.0] * len(terms)
+        dfs = self.term_doc_freqs(terms)
+        if not dfs:
+            return self._empty_scored()
+        df_blend = max(dfs.values())
+        rows = [
+            (t, self._weight(b * q.boost, df_blend))
+            for t, b in zip(terms, boosts)
+            if t in dfs
+        ]
+        wdf = self.index.spark.createDataFrame(
+            rows, f"term string, _w {self.score_type}"
+        )
+        pf = self.index.postings_for_terms([t for t, _ in rows]).select(
+            "term", "doc_id", "freq", "norm"
+        )
+        scored = pf.join(F.broadcast(wdf), "term").select(
+            "doc_id",
+            self._bm25_expr(F.col("_w"), F.col("freq"), F.col("norm")).alias("score"),
+        )
+        tie = _f32(q.tie_breaker) if self.score_type == "float" else float(q.tie_breaker)
+        st = self.score_type
+        agg = scored.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+        )
+        return agg.select(
+            "doc_id",
+            (
+                F.col("_mx")
+                + F.lit(tie).cast(st) * (F.col("_sm") - F.col("_mx")).cast(st)
+            )
+            .cast(st)
+            .alias("score"),
+        )
+
+    def _scored_intervals(self, q) -> DataFrame:
+        """IntervalQuery lowering: single-shuffle gather of the source's
+        term positions, Arrow-batched minimal-interval traversal per doc
+        (search.intervals), saturation scoring (no length norm)."""
+        import pandas as pd
+
+        from lucene_spark.search.intervals import interval_freq
+
+        terms = sorted(set(q.source.terms()))
+        if not terms:
+            return self._empty_scored()
+        base = self._gather_positions(terms)
+        f32 = self.score_type == "float"
+        src = q.source
+        tlist = list(terms)
+
+        @F.pandas_udf("double")
+        def fudf(*cols):
+            out = []
+            for lists in zip(*cols):
+                pos_map = {t: list(p) for t, p in zip(tlist, lists)}
+                out.append(interval_freq(src, pos_map, f32))
+            return pd.Series(out, dtype="float64")
+
+        out = base.withColumn(
+            "_freq", fudf(*[F.col(f"_p{i}") for i in range(len(terms))])
+        ).filter(F.col("_freq") > 0)
+        if f32:
+            piv = F.lit(_f32(q.pivot)).cast("float")
+            fr = F.col("_freq").cast("float")
+            one = F.lit(1.0).cast("float")
+            sat = (one - (piv / (piv + fr).cast("float")).cast("float")).cast("float")
+            score = (F.lit(_f32(q.boost)).cast("float") * sat).cast("float")
+        else:
+            score = (
+                F.lit(float(q.boost))
+                * (F.lit(1.0) - F.lit(float(q.pivot)) / (F.lit(float(q.pivot)) + F.col("_freq")))
+            ).cast("double")
+        return out.select("doc_id", score.alias("score"))
 
     def _scored_common_terms(self, q: "CommonTermsQuery") -> DataFrame:
         """CommonTermsQuery.java:283-344 buildQuery: split terms at the
@@ -661,7 +790,7 @@ class IndexSearcher:
                 ),
             )
         )
-        f32 = self.scoring == "lucene_f32"
+        f32 = self.score_type == "float"
         lq = self._slop_lcm(slop)
         acc0 = F.lit(0.0).cast("float") if f32 else F.lit(0).cast("long")
         init = F.struct(
@@ -729,7 +858,7 @@ class IndexSearcher:
         from lucene_spark.search.sloppy import sloppy_freq as _sf
 
         base = self._gather_positions(terms)
-        f32 = self.scoring == "lucene_f32"
+        f32 = self.score_type == "float"
         offsets = list(offs)
         slop_ = int(slop)
 
@@ -873,7 +1002,7 @@ class IndexSearcher:
         scored = self.scored_packed(query, k=k) if prune else self.scored(query)
         if search_after is not None:
             s, d = search_after
-            sv = _f32(s) if self.scoring == "lucene_f32" else float(s)
+            sv = _f32(s) if self.score_type == "float" else float(s)
             scored = scored.filter(
                 (F.col("score") < sv)
                 | ((F.col("score") == sv) & (F.col("doc_id") > d))
@@ -1022,7 +1151,7 @@ class IndexSearcher:
             df_ = dfs[q.term]
             idf = self.idf(df_)
             w = self._weight(q.boost, df_)
-            if self.scoring == "lucene_f32":
+            if self.score_type == "float":
                 inv = self.norm_inverse_cache()[norm]
                 score = float(np.float32(w) - np.float32(w) / (np.float32(1.0) + np.float32(freq) * inv))
                 dl = float(LENGTH_TABLE[norm])
@@ -1066,7 +1195,7 @@ class IndexSearcher:
                     matched = False
             if not any_positive:
                 matched = False
-            v = float(np.float32(total)) if self.scoring == "lucene_f32" else total
+            v = float(np.float32(total)) if self.score_type == "float" else total
             return {"value": v if matched else 0.0, "matched": matched,
                     "description": "sum of matching clauses", "details": details}
         # generic fallback: run the scored plan for this doc

@@ -1,0 +1,212 @@
+"""Monitor / percolator: match a stream of documents against REGISTERED
+queries (reverse search).
+
+≙ the reference's monitor module (monitor/.../Monitor.java:44,
+QueryIndex/Presearcher): queries are indexed by their terms; an incoming
+document is first matched against that query-term index (the presearcher
+prefilter — an over-approximation), then surviving (doc, query) candidate
+pairs are verified with the real matcher.
+
+Spark-first shape (the SURVEY §2.10 stream-static join):
+
+* registered queries parse once on the driver; their POSITIVE terms form a
+  tiny (query_id, term) relation that is broadcast;
+* a batch of docs tokenizes JVM-side and explodes to (doc, term) rows which
+  join the broadcast query-term relation -> candidate pairs.  Candidates
+  per doc are bounded by the registered queries containing its terms —
+  never |docs| x |queries|;
+* verification runs per candidate in one Arrow-batched UDF over the doc's
+  token entries, evaluating the parsed query tree exactly (Boolean
+  MUST/SHOULD/MUST_NOT/minShouldMatch, phrases with holes + slop via the
+  faithful SloppyPhraseMatcher simulation, prefix/wildcard).
+
+``attach`` wires the matcher into Structured Streaming via foreachBatch.
+
+Supported query subset for registration: Term, Boolean (with nesting),
+Phrase (exact/sloppy/holes), Prefix, Wildcard, MatchAll.  A registered
+query must have at least one positive term or prefix (pure negation is
+rejected, like the reference's Monitor).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.analysis.tokenizer import tokens_expr
+from lucene_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    WildcardQuery,
+)
+from lucene_spark.search.sloppy import sloppy_freq
+
+
+def _positive_anchors(q: Query) -> list[tuple[str, bool]]:
+    """[(anchor, is_prefix)] — terms/prefixes whose presence is NECESSARY
+    for a match (the presearcher index keys).  Returns [] when none exists
+    (query rejected)."""
+    if isinstance(q, TermQuery):
+        return [(q.term, False)]
+    if isinstance(q, PhraseQuery):
+        return [(q.terms[0], False)] if q.terms else []
+    if isinstance(q, PrefixQuery):
+        return [(q.prefix, True)]
+    if isinstance(q, WildcardQuery):
+        # anchor on the literal prefix before the first wildcard
+        lit = q.pattern.split("*")[0].split("?")[0]
+        return [(lit, True)] if lit else []
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return _positive_anchors(q.query)
+    if isinstance(q, BooleanQuery):
+        musts = [
+            c for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)
+        ]
+        if musts:
+            # any single MUST's anchors are necessary
+            for c in musts:
+                a = _positive_anchors(c.query)
+                if a:
+                    return a
+            return []
+        shoulds = [c for c in q.clauses if c.occur == Occur.SHOULD]
+        out = []
+        for c in shoulds:
+            a = _positive_anchors(c.query)
+            if not a:
+                return []  # one un-anchorable SHOULD -> no safe prefilter
+            out.extend(a)
+        return out
+    return []
+
+
+def _match_doc(q: Query, toks: list[str], positions: dict[str, list[int]]) -> bool:
+    """Exact per-document matcher for the registered-query subset."""
+    if isinstance(q, MatchAllDocsQuery):
+        return True
+    if isinstance(q, TermQuery):
+        return q.term in positions
+    if isinstance(q, PrefixQuery):
+        return any(t.startswith(q.prefix) for t in positions)
+    if isinstance(q, WildcardQuery):
+        return any(fnmatch.fnmatchcase(t, q.pattern) for t in positions)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return _match_doc(q.query, toks, positions)
+    if isinstance(q, PhraseQuery):
+        terms = list(q.terms)
+        if any(t not in positions for t in terms):
+            return False
+        offs = list(q.positions) if q.positions else list(range(len(terms)))
+        if q.slop == 0:
+            first = positions[terms[0]]
+            return any(
+                all(
+                    p + (offs[i] - offs[0]) in positions[terms[i]]
+                    for i in range(1, len(terms))
+                )
+                for p in first
+            )
+        return sloppy_freq([positions[t] for t in terms], offs, q.slop) > 0
+    if isinstance(q, BooleanQuery):
+        musts = [c for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)]
+        shoulds = [c for c in q.clauses if c.occur == Occur.SHOULD]
+        nots = [c for c in q.clauses if c.occur == Occur.MUST_NOT]
+        if any(not _match_doc(c.query, toks, positions) for c in musts):
+            return False
+        if any(_match_doc(c.query, toks, positions) for c in nots):
+            return False
+        n_should = sum(1 for c in shoulds if _match_doc(c.query, toks, positions))
+        need = q.min_should_match if musts else max(1, q.min_should_match)
+        return n_should >= need if shoulds else True
+    raise TypeError(f"unsupported monitor query {type(q).__name__}")
+
+
+class Monitor:
+    """Registered queries matched against document batches."""
+
+    def __init__(self, queries: dict[str, Query]):
+        self.queries: dict[str, Query] = {}
+        self.anchors: list[tuple[str, str, bool]] = []  # (query_id, anchor, is_prefix)
+        for qid, q in queries.items():
+            self.register(qid, q)
+
+    def register(self, query_id: str, q: Query) -> None:
+        q = q.rewrite()
+        anchors = _positive_anchors(q)
+        if not anchors and not isinstance(q, MatchAllDocsQuery):
+            raise ValueError(
+                f"query {query_id!r} has no positive term/prefix anchor"
+            )
+        self.queries[query_id] = q
+        for a, pfx in anchors or [("", True)]:  # MatchAll anchors everything
+            self.anchors.append((query_id, a, pfx))
+
+    # -- one batch -------------------------------------------------------
+    def match_batch(
+        self, docs: DataFrame, id_cols: tuple = ("doc_id",), text_col: str = "text"
+    ) -> DataFrame:
+        """(id_cols..., query_id) for every (doc, registered query) match."""
+        import pandas as pd
+
+        spark = docs.sparkSession
+        anchor_df = F.broadcast(
+            spark.createDataFrame(
+                self.anchors, "query_id string, anchor string, is_prefix boolean"
+            )
+        )
+        toks = docs.select(*id_cols, tokens_expr(F.col(text_col)).alias("_toks"))
+        exploded = toks.select(
+            *id_cols, "_toks", F.explode(F.array_distinct("_toks")).alias("_t")
+        )
+        cand = (
+            exploded.join(
+                anchor_df,
+                (~F.col("is_prefix") & (F.col("_t") == F.col("anchor")))
+                | (F.col("is_prefix") & F.col("_t").startswith(F.col("anchor"))),
+            )
+            .select(*id_cols, "_toks", "query_id")
+            .distinct()
+        )
+        queries = self.queries
+
+        @F.pandas_udf("boolean")
+        def verify(tok_arrays, qids):
+            out = []
+            for arr, qid in zip(tok_arrays, qids):
+                toks_l = list(arr)
+                pos: dict[str, list[int]] = {}
+                for i, t in enumerate(toks_l):
+                    pos.setdefault(t, []).append(i)
+                out.append(_match_doc(queries[qid], toks_l, pos))
+            return pd.Series(out)
+
+        return (
+            cand.withColumn("_ok", verify(F.col("_toks"), F.col("query_id")))
+            .filter(F.col("_ok"))
+            .select(*id_cols, "query_id")
+        )
+
+    # -- stream wiring ---------------------------------------------------
+    def attach(self, stream_df: DataFrame, sink, id_cols=("doc_id",),
+               text_col: str = "text", checkpoint: str | None = None,
+               trigger_once: bool = False):
+        """writeStream.foreachBatch: per micro-batch, compute matches and
+        hand them to ``sink(matches_df, batch_id)``."""
+
+        def do_batch(batch_df, batch_id):
+            sink(self.match_batch(batch_df, id_cols, text_col), batch_id)
+
+        w = stream_df.writeStream.foreachBatch(do_batch)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()

@@ -175,3 +175,41 @@ def test_count_matches_total_hits(env):
     assert searcher.count(q) == len(
         set(by_term.get("model", {})) | set(by_term.get("data", {}))
     )
+
+
+def test_blended_term_query(spark, tiny_index, tiny_oracle):
+    """BlendedTermQuery: every member scored with the MAX docFreq, dismax
+    combine with tie 0.01 — verified against a driver-side recomputation
+    from oracle postings."""
+    import numpy as np
+    from lucene_spark.search.query import BlendedTermQuery
+
+    terms = ["model", "rareterm007"]
+    s = IndexSearcher(tiny_index)
+    got = s.search(BlendedTermQuery(tuple(terms)), 10).collect()
+
+    o = tiny_oracle
+    df_blend = max(o.doc_freq(t) for t in terms)
+    N = o.doc_count
+    import math
+    idf = np.float32(math.log(1 + (N - df_blend + 0.5) / (df_blend + 0.5)))
+    cache = o.norm_inverse_cache()
+    one = np.float32(1.0)
+    per = {}
+    for t in terms:
+        for d, freq in o.postings.get(t, {}).items():
+            sc = np.float32(idf - idf / (one + np.float32(freq) * cache[o.docs[d].norm]))
+            per.setdefault(d, []).append(sc)
+    tie = np.float32(0.01)
+    want = {}
+    for d, ss in per.items():
+        mx = np.float32(max(float(x) for x in ss))
+        sm = np.float32(sum(float(x) for x in ss))
+        want[d] = np.float32(mx + np.float32(tie * np.float32(sm - mx)))
+    ranked = sorted(want.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:10]
+    keys = {d.doc_id: (d.conv_id, d.turn_idx) for d in o.docs}
+    assert [(r.conv_id, r.turn_idx) for r in got] == [keys[d] for d, _ in ranked]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in got], dtype=np.float32),
+        np.array([x for _, x in ranked], dtype=np.float32),
+    )
