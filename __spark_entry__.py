@@ -751,6 +751,49 @@ FROM toks WHERE term LIKE 'mod%'"""
 )
 
 
+def _q_feature(term: str, pivot: float, k: int):
+    """Relevance + static signal: BM25 term MUST + FeatureQuery(length,
+    saturation) SHOULD — the FeatureField pattern."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+        from lucene_spark.search.query import FeatureQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = BooleanQuery.of(
+            (TermQuery(term), Occur.MUST),
+            (FeatureQuery("length", "saturation", pivot=pivot), Occur.SHOULD),
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _feature_sql(term: str, pivot: float, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         SUM({_SCORE}) + 1.0 * (any_value(dl.dl)::DOUBLE
+            / (any_value(dl.dl)::DOUBLE + {pivot})) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  JOIN dl USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 _SCORE_CLASSIC = (
     "(ln((stats.doc_count + 1) / (dfreq.doc_freq + 1.0)) + 1)"
     " * sqrt(tf.freq) / sqrt(dlq.dlq)"
@@ -1238,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf(["spark", "query", "data"], 10),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
         "monitor_matches": _q_monitor,
+        "feature_saturation_topk": _q_feature("spark", 30.0, 10),
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -1279,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "monitor_matches": _MONITOR_SQL,
+        "feature_saturation_topk": _feature_sql("spark", 30.0, 10),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

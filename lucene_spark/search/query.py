@@ -138,6 +138,26 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """core/document/FeatureField.java — static per-document scoring
+    signals (pagerank, recency, quality...).  The reference encodes the
+    feature value into a term's frequency (with 9-bit-mantissa precision
+    loss); here features are plain numeric doc columns (columnar storage
+    keeps the exact value — SURVEY.md §1.1 'DocValues are free'), scored
+    with the same functions: newLogQuery -> boost * ln(scaling + v);
+    newSaturationQuery -> boost * v/(v + pivot); newSigmoidQuery ->
+    boost * v^a/(v^a + pivot^a).  Docs with NULL or <= 0 values don't
+    match (FeatureField skips non-positive values)."""
+
+    field: str
+    function: str = "saturation"  # log | saturation | sigmoid
+    pivot: float = 1.0
+    scaling: float = 1.0  # log function's scalingFactor
+    exp: float = 1.0  # sigmoid's exponent
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BlendedTermQuery(Query):
     """core/search/BlendedTermQuery.java:281-315 — several related terms
     scored as if they shared statistics: every term's docFreq is replaced

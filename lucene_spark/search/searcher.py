@@ -80,7 +80,8 @@ class IndexSearcher:
 
     SCORING_MODES = ("lucene_f32", "plain_f64", "classic_f32", "classic_f64")
 
-    def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32"):
+    def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32",
+                 term_cache_max: int | None = None):
         if scoring not in self.SCORING_MODES:
             raise ValueError(f"unknown scoring mode {scoring}")
         self.index = index
@@ -89,6 +90,9 @@ class IndexSearcher:
         self.score_type = "float" if scoring.endswith("f32") else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
+        self.term_cache_max = (
+            term_cache_max if term_cache_max is not None else self.TERM_CACHE_MAX
+        )
 
     # ------------------------------------------------------------------
     # collection statistics (global — IndexSearcher.java:913-928)
@@ -133,10 +137,12 @@ class IndexSearcher:
         cache = self.norm_inverse_cache()
         return F.array(*[F.lit(float(v)).cast("float") for v in cache])
 
-    # Term dictionaries up to this size are cached whole on the driver
-    # (≙ Lucene's always-in-RAM FST term index) — one lookup job total
-    # instead of one per query.  Larger dictionaries fall back to a
-    # pushed-down scan per query.
+    # Term dictionaries up to this many entries are cached whole on the
+    # driver (≙ Lucene's always-in-RAM FST term index) — one lookup job
+    # total instead of one per query.  Larger dictionaries fall back to a
+    # pushed-down scan per query.  Override per searcher via the
+    # ``term_cache_max`` constructor arg (0 disables the cache) — at ~40
+    # bytes/entry the default caps driver memory near 80 MB.
     TERM_CACHE_MAX = 2_000_000
     _term_cache: dict | None = None
 
@@ -147,7 +153,7 @@ class IndexSearcher:
             return {}
         if self._term_cache is None:
             n = self.index.term_stats.count()
-            if n <= self.TERM_CACHE_MAX:
+            if n <= self.term_cache_max:
                 rows = self.index.term_stats.select("term", "doc_freq").collect()
                 self._term_cache = {r.term: int(r.doc_freq) for r in rows}
             else:
@@ -313,6 +319,7 @@ class IndexSearcher:
         from lucene_spark.search.query import (
             BlendedTermQuery,
             CommonTermsQuery,
+            FeatureQuery,
             IntervalQuery,
         )
 
@@ -322,6 +329,8 @@ class IndexSearcher:
             return self._scored_intervals(q)
         if isinstance(q, BlendedTermQuery):
             return self._scored_blended(q)
+        if isinstance(q, FeatureQuery):
+            return self._scored_feature(q)
         if isinstance(q, SynonymQuery):
             return self._scored_synonym(q)
         if isinstance(q, BooleanQuery):
@@ -551,6 +560,25 @@ class IndexSearcher:
         for sub in must_nots:
             scored = scored.join(self._matches(sub), "doc_id", "left_anti")
         return scored
+
+    def _scored_feature(self, q) -> DataFrame:
+        """FeatureQuery lowering: a projection over the docs relation — no
+        postings, no shuffle; score functions per FeatureField."""
+        v = F.col(q.field).cast("double")
+        if q.function == "log":
+            raw = F.log(F.lit(float(q.scaling)) + v)
+        elif q.function == "saturation":
+            raw = v / (v + F.lit(float(q.pivot)))
+        elif q.function == "sigmoid":
+            va = F.pow(v, F.lit(float(q.exp)))
+            raw = va / (va + F.pow(F.lit(float(q.pivot)), F.lit(float(q.exp))))
+        else:
+            raise ValueError(f"unknown feature function {q.function!r}")
+        score = (F.lit(float(q.boost)) * raw).cast(self.score_type)
+        return (
+            self.index.docs.filter(v.isNotNull() & (v > 0))
+            .select("doc_id", score.alias("score"))
+        )
 
     def _scored_blended(self, q) -> DataFrame:
         """BlendedTermQuery: per-term scoring with the blended (max) df,
