@@ -119,7 +119,7 @@ def main():
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.sin(F.col("id") * i).cast("float"),
+            lambda i: F.sin((F.col("id") + F.lit(1)) * i).cast("float"),
         ).alias("embedding"),
     )
     qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
