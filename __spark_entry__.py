@@ -705,6 +705,234 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_match_set(make_query):
+    """Match-set queries (multi-term rewrites): DISTINCT (conv_id, turn_idx)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx, searcher = _searcher(spark, sf_dir)
+        matches = searcher.scored(make_query()).select("doc_id").distinct()
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        return matches.join(keys, "doc_id").select("conv_id", "turn_idx")
+
+    return run
+
+
+def _match_set_sql(term_pred: str) -> str:
+    return (
+        _PRELUDE
+        + f"SELECT DISTINCT conv_id, turn_idx FROM toks WHERE {term_pred}"
+    )
+
+
+def _q_fuzzy(term: str, max_edits: int, k: int):
+    """FuzzyQuery with TopTermsRewrite: expand to top-df dictionary terms
+    within edit distance, score each as a TermQuery, sum per doc."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import FuzzyQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        return _ranked_topk(searcher, FuzzyQuery(term, max_edits=max_edits), k)
+
+    return run
+
+
+def _fuzzy_sql(term: str, max_edits: int, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+fz AS (
+  SELECT term FROM dfreq
+  WHERE abs(length(term) - {len(term)}) <= {max_edits}
+    AND levenshtein(term, '{term}') <= {max_edits}
+  ORDER BY doc_freq DESC, term LIMIT 50
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM fz)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_dismax(terms, tie: float, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import DisjunctionMaxQuery, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = DisjunctionMaxQuery(tuple(TermQuery(t) for t in terms), tie_breaker=tie)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _dismax_sql(terms, tie: float, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+pt AS (
+  SELECT tf.conv_id, tf.turn_idx, {_SCORE} AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+),
+scored AS (
+  SELECT conv_id, turn_idx, max(s) + {tie} * (sum(s) - max(s)) AS score
+  FROM pt GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_total_hits(terms):
+    """TotalHitCountCollector: exact hit count of an OR query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        n = searcher.count(q)
+        return spark.createDataFrame([(n,)], "n long")
+
+    return run
+
+
+def _total_hits_sql(terms) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f"""SELECT count(*) AS n FROM (
+  SELECT DISTINCT conv_id, turn_idx FROM toks WHERE term IN ({tlist}))"""
+    )
+
+
+def _q_mlt(k: int):
+    """MoreLikeThis: term selection from doc 0 (min_tf/df bounds, top-25 by
+    freq*idf), then OR top-k."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.mlt import MoreLikeThis
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = MoreLikeThis(
+            searcher, min_term_freq=1, min_doc_freq=2, max_doc_freq_pct=0.9,
+        ).like(0)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _mlt_sql(k: int) -> str:
+    """Mirrors MoreLikeThis.like(0): doc 0 = (conv000000, 0)."""
+    return (
+        _PRELUDE
+        + f""",
+mlt AS (
+  SELECT tf.term
+  FROM tf
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats
+  WHERE tf.conv_id = 'conv000000' AND tf.turn_idx = 0
+    AND tf.freq >= 1
+    AND d.doc_freq >= 2 AND d.doc_freq <= 0.9 * stats.doc_count
+  ORDER BY tf.freq * (ln(1 + (stats.doc_count - d.doc_freq + 0.5)
+                      / (d.doc_freq + 0.5))) DESC, tf.term
+  LIMIT 25
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM mlt)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_drill_sideways(term: str, tool: str):
+    """DrillSideways: facet counts for 'role' with the 'tool' drill applied
+    (its own dimension's filter removed)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import drill_sideways
+
+        _, searcher = _searcher(spark, sf_dir)
+        out = drill_sideways(
+            searcher, TermQuery(term), {"role": "__none__", "tool": tool}
+        )
+        return out["role"]
+
+    return run
+
+
+def _drill_sideways_sql(term: str, tool: str) -> str:
+    return (
+        _PRELUDE
+        + f"""SELECT role AS value, count(*) AS n
+FROM tr
+WHERE tool = '{tool}'
+  AND EXISTS (SELECT 1 FROM toks
+              WHERE toks.term = '{term}'
+                AND toks.conv_id = tr.conv_id AND toks.turn_idx = tr.turn_idx)
+GROUP BY role"""
+    )
+
+
+def _q_all_groups(term: str):
+    """grouping AllGroupsCollector: number of distinct groups (convs) with
+    at least one matching turn."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+
+        idx, searcher = _searcher(spark, sf_dir)
+        matches = searcher.scored(TermQuery(term)).select("doc_id")
+        n = (
+            matches.join(idx.docs.select("doc_id", "conv_id"), "doc_id")
+            .select("conv_id")
+            .distinct()
+            .count()
+        )
+        return spark.createDataFrame([(n,)], "n long")
+
+    return run
+
+
+def _all_groups_sql(term: str) -> str:
+    return (
+        _PRELUDE
+        + f"""SELECT count(DISTINCT conv_id) AS n FROM toks WHERE term = '{term}'"""
+    )
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor/percolator: registered queries matched against the document
     batch (stream-static join analog)."""
@@ -1282,6 +1510,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
+        "wildcard_match": _q_match_set(lambda: __import__("lucene_spark.search", fromlist=["WildcardQuery"]).WildcardQuery("s?ark")),
+        "regexp_match": _q_match_set(lambda: __import__("lucene_spark.search", fromlist=["RegexpQuery"]).RegexpQuery("jo.*")),
+        "term_range_match": _q_match_set(lambda: __import__("lucene_spark.search", fromlist=["TermRangeQuery"]).TermRangeQuery("query", "spark")),
+        "fuzzy_topk": _q_fuzzy("spark", 1, 10),
+        "dismax_topk": _q_dismax(["spark", "query"], 0.1, 10),
+        "total_hits_count": _q_total_hits(["spark", "query", "data"]),
+        "mlt_topk": _q_mlt(10),
+        "drill_sideways_role": _q_drill_sideways("spark", "src3"),
+        "grouping_all_groups": _q_all_groups("spark"),
         "term_dictionary": _q_term_dictionary,
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
@@ -1324,6 +1561,15 @@ def oracle_sql() -> dict[str, str]:
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),
+        "wildcard_match": _match_set_sql("term LIKE 's_ark'"),
+        "regexp_match": _match_set_sql("regexp_matches(term, '^(?:jo.*)$')"),
+        "term_range_match": _match_set_sql("term >= 'query' AND term <= 'spark'"),
+        "fuzzy_topk": _fuzzy_sql("spark", 1, 10),
+        "dismax_topk": _dismax_sql(["spark", "query"], 0.1, 10),
+        "total_hits_count": _total_hits_sql(["spark", "query", "data"]),
+        "mlt_topk": _mlt_sql(10),
+        "drill_sideways_role": _drill_sideways_sql("spark", "src3"),
+        "grouping_all_groups": _all_groups_sql("spark"),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "collection_stats": _PRELUDE

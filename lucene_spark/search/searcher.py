@@ -475,6 +475,10 @@ class IndexSearcher:
         shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
         filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
         must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        if not q.clauses:
+            # empty BooleanQuery matches nothing (Lucene rewrites it to
+            # MatchNoDocsQuery rather than erroring)
+            return self._empty_scored()
         if not musts and not shoulds and not filters:
             raise ValueError("pure-negation BooleanQuery is illegal (BooleanQuery.java)")
         msm = q.min_should_match
