@@ -72,3 +72,66 @@ def drill_sideways(searcher, query: Query, filters: dict) -> dict[str, DataFrame
             F.count("*").alias("n")
         )
     return out
+
+
+def sampled_facet_counts(
+    searcher, query: Query, dim: str, sample_fraction: float, seed: int = 7
+) -> DataFrame:
+    """(value, n_est): facet counts over a Bernoulli sample of the matches,
+    scaled back by 1/fraction (RandomSamplingFacetsCollector +
+    amortized-correction analog).  One sampled aggregation — the 100 TB
+    facet path when exact counts aren't needed."""
+    sampled = _matches_with_docs(searcher, query).sample(
+        fraction=sample_fraction, seed=seed
+    )
+    return sampled.groupBy(F.col(dim).alias("value")).agg(
+        F.round(F.count("*") / F.lit(sample_fraction)).cast("long").alias("n_est")
+    )
+
+
+def all_groups(searcher, query: Query, group_col: str = "conv_id") -> DataFrame:
+    """(group,) — every distinct group with >=1 matching doc
+    (grouping/AllGroupsCollector)."""
+    return _matches_with_docs(searcher, query).select(
+        F.col(group_col).alias("group")
+    ).distinct()
+
+
+def distinct_values(
+    searcher, query: Query, group_col: str, value_col: str
+) -> DataFrame:
+    """(group, n_values) — count of distinct ``value_col`` values inside
+    each group's matches (grouping/DistinctValuesCollector)."""
+    return (
+        _matches_with_docs(searcher, query)
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.count_distinct(F.col(value_col)).alias("n_values"))
+    )
+
+
+def join_util(
+    from_matches: DataFrame,
+    to_docs: DataFrame,
+    from_key: str,
+    to_key: str,
+    score_mode: str = "max",
+) -> DataFrame:
+    """join/JoinUtil.createJoinQuery analog: docs on the *to* side whose
+    join key appears among the *from* side's matches; score = Max/Total/Avg
+    of the from-side scores per key (ScoreMode).  ``from_matches`` is a
+    (key..., score) frame (e.g. scored matches joined to their keys).  The
+    key aggregation is a map-side-combining hash agg; the to-side join lets
+    AQE pick broadcast when the key set is small."""
+    agg = {
+        "max": F.max("score"),
+        "total": F.sum("score"),
+        "avg": F.avg("score"),
+        "none": F.lit(1.0),
+    }[score_mode]
+    keys = (
+        from_matches.groupBy(F.col(from_key).alias("_jk"))
+        .agg(agg.alias("score"))
+    )
+    return to_docs.join(
+        keys, to_docs[to_key] == keys["_jk"]
+    ).drop("_jk")

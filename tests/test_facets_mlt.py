@@ -113,3 +113,58 @@ def test_explain_matches_scored_value(searcher):
         (TermQuery("model"), Occur.MUST), (TermQuery("model"), Occur.MUST_NOT)
     )
     assert not searcher.explain(notq, top[0].doc_id)["matched"]
+
+
+def test_sampled_facet_counts(spark, tiny_index):
+    from lucene_spark.search.facets import facet_counts, sampled_facet_counts
+
+    s = IndexSearcher(tiny_index)
+    exact = {r.value: r.n for r in facet_counts(s, TermQuery("the"), "role").collect()}
+    est = {
+        r.value: r.n_est
+        for r in sampled_facet_counts(s, TermQuery("the"), "role", 0.5).collect()
+    }
+    assert set(est) <= set(exact)
+    # estimates within a loose factor of the truth on the sampled dims
+    for v, n in est.items():
+        assert n <= exact[v] * 3 + 5
+
+
+def test_all_groups_and_distinct_values(spark, tiny_index):
+    from lucene_spark.search.facets import all_groups, distinct_values
+
+    s = IndexSearcher(tiny_index)
+    groups = {r.group for r in all_groups(s, TermQuery("model")).collect()}
+    brute = {
+        r.conv_id
+        for r in s.scored(TermQuery("model"))
+        .join(tiny_index.docs, "doc_id")
+        .select("conv_id")
+        .collect()
+    }
+    assert groups == brute and len(groups) > 0
+    dv = {
+        r.group: r.n_values
+        for r in distinct_values(s, TermQuery("model"), "conv_id", "role").collect()
+    }
+    assert set(dv) == brute
+    assert all(1 <= n <= 5 for n in dv.values())
+
+
+def test_join_util(spark, tiny_index):
+    from lucene_spark.search.facets import join_util
+
+    s = IndexSearcher(tiny_index)
+    fm = (
+        s.scored(TermQuery("model"))
+        .join(tiny_index.docs.select("doc_id", "conv_id"), "doc_id")
+        .select("conv_id", "score")
+    )
+    convs = (
+        tiny_index.docs.select("conv_id").distinct().withColumnRenamed("conv_id", "cid")
+    )
+    joined = join_util(fm, convs, "conv_id", "cid", score_mode="max").collect()
+    brute = {}
+    for r in fm.collect():
+        brute[r.conv_id] = max(brute.get(r.conv_id, 0.0), r.score)
+    assert {r.cid: r.score for r in joined} == pytest.approx(brute)
