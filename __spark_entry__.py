@@ -1465,6 +1465,25 @@ def _q_sim_lsh(spark, sf_dir):
     return sim.ann_topk(emb, _qvec(spark, sf_dir), 10)
 
 
+_EMB_DUP_REL = (
+    "(SELECT vec_id, embedding, label FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000, embedding, label FROM embeddings "
+    "WHERE vec_id % 20 = 0)"
+)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup over a view with planted duplicates
+    (every 20th vector copied at vec_id + 1e6)."""
+    from lucene_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return sim.near_duplicates_embedding(emb.unionByName(dup), threshold=0.9)
+
+
 def _q_range_facet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointRangeQuery + range facets analog on the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1539,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _q_sim_bruteforce,
         "sim_topk_ann": _q_sim_ann,
         "sim_topk_lsh": _q_sim_lsh,
+        "dedup_embedding": _q_dedup_embedding,
     }
 
 
@@ -1635,4 +1655,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": _pl_sim.cosine_topk_sql_view("embeddings", 10),
         "sim_topk_ann": _pl_sim.ivf_topk_sql_view("embeddings", 10),
         "sim_topk_lsh": _pl_sim.ann_topk_sql_view("embeddings", 64, 10),
+        "dedup_embedding": _pl_sim.near_duplicates_embedding_sql(_EMB_DUP_REL, 0.9),
     }

@@ -335,6 +335,95 @@ SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec
 FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
 
 
+def near_duplicates_embedding(
+    emb: DataFrame, threshold: float = 0.9, n_centroids: int = IVF_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_a, vec_b, cos_i): embedding-cosine near-duplicate pairs.
+
+    Candidate generation = the IVF coarse quantizer: only pairs assigned to
+    the SAME centroid are compared (near-duplicates — cosine >= ~0.9 — land
+    in the same cell with overwhelming probability; cross-cell borderline
+    pairs are the documented recall loss, the standard IVF-dedup
+    trade-off).  Verification = exact integer-quantized cosine >=
+    round(threshold * 1e6).  Join degree is bounded by cell size, not
+    corpus size; at 100 TB raise n_centroids ~ sqrt(N)."""
+    cents = _centroids(emb, n_centroids, id_col)
+    vec_q = _quant(F.col("embedding"))
+    vec_norm = F.sqrt(_norm2(vec_q).cast("double"))
+    priorities = [
+        ((_cos_i_to_centroid(vec_q, vec_norm, cvec, cnorm) + F.lit(QUANT))
+         * F.lit(_PRIORITY_BASE) + F.lit(_PRIORITY_BASE - 1 - cid))
+        for cid, cvec, cnorm in cents
+    ]
+    best = priorities[0] if len(priorities) == 1 else F.greatest(*priorities)
+    assigned = F.lit(_PRIORITY_BASE - 1) - (best % F.lit(_PRIORITY_BASE))
+    tagged = emb.select(
+        F.col(id_col).alias("vid"), "embedding", assigned.alias("cid")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    thr = _round_away(threshold * QUANT)
+    qa, qb = _quant(F.col("a.embedding")), _quant(F.col("b.embedding"))
+    cos_i = F.round(
+        F.lit(float(QUANT)) * _dot(qa, qb).cast("double")
+        / F.sqrt(_norm2(qa).cast("double"))
+        / F.sqrt(_norm2(qb).cast("double"))
+    ).cast("long")
+    return (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            cos_i.alias("cos_i"),
+        )
+        .filter(F.col("cos_i") >= thr)
+    )
+
+
+def near_duplicates_embedding_sql(
+    emb_rel: str, threshold: float = 0.9, n_centroids: int = IVF_K
+) -> str:
+    """DuckDB twin: same centroid derivation (vec_id < n_centroids), same
+    assignment (max cos_i, ties to smallest cid), same quantized verify."""
+    thr = _round_away(threshold * QUANT)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS cq
+  FROM {emb_rel} WHERE vec_id < {n_centroids}
+), cnorm AS (
+  SELECT cid, cq, sqrt(list_sum(list_transform(cq, v -> v * v))::DOUBLE) AS cn
+  FROM cent
+), sim AS (
+  SELECT e.vec_id, c.cid,
+    CAST(round({float(QUANT)} *
+      list_sum(list_transform(range(1, len(embedding) + 1), i -> {_QD} * c.cq[i]))::DOUBLE
+      / {_self_norm_sql()} / c.cn) AS BIGINT) AS cos_ci
+  FROM {emb_rel} e CROSS JOIN cnorm c
+), amax AS (
+  SELECT vec_id, max(cos_ci) AS m FROM sim GROUP BY 1
+), assign AS (
+  SELECT s.vec_id, min(s.cid) AS cid
+  FROM sim s JOIN amax x ON x.vec_id = s.vec_id AND s.cos_ci = x.m
+  GROUP BY 1
+), tagged AS (
+  SELECT e.vec_id AS vid,
+         list_transform(embedding, v -> CAST(round(v * {QUANT}) AS BIGINT)) AS q,
+         a.cid
+  FROM {emb_rel} e JOIN assign a ON a.vec_id = e.vec_id
+)
+SELECT a.vid AS vec_a, b.vid AS vec_b,
+       CAST(round({float(QUANT)} *
+         list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+         / sqrt(list_sum(list_transform(a.q, v -> v * v))::DOUBLE)
+         / sqrt(list_sum(list_transform(b.q, v -> v * v))::DOUBLE)) AS BIGINT) AS cos_i
+FROM tagged a JOIN tagged b ON a.cid = b.cid AND a.vid < b.vid
+WHERE CAST(round({float(QUANT)} *
+        list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+        / sqrt(list_sum(list_transform(a.q, v -> v * v))::DOUBLE)
+        / sqrt(list_sum(list_transform(b.q, v -> v * v))::DOUBLE)) AS BIGINT) >= {thr}"""
+
+
 # ---------------------------------------------------------------------------
 # vectorized batch brute-force (the throughput path)
 

@@ -200,3 +200,27 @@ def test_decode_stubs_raise():
         mm.decode_audio(b"RIFF")
     assert mm.sniff_mime(b"\x89PNG\r\n") == "image/png"
     assert mm.sniff_mime(b"plain") == "application/octet-stream"
+
+
+def test_near_duplicates_embedding(spark, emb, con):
+    """Planted exact copies must be found as cosine near-dups; DuckDB twin
+    row-identical."""
+    from lucene_spark.pipeline import similarity as sim
+
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
+    view = emb.unionByName(dup)
+    rel = (f"(SELECT vec_id, embedding, label FROM {EMB_REL} UNION ALL "
+           f"SELECT vec_id + 500000, embedding, label FROM {EMB_REL} "
+           "WHERE vec_id % 10 = 0)")
+    got = sim.near_duplicates_embedding(view, threshold=0.95).collect()
+    planted = {(int(r.vec_id), int(r.vec_id) + 500000)
+               for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
+    found = {(r.vec_a, r.vec_b) for r in got}
+    assert planted <= found
+    for r in got:
+        if (r.vec_a, r.vec_b) in planted:
+            assert r.cos_i == 1_000_000
+    want = con.execute(sim.near_duplicates_embedding_sql(rel, 0.95)).fetchall()
+    assert sorted((r.vec_a, r.vec_b, r.cos_i) for r in got) == sorted(want)
