@@ -933,6 +933,52 @@ def _all_groups_sql(term: str) -> str:
     )
 
 
+def _q_lm_dirichlet(terms, k: int):
+    """LMDirichletSimilarity (mu=2000): third Similarity family through the
+    same scoring socket."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("lm", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="lm_dirichlet_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _lm_dirichlet_sql(terms, k: int, mu: float = 2000.0) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    score = (
+        f"greatest(0.0, ln(1 + tf.freq / ({mu} * ((dfreq.total_term_freq + 1.0)"
+        f" / (CAST(stats.sttf AS DOUBLE) + 1.0))))"
+        f" + ln({mu} / (dlq.dlq + {mu})))"
+    )
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor/percolator: registered queries matched against the document
     batch (stream-static join analog)."""
@@ -1526,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix": _q_suggest_prefix("s", 10),
         "highlight_term_topk": _q_highlight("spark", 10),
         "tfidf_topk": _q_tfidf(["spark", "query", "data"], 10),
+        "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -1578,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix": _suggest_prefix_sql("s", 10),
         "highlight_term_topk": _highlight_sql("spark", 10),
         "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
+        "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),

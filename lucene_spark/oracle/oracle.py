@@ -155,6 +155,27 @@ class OracleIndex:
             out[doc_id] = np.float32(raw * table[self.docs[doc_id].norm])
         return out
 
+    def term_scores_lm(self, term: str, boost: float = 1.0, mu: float = 2000.0) -> dict[int, np.float32]:
+        """LMDirichletSimilarity.java:35-41: double-math score clamped at 0,
+        cast to float; p(t|C) = (ttf+1)/(sumTotalTermFreq+1); docLen is the
+        byte4-decoded quantized length (SimilarityBase.getLengthValue)."""
+        postings = self.postings.get(term, {})
+        ttf = sum(postings.values())
+        p = (ttf + 1.0) / (self.sum_total_term_freq + 1.0)
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            raw = float(boost) * (
+                math.log(1 + freq / (mu * p)) + math.log(mu / (dl + mu))
+            )
+            out[doc_id] = np.float32(raw if raw > 0.0 else 0.0)
+        return out
+
+    def search_or_lm(self, terms: list[str], k: int):
+        per_term = [self.term_scores_lm(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
     def search_or_classic(self, terms: list[str], k: int):
         per_term = [self.term_scores_classic(t) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()

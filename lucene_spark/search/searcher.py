@@ -78,7 +78,11 @@ class IndexSearcher:
     * ``classic_f64``: the TFIDF shape in double — SQL reproducible.
     """
 
-    SCORING_MODES = ("lucene_f32", "plain_f64", "classic_f32", "classic_f64")
+    SCORING_MODES = (
+        "lucene_f32", "plain_f64", "classic_f32", "classic_f64",
+        "lm_dirichlet_f32", "lm_dirichlet_f64",
+    )
+    LM_MU = 2000.0  # LMDirichletSimilarity default mu
 
     def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32",
                  term_cache_max: int | None = None):
@@ -86,7 +90,12 @@ class IndexSearcher:
             raise ValueError(f"unknown scoring mode {scoring}")
         self.index = index
         self.scoring = scoring
-        self.family = "classic" if scoring.startswith("classic") else "bm25"
+        if scoring.startswith("classic"):
+            self.family = "classic"
+        elif scoring.startswith("lm_dirichlet"):
+            self.family = "lm"
+        else:
+            self.family = "bm25"
         self.score_type = "float" if scoring.endswith("f32") else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
@@ -122,6 +131,10 @@ class IndexSearcher:
     def _phrase_weight(self, terms, dfs, boost: float) -> float:
         """Phrase weight = boost * idf-sum (idfExplain sums per-term float32
         idfs in a double then casts — BM25Similarity.java idfExplain)."""
+        if self.family == "lm":
+            raise NotImplementedError(
+                "lm_dirichlet scoring is scoped to term-based queries"
+            )
         if self.score_type == "float":
             idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
             return _f32(np.float32(boost) * idf_sum)
@@ -244,6 +257,8 @@ class IndexSearcher:
         term set (predicate pushdown), broadcast join of the tiny weight
         table."""
         spark = self.index.spark
+        if self.family == "lm":
+            return self._scored_terms_lm(term_boosts)
         dfs = self.term_doc_freqs(list(term_boosts))
         weights = [
             (t, self._weight(b, dfs[t])) for t, b in term_boosts.items() if t in dfs
@@ -257,6 +272,50 @@ class IndexSearcher:
         return pf.join(F.broadcast(wdf), "term").select(
             "doc_id",
             self._bm25_expr(F.col("_w"), F.col("freq"), F.col("norm")).alias("score"),
+        )
+
+    def term_total_freqs(self, terms: Sequence[str]) -> dict[str, int]:
+        """total_term_freq per term (the LM collection-model statistic)."""
+        rows = (
+            self.index.term_stats.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "total_term_freq")
+            .collect()
+        )
+        return {r.term: int(r.total_term_freq) for r in rows}
+
+    def _scored_terms_lm(self, term_boosts: dict[str, float]) -> DataFrame:
+        """LMDirichletSimilarity (LMDirichletSimilarity.java:35-41 +
+        LMSimilarity.DefaultCollectionModel): per (term, doc)
+
+            p(t|C) = (ttf + 1) / (sumTotalTermFreq + 1)
+            score  = boost * (ln(1 + freq/(mu * p)) + ln(mu/(dl + mu)))
+                     clamped at 0, double math, cast to float in f32 mode
+                     (SimilarityBase.BasicSimScorer.score casts the double).
+        """
+        ttfs = self.term_total_freqs(list(term_boosts))
+        if not ttfs:
+            return self._empty_scored()
+        mu = float(self.LM_MU)
+        sttf = float(self.index.stats["sum_total_term_freq"])
+        rows = [
+            (t, float(b), mu * ((ttfs[t] + 1.0) / (sttf + 1.0)))
+            for t, b in term_boosts.items()
+            if t in ttfs
+        ]
+        wdf = self.index.spark.createDataFrame(
+            rows, "term string, _b double, _mp double"
+        )
+        pf = self.index.postings_for_terms([t for t, _, _ in rows]).select(
+            "term", "doc_id", "freq", "norm"
+        )
+        dl = F.element_at(self._dl_lit(), F.col("norm") + F.lit(1))
+        raw = F.col("_b") * (
+            F.log(F.lit(1.0) + F.col("freq").cast("double") / F.col("_mp"))
+            + F.log(F.lit(mu) / (dl + F.lit(mu)))
+        )
+        score = F.greatest(F.lit(0.0), raw).cast(self.score_type)
+        return pf.join(F.broadcast(wdf), "term").select(
+            "doc_id", score.alias("score")
         )
 
     def _empty_scored(self) -> DataFrame:
@@ -490,8 +549,12 @@ class IndexSearcher:
         # individually.  ≙ BooleanWeight building all TermScorers over one
         # shared leaf pass.
         term_clauses = []  # (term, boost, must_idx, should_idx)
+        # the batched fast path assumes the idf-weight shape; the LM family
+        # scores per-term via _scored_terms (needs ttf), so route its term
+        # clauses through the generic per-clause lowering
+        batch_terms = self.family != "lm"
         for i, sub in enumerate(musts):
-            if isinstance(sub, TermQuery):
+            if batch_terms and isinstance(sub, TermQuery):
                 term_clauses.append((sub.term, sub.boost, i, None))
             else:
                 parts.append(
@@ -501,7 +564,7 @@ class IndexSearcher:
                     )
                 )
         for i, sub in enumerate(shoulds):
-            if isinstance(sub, TermQuery):
+            if batch_terms and isinstance(sub, TermQuery):
                 term_clauses.append((sub.term, sub.boost, None, i))
             else:
                 parts.append(

@@ -143,3 +143,25 @@ def test_classic_rank_differs_from_bm25_sometimes(spark, tiny_index):
     b = IndexSearcher(tiny_index).search(TermQuery("the"), 30).collect()
     c = IndexSearcher(tiny_index, scoring="classic_f32").search(TermQuery("the"), 30).collect()
     assert [float(r.score) for r in b] != [float(r.score) for r in c]
+
+
+def test_lm_dirichlet_parity(spark, tiny_index, tiny_oracle):
+    """lm_dirichlet_f32 engine scores == the oracle's LMDirichletSimilarity
+    transliteration (rank + float32 score identity)."""
+    s = IndexSearcher(tiny_index, scoring="lm_dirichlet_f32")
+    for terms in (["model"], ["the", "spark", "query"]):
+        q = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        )
+        engine = [(r.conv_id, r.turn_idx, np.float32(r.score)) for r in s.search(q, 10).collect()]
+        want = [
+            (c, t, np.float32(sc))
+            for c, t, sc in tiny_oracle.topk_keys(tiny_oracle.search_or_lm(terms, 10))
+        ]
+        assert [(c, t) for c, t, _ in engine] == [(c, t) for c, t, _ in want], terms
+        np.testing.assert_array_equal(
+            np.array([x for _, _, x in engine], dtype=np.float32),
+            np.array([x for _, _, x in want], dtype=np.float32),
+        )
