@@ -1494,13 +1494,30 @@ def _q_sim_bruteforce(spark, sf_dir):
     return sim.cosine_topk(emb, _qvec(spark, sf_dir), 10)
 
 
-def _q_sim_ann(spark, sf_dir):
-    """ANN headline path: IVF-flat (deterministic SQL-derivable centroids,
-    nprobe nearest) — recall measured vs brute force in bench.py."""
+def _ivf_index_path(spark, sf_dir):
+    """Build (once per sf_dir, cached in /tmp) the IVF index: assignment
+    persisted as a cid partition column so queries prune at the FileScan."""
+    import hashlib as _hl
+
     from lucene_spark.pipeline import similarity as sim
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return sim.ivf_topk(emb, _qvec(spark, sf_dir), 10)
+    key = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/lucene_spark_ivf/{key}"
+    if not os.path.exists(f"{path}/centroids"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sim.ivf_build(emb, path)
+    return path
+
+
+def _q_sim_ann(spark, sf_dir):
+    """ANN headline path: IVF-flat over a PREBUILT index (build-time
+    centroid assignment persisted as a cid partition column; the query
+    reads only the nprobe probed partitions).  Result-identical to the
+    zero-setup ivf_topk, so the same DuckDB oracle applies; recall + the
+    build/query split measured vs brute force in bench.py."""
+    from lucene_spark.pipeline import similarity as sim
+
+    return sim.ivf_topk_indexed(spark, _ivf_index_path(spark, sf_dir), _qvec(spark, sf_dir), 10)
 
 
 def _q_sim_lsh(spark, sf_dir):

@@ -116,13 +116,24 @@ def main() -> None:
         "q_phrase2": PhraseQuery(("the", "data")),
         "q_phrase_slop2": PhraseQuery(("the", "data"), slop=2),
     }
+    # noise robustness: run each query N times, report the MIN (the
+    # shared-host-noise-free estimate, same protocol as the scaling
+    # scripts) plus the spread so round-over-round comparisons are not
+    # single-run dice
+    n_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     qtimes: dict[str, float] = {}
+    qspread: dict[str, list[float]] = {}
     topk_rows = 0
     for name, q in bench_queries.items():
-        tq = time.time()
-        rows = searcher.search(q, 10).collect()
-        qtimes[name] = round(time.time() - tq, 4)
-        topk_rows += len(rows)
+        reps = []
+        for i in range(n_reps):
+            tq = time.time()
+            rows = searcher.search(q, 10).collect()
+            reps.append(round(time.time() - tq, 4))
+            if i == 0:
+                topk_rows += len(rows)
+        qtimes[name] = min(reps)
+        qspread[name] = [min(reps), max(reps)]
 
     # ---- ANN quality: recall@10 vs brute-force cosine on the sf-dir
     # embeddings (IVF = the headline sim_topk_ann path; LSH multi-probe
@@ -138,25 +149,58 @@ def main() -> None:
             float(x)
             for x in emb.filter("vec_id = 0").select("embedding").collect()[0][0]
         ]
+
+        def _min_of(fn, n=n_reps):
+            reps, res = [], None
+            for _ in range(n):
+                tq = time.time()
+                res = fn()
+                reps.append(round(time.time() - tq, 4))
+            return min(reps), res
+
+        ann["t_brute"], brute = _min_of(
+            lambda: {r.vec_id for r in sim.cosine_topk(emb, qvec, 10).collect()}
+        )
+        # IVF: one-time build (assignment persisted partitioned-by-cid) +
+        # the pruned query — reported split so the amortized build cost
+        # is visible and t_ivf measures the designed nprobe/K scan
+        ivf_path = "/tmp/lucene_spark_bench/ivf_index"
+        import shutil
+
+        shutil.rmtree(ivf_path, ignore_errors=True)
         tq = time.time()
-        brute = {r.vec_id for r in sim.cosine_topk(emb, qvec, 10).collect()}
-        ann["t_brute"] = round(time.time() - tq, 4)
-        tq = time.time()
-        ivf = {r.vec_id for r in sim.ivf_topk(emb, qvec, 10).collect()}
-        ann["t_ivf"] = round(time.time() - tq, 4)
-        tq = time.time()
-        lsh = {r.vec_id for r in sim.ann_topk(emb, qvec, 10).collect()}
-        ann["t_lsh"] = round(time.time() - tq, 4)
+        sim.ivf_build(emb, ivf_path)
+        ann["t_ivf_build"] = round(time.time() - tq, 4)
+        ann["t_ivf"], ivf = _min_of(
+            lambda: {
+                r.vec_id
+                for r in sim.ivf_topk_indexed(spark, ivf_path, qvec, 10).collect()
+            }
+        )
+        ann["t_ivf_unindexed"], _ = _min_of(
+            lambda: {r.vec_id for r in sim.ivf_topk(emb, qvec, 10).collect()}, n=1
+        )
+        ann["t_lsh"], lsh = _min_of(
+            lambda: {r.vec_id for r in sim.ann_topk(emb, qvec, 10).collect()}
+        )
         ann["recall_ivf_at10"] = round(len(brute & ivf) / max(len(brute), 1), 2)
         ann["recall_lsh_at10"] = round(len(brute & lsh) / max(len(brute), 1), 2)
         emb.unpersist()
 
     total = time.time() - t0
+    # headline value = index build + the min-of-reps query latencies (the
+    # comparable core work); positions warm-up + ANN section + corpus gen
+    # wall time are reported in their own fields so new workload sections
+    # don't shift the headline between rounds
+    core = round(t_build + sum(qtimes.values()), 3)
     out = {
         "metric": "index_build_plus_topk_bm25",
-        "value": round(total, 3),
+        "value": core,
         "unit": "sec",
+        "total_wall_sec": round(total, 3),
         "queries": qtimes,
+        "query_spread": qspread,
+        "query_reps": n_reps,
         "sf": sf,
         "cpus": cpus,
         "n_turns": n_turns,

@@ -225,6 +225,12 @@ _PRIORITY_BASE = 1024  # cid encoded in the low bits; requires IVF_K <= 1024
 def _centroids(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
     """Collect the deterministic centroid sample (tiny: n_centroids rows)
     as [(cid, quantized_vec, norm_double)] sorted by cid."""
+    if n_centroids > _PRIORITY_BASE:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the priority-encoding base "
+            f"{_PRIORITY_BASE}; the argmax encoding packs cid into the low "
+            f"{_PRIORITY_BASE} residues and would silently corrupt assignments"
+        )
     rows = (
         emb.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), "embedding")
@@ -252,31 +258,15 @@ def ivf_topk(
     """(rank, vec_id, cos_i) approximate top-k via an IVF coarse quantizer:
     each vector is assigned to its nearest centroid (max cos_i, ties to the
     smallest cid); the query probes its ``nprobe`` nearest centroids and
-    scans only vectors assigned there; exact cosine within candidates."""
-    cents = _centroids(emb, n_centroids, id_col)
-    q = [_round_away(float(x) * QUANT) for x in query_vec]
-    qn = math.sqrt(float(sum(v * v for v in q)))
-    # probe list: nprobe nearest centroids to the query (driver-side over
-    # IVF_K tiny rows, same integer-quantized math as the SQL oracle)
-    qsims = []
-    for cid, cvec, cnorm in cents:
-        dot = sum(a * b for a, b in zip(q, cvec))
-        qsims.append((_round_away(float(QUANT) * float(dot) / cnorm / qn), cid))
-    probes = [cid for s, cid in sorted(qsims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    scans only vectors assigned there; exact cosine within candidates.
 
-    vec_q = _quant(F.col("embedding"))
-    vec_norm = F.sqrt(_norm2(vec_q).cast("double"))
-    # argmax over centroids as ONE integer expression: priority =
-    # (cos_i + QUANT) * 1024 + (1023 - cid); greatest() picks max cos_i
-    # with ties to the smallest cid.  Pure map — no join, no shuffle.
-    priorities = [
-        ((_cos_i_to_centroid(vec_q, vec_norm, cvec, cnorm) + F.lit(QUANT))
-         * F.lit(_PRIORITY_BASE) + F.lit(_PRIORITY_BASE - 1 - cid))
-        for cid, cvec, cnorm in cents
-    ]
-    best = priorities[0] if len(priorities) == 1 else F.greatest(*priorities)
-    assigned = F.lit(_PRIORITY_BASE - 1) - (best % F.lit(_PRIORITY_BASE))
-    cand = emb.withColumn("_ivf_cid", assigned).filter(
+    NOTE: this zero-setup variant re-derives the assignment per query (a
+    full-corpus projection).  For repeated queries use ``ivf_build`` +
+    ``ivf_topk_indexed``, which persist the assignment as a partition
+    column and prune at the FileScan."""
+    cents = _centroids(emb, n_centroids, id_col)
+    probes = _probe_list(cents, query_vec, nprobe)
+    cand = emb.withColumn("_ivf_cid", _assignment_expr(cents)).filter(
         F.col("_ivf_cid").isin(probes)
     ).drop("_ivf_cid")
     return cosine_topk(cand, query_vec, k, id_col)
@@ -335,6 +325,96 @@ SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec
 FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
 
 
+def _assignment_expr(cents):
+    """Nearest-centroid id as ONE integer expression over the embedding
+    column: priority = (cos_i + QUANT) * 1024 + (1023 - cid); greatest()
+    picks max cos_i with ties to the smallest cid.  Pure map — no join, no
+    shuffle, no explode."""
+    vec_q = _quant(F.col("embedding"))
+    vec_norm = F.sqrt(_norm2(vec_q).cast("double"))
+    priorities = [
+        ((_cos_i_to_centroid(vec_q, vec_norm, cvec, cnorm) + F.lit(QUANT))
+         * F.lit(_PRIORITY_BASE) + F.lit(_PRIORITY_BASE - 1 - cid))
+        for cid, cvec, cnorm in cents
+    ]
+    best = priorities[0] if len(priorities) == 1 else F.greatest(*priorities)
+    return F.lit(_PRIORITY_BASE - 1) - (best % F.lit(_PRIORITY_BASE))
+
+
+def _probe_list(cents, query_vec: list[float], nprobe: int) -> list[int]:
+    """nprobe nearest centroids to the query — driver-side over the tiny
+    centroid list, same integer-quantized math as the SQL oracle."""
+    q = [_round_away(float(x) * QUANT) for x in query_vec]
+    qn = math.sqrt(float(sum(v * v for v in q)))
+    qsims = []
+    for cid, cvec, cnorm in cents:
+        dot = sum(a * b for a, b in zip(q, cvec))
+        qsims.append((_round_away(float(QUANT) * float(dot) / cnorm / qn), cid))
+    return [cid for s, cid in sorted(qsims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+
+def ivf_build(
+    emb: DataFrame, index_path: str, n_centroids: int = IVF_K,
+    id_col: str = "vec_id",
+) -> str:
+    """One-time IVF index build: assign every vector to its nearest
+    centroid and PERSIST the corpus partitioned by ``cid``, plus the tiny
+    centroid table.  This is the amortized full-corpus pass; after it,
+    ``ivf_topk_indexed`` reads only the probed partitions — the designed
+    O(N * nprobe / K) query scan (vs ``ivf_topk``'s per-query full-corpus
+    re-assignment, kept as the zero-setup/oracle-checkable variant).
+
+    Layout (all parquet):
+      {index_path}/vectors/cid=<c>/...   corpus rows, directory-partitioned
+      {index_path}/centroids/            (cid, qvec array<long>, cnorm)
+
+    At 100 TB: this is one map-only job (no shuffle — partitionBy writes
+    one file per (input-partition, cid); with K ~ sqrt(N) centroids insert
+    a repartition(cid) before the write to keep file counts sane), and
+    every subsequent query prunes to nprobe/K of the data at the FileScan.
+    """
+    cents = _centroids(emb, n_centroids, id_col)
+    spark = emb.sparkSession
+    (
+        emb.withColumn("cid", _assignment_expr(cents))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(f"{index_path}/vectors")
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, cvec, cnorm) for cid, cvec, cnorm in cents],
+        schema="cid int, qvec array<long>, cnorm double",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return index_path
+
+
+def ivf_topk_indexed(
+    spark, index_path: str, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(rank, vec_id, cos_i) over a prebuilt ``ivf_build`` index: probe the
+    nprobe nearest centroids (tiny driver-side read) and scan ONLY those
+    cid partitions — the FileScan's PartitionFilters prune the rest of the
+    corpus, so query cost is O(N * nprobe / K) instead of O(N).
+
+    Result-identical to ``ivf_topk`` on the same table (same centroids,
+    same assignment arithmetic), so the same DuckDB oracle applies."""
+    cents = [
+        (int(r.cid), [int(v) for v in r.qvec], float(r.cnorm))
+        for r in sorted(
+            spark.read.parquet(f"{index_path}/centroids").collect(),
+            key=lambda r: r.cid,
+        )
+    ]
+    probes = _probe_list(cents, query_vec, nprobe)
+    cand = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("cid").isin(probes))  # -> PartitionFilters (pruned dirs)
+        .drop("cid")
+    )
+    return cosine_topk(cand, query_vec, k, id_col)
+
+
 def near_duplicates_embedding(
     emb: DataFrame, threshold: float = 0.9, n_centroids: int = IVF_K,
     id_col: str = "vec_id",
@@ -349,17 +429,8 @@ def near_duplicates_embedding(
     round(threshold * 1e6).  Join degree is bounded by cell size, not
     corpus size; at 100 TB raise n_centroids ~ sqrt(N)."""
     cents = _centroids(emb, n_centroids, id_col)
-    vec_q = _quant(F.col("embedding"))
-    vec_norm = F.sqrt(_norm2(vec_q).cast("double"))
-    priorities = [
-        ((_cos_i_to_centroid(vec_q, vec_norm, cvec, cnorm) + F.lit(QUANT))
-         * F.lit(_PRIORITY_BASE) + F.lit(_PRIORITY_BASE - 1 - cid))
-        for cid, cvec, cnorm in cents
-    ]
-    best = priorities[0] if len(priorities) == 1 else F.greatest(*priorities)
-    assigned = F.lit(_PRIORITY_BASE - 1) - (best % F.lit(_PRIORITY_BASE))
     tagged = emb.select(
-        F.col(id_col).alias("vid"), "embedding", assigned.alias("cid")
+        F.col(id_col).alias("vid"), "embedding", _assignment_expr(cents).alias("cid")
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     thr = _round_away(threshold * QUANT)

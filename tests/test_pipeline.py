@@ -150,6 +150,29 @@ def test_ann_topk(emb, con, qvec):
     )
 
 
+def test_ivf_indexed_matches_unindexed(spark, emb, qvec, tmp_path_factory):
+    """ivf_build + ivf_topk_indexed must be result-identical to the
+    zero-setup ivf_topk (same centroids/assignment arithmetic), and the
+    indexed scan must prune at the FileScan (PartitionFilters on cid)."""
+    from lucene_spark.pipeline import similarity as sim
+
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    sim.ivf_build(emb, path)
+    a = [tuple(r) for r in sim.ivf_topk(emb, qvec, 10).collect()]
+    b = [tuple(r) for r in sim.ivf_topk_indexed(spark, path, qvec, 10).collect()]
+    assert a == b and len(a) == 10
+    probed = spark.read.parquet(f"{path}/vectors").filter(F.col("cid").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan
+
+
+def test_ivf_centroid_cap_guard(emb, qvec):
+    from lucene_spark.pipeline import similarity as sim
+
+    with pytest.raises(ValueError, match="n_centroids"):
+        sim.ivf_topk(emb, qvec, 10, n_centroids=2000)
+
+
 def test_batch_topk_equals_declarative(emb, qvec):
     from lucene_spark.pipeline import similarity as sim
 
