@@ -737,8 +737,11 @@ class IndexSearcher:
             return self._empty_scored()
         dfs = self.term_doc_freqs(terms)
         max_doc = self.index.stats["max_doc"]
+        # CommonTermsQuery.java:155 — fractional maxTermFrequency marks a
+        # term high-freq when docFreq > ceil(mtf * maxDoc); without the
+        # ceil, docFreq == ceil(mtf * maxDoc) misclassifies as high
         cutoff = (
-            q.max_term_frequency * max_doc
+            math.ceil(q.max_term_frequency * max_doc)
             if 0 < q.max_term_frequency < 1.0
             else q.max_term_frequency
         )
@@ -1170,8 +1173,14 @@ class IndexSearcher:
                     cj = specs[j][0]
                     eq = cj.eqNullSafe(F.lit(search_after[j]))
                     cond = eq if cond is None else cond & eq
-                av = F.lit(search_after[i])
-                strict = (col < av) if descending else (col > av)
+                # nulls-last ordering: NULL sorts after every value, so
+                # rows with NULL in this field ARE strictly after any
+                # non-null cursor value; nothing sorts after a NULL cursor
+                if search_after[i] is None:
+                    strict = F.lit(False)
+                else:
+                    av = F.lit(search_after[i])
+                    strict = ((col < av) if descending else (col > av)) | col.isNull()
                 cond = strict if cond is None else cond & strict
                 pred = cond if pred is None else pred | cond
             df = df.filter(pred)

@@ -130,11 +130,18 @@ def _match_doc(q: Query, toks: list[str], positions: dict[str, list[int]]) -> bo
 
 
 class Monitor:
-    """Registered queries matched against document batches."""
+    """Registered queries matched against document batches.
 
-    def __init__(self, queries: dict[str, Query]):
+    ``analyzer``: the index Analyzer — incoming documents are tokenized
+    through the SAME chain (stop/stem/synonyms) the forward index uses, so
+    queries registered against analyzed terms (e.g. stemmed) behave
+    identically in reverse search.  Registered query terms are assumed
+    already analyzed (as the forward searcher's parse_terms produces)."""
+
+    def __init__(self, queries: dict[str, Query], analyzer=None):
         self.queries: dict[str, Query] = {}
         self.anchors: list[tuple[str, str, bool]] = []  # (query_id, anchor, is_prefix)
+        self.analyzer = analyzer if (analyzer is not None and not analyzer.is_noop()) else None
         for qid, q in queries.items():
             self.register(qid, q)
 
@@ -157,39 +164,84 @@ class Monitor:
         import pandas as pd
 
         spark = docs.sparkSession
-        anchor_df = F.broadcast(
-            spark.createDataFrame(
-                self.anchors, "query_id string, anchor string, is_prefix boolean"
+
+        # document tokenization through the index chain: JVM where the
+        # chain lowers (tokenize/stop/s-stem/synonyms), Arrow-batched
+        # python only for porter (no JVM lowering exists) — per incoming
+        # doc, the stream's unit of work, never per-corpus-row
+        if self.analyzer is None:
+            entries = F.transform(
+                tokens_expr(F.col(text_col)),
+                lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos")),
             )
-        )
-        toks = docs.select(*id_cols, tokens_expr(F.col(text_col)).alias("_toks"))
-        exploded = toks.select(
-            *id_cols, "_toks", F.explode(F.array_distinct("_toks")).alias("_t")
-        )
-        cand = (
-            exploded.join(
-                anchor_df,
-                (~F.col("is_prefix") & (F.col("_t") == F.col("anchor")))
-                | (F.col("is_prefix") & F.col("_t").startswith(F.col("anchor"))),
+        elif self.analyzer.stemmer == "porter":
+            analyzer = self.analyzer
+
+            @F.pandas_udf("array<struct<term:string,pos:int>>")
+            def _analyze(texts):
+                return texts.map(
+                    lambda t: [
+                        {"term": w, "pos": p} for w, p in analyzer.analyze_text(t)
+                    ]
+                )
+
+            entries = _analyze(F.col(text_col))
+        else:
+            entries = self.analyzer.entries_expr(F.col(text_col))
+        toks = docs.select(*id_cols, entries.alias("_ent"))
+
+        # universal anchors (MatchAll: prefix '') must reach verification
+        # even for zero-token docs, which produce no explode rows — they
+        # pair with EVERY doc directly instead of via the token join
+        universal = sorted({q for q, a, p in self.anchors if p and a == ""})
+        normal = [(q, a, p) for q, a, p in self.anchors if not (p and a == "")]
+        parts = []
+        if normal:
+            anchor_df = F.broadcast(
+                spark.createDataFrame(
+                    normal, "query_id string, anchor string, is_prefix boolean"
+                )
             )
-            .select(*id_cols, "_toks", "query_id")
-            .distinct()
-        )
+            exploded = toks.select(
+                *id_cols, "_ent",
+                F.explode(
+                    F.array_distinct(F.transform("_ent", lambda e: e["term"]))
+                ).alias("_t"),
+            )
+            parts.append(
+                exploded.join(
+                    anchor_df,
+                    (~F.col("is_prefix") & (F.col("_t") == F.col("anchor")))
+                    | (F.col("is_prefix") & F.col("_t").startswith(F.col("anchor"))),
+                )
+                .select(*id_cols, "_ent", "query_id")
+                .distinct()
+            )
+        if universal:
+            uni_df = F.broadcast(
+                spark.createDataFrame([(q,) for q in universal], "query_id string")
+            )
+            parts.append(toks.crossJoin(uni_df).select(*id_cols, "_ent", "query_id"))
+        if not parts:
+            return docs.select(*id_cols).limit(0).withColumn("query_id", F.lit(""))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
         queries = self.queries
 
         @F.pandas_udf("boolean")
-        def verify(tok_arrays, qids):
+        def verify(ent_arrays, qids):
             out = []
-            for arr, qid in zip(tok_arrays, qids):
-                toks_l = list(arr)
+            for arr, qid in zip(ent_arrays, qids):
+                toks_l = [e["term"] for e in arr]
                 pos: dict[str, list[int]] = {}
-                for i, t in enumerate(toks_l):
-                    pos.setdefault(t, []).append(i)
+                for e in arr:
+                    pos.setdefault(e["term"], []).append(e["pos"])
                 out.append(_match_doc(queries[qid], toks_l, pos))
             return pd.Series(out)
 
         return (
-            cand.withColumn("_ok", verify(F.col("_toks"), F.col("query_id")))
+            cand.withColumn("_ok", verify(F.col("_ent"), F.col("query_id")))
             .filter(F.col("_ok"))
             .select(*id_cols, "query_id")
         )

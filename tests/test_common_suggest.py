@@ -16,8 +16,11 @@ def searcher(tiny_index):
 def _expected_common(oracle, terms, mtf, k):
     """Brute force vs the oracle: docs matching >=1 low-frequency term,
     scored over all matched terms (low + high)."""
+    import math
+
     max_doc = len(oracle.docs)
-    cutoff = mtf * max_doc if 0 < mtf < 1 else mtf
+    # CommonTermsQuery.java:155: fractional cutoff is ceil(mtf * maxDoc)
+    cutoff = math.ceil(mtf * max_doc) if 0 < mtf < 1 else mtf
     low = [t for t in terms if oracle.doc_freq(t) <= cutoff]
     per_term = {t: oracle.term_scores(t) for t in terms}
     doc_ids = set()
@@ -43,6 +46,27 @@ def test_common_terms_vs_oracle(searcher, tiny_oracle):
         np.array([r.score for r in got], dtype=np.float32),
         np.array([s for _, _, s in want], dtype=np.float32),
     )
+
+
+def test_common_terms_ceil_boundary(searcher, tiny_oracle):
+    """A term whose docFreq equals ceil(mtf * maxDoc) exactly must classify
+    LOW (docFreq > ceil(...) marks high — CommonTermsQuery.java:155); the
+    off-by-one would degrade the query to a pure OR (ADVICE r02)."""
+    max_doc = len(tiny_oracle.docs)
+    df = tiny_oracle.doc_freq("model")
+    mtf = (df - 0.5) / max_doc  # ceil(mtf * maxDoc) == df exactly
+    q = CommonTermsQuery(("model", "the"), max_term_frequency=mtf)
+    got = searcher.search(q, 10).collect()
+    want = _expected_common(tiny_oracle, ("model", "the"), mtf, 10)
+    assert [(r.conv_id, r.turn_idx) for r in got] == [(c, t) for c, t, _ in want]
+    # the boundary term must be driving matching: every hit contains it
+    from lucene_spark.search import TermQuery
+
+    with_model = {
+        (r.conv_id, r.turn_idx)
+        for r in searcher.search(TermQuery("model"), 100000).collect()
+    }
+    assert all((r.conv_id, r.turn_idx) in with_model for r in got)
 
 
 def test_common_terms_all_high_degrades_to_or(searcher):

@@ -83,3 +83,37 @@ def test_monitor_streaming_attach(spark, docs, tmp_path):
         for r in mon.match_batch(docs, id_cols=("conv_id", "turn_idx")).collect()
     }
     assert set(out) == batch and len(batch) > 0
+
+
+def test_matchall_matches_zero_token_docs(spark):
+    """Universal anchors must reach docs that produce no token rows
+    (ADVICE r02: explode drops empty docs from the candidate join)."""
+    from lucene_spark.search.query import MatchAllDocsQuery
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "some words here")], "doc_id long, text string"
+    )
+    mon = Monitor({"q_all": MatchAllDocsQuery(), "q_term": TermQuery("words")})
+    got = {(r.doc_id, r.query_id) for r in mon.match_batch(docs).collect()}
+    assert got == {(1, "q_all"), (2, "q_all"), (3, "q_all"), (3, "q_term")}
+
+
+def test_monitor_analyzer_chain(spark):
+    """Monitor(analyzer=...) tokenizes documents through the index chain,
+    so stemmed registered terms match raw document text (ADVICE r02)."""
+    from lucene_spark.analysis import Analyzer
+
+    docs = spark.createDataFrame(
+        [(1, "the models were training quickly"), (2, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    an = Analyzer(stopwords=frozenset({"the", "were"}), stemmer="porter")
+    assert an.analyze_query("training") == ["train"]
+    mon = Monitor(
+        {"q_stem": TermQuery("train"),
+         "q_phrase_hole": PhraseQuery(("model", "train"), positions=(1, 3))},
+        analyzer=an,
+    )
+    got = {(r.doc_id, r.query_id) for r in mon.match_batch(docs).collect()}
+    # "the models were training" -> model@1, train@3 (stop holes kept)
+    assert got == {(1, "q_stem"), (1, "q_phrase_hole")}

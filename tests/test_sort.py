@@ -83,3 +83,30 @@ def test_search_after_arity_check(searcher):
             TermQuery("model"), 5, Sort.by(SortField("turn_idx")),
             search_after=(1,),
         )
+
+
+def test_search_after_pages_through_null_region(spark, tiny_corpus):
+    """Rows with NULL sort values sort last (nulls-last) and must still be
+    reachable by search_after paging: page through the ENTIRE match set and
+    assert the concatenation equals the full sorted order (ADVICE r02)."""
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from pyspark.sql import functions as F
+
+    df = transcripts_df(spark, rows=tiny_corpus).withColumn(
+        "ts",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit(None)).otherwise(F.col("ts")),
+    )
+    s = IndexSearcher(IndexBuilder(num_segments=2).build(df))
+    srt = Sort.by(SortField("ts"))
+    full = s.search_sorted(TermQuery("model"), 100000, srt).collect()
+    assert any(r.ts is None for r in full), "corpus must exercise the null region"
+    pages, after = [], None
+    while True:
+        page = s.search_sorted(TermQuery("model"), 7, srt, search_after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        last = page[-1]
+        after = (last.ts, last.doc_id)
+    assert [(r.doc_id, r.ts) for r in pages] == [(r.doc_id, r.ts) for r in full]
