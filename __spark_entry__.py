@@ -979,6 +979,87 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_simbase(terms, k: int, scoring: str):
+    """Shared runner for the SimilarityBase families (lm_jm / dfr) through
+    the same scoring socket as lm_dirichlet."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = (scoring, os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring=scoring))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _lm_jm_sql(terms, k: int, lam: float = 0.1) -> str:
+    """LMJelinekMercerSimilarity.java:62-69 twin:
+    boost * ln(1 + ((1-λ) * freq / dl) / (λ * p(t|C)))."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    score = (
+        f"ln(1 + (({1.0 - lam!r} * tf.freq / dlq.dlq)"
+        f" / ({lam!r} * ((dfreq.total_term_freq + 1.0)"
+        f" / (CAST(stats.sttf AS DOUBLE) + 1.0)))))"
+    )
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _dfr_sql(terms, k: int, c: float = 1.0) -> str:
+    """DFRSimilarity (BasicModelG + AfterEffectL + NormalizationH2) twin:
+    tfn = freq * log2(1 + c*avgdl/dl); λg = (ttf+1)/(N+ttf+1);
+    score = B - (B - A)/(1 + tfn), A = log2(λg+1), B = log2((1+λg)/λg)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    lam = ("((dfreq.total_term_freq + 1.0)"
+           " / (stats.doc_count + dfreq.total_term_freq + 1.0))")
+    a2 = f"(ln({lam} + 1.0) / ln(2))"
+    b2 = f"(ln((1.0 + {lam}) / {lam}) / ln(2))"
+    tfn = (f"(tf.freq * ln(1.0 + {c!r} * (CAST(stats.sttf AS DOUBLE)"
+           f" / stats.doc_count) / dlq.dlq) / ln(2))")
+    score = f"({b2} - ({b2} - {a2}) / (1.0 + {tfn}))"
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor/percolator: registered queries matched against the document
     batch (stream-static join analog)."""
@@ -1590,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_term_topk": _q_highlight("spark", 10),
         "tfidf_topk": _q_tfidf(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
+        "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
+        "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -1643,6 +1726,8 @@ def oracle_sql() -> dict[str, str]:
         "highlight_term_topk": _highlight_sql("spark", 10),
         "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
+        "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
+        "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),

@@ -171,8 +171,52 @@ class OracleIndex:
             out[doc_id] = np.float32(raw if raw > 0.0 else 0.0)
         return out
 
+    def term_scores_lm_jm(self, term: str, boost: float = 1.0, lam: float = 0.1) -> dict[int, np.float32]:
+        """LMJelinekMercerSimilarity.java:62-69: boost * ln(1 +
+        ((1-λ)*freq/dl) / (λ*p(t|C))); same DefaultCollectionModel p."""
+        postings = self.postings.get(term, {})
+        ttf = sum(postings.values())
+        p = (ttf + 1.0) / (self.sum_total_term_freq + 1.0)
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            raw = float(boost) * math.log(1 + ((1.0 - lam) * freq / dl) / (lam * p))
+            out[doc_id] = np.float32(raw)
+        return out
+
+    def term_scores_dfr(self, term: str, boost: float = 1.0, c: float = 1.0) -> dict[int, np.float32]:
+        """DFRSimilarity.java:106-110 with BasicModelG.java:36-50 +
+        AfterEffectL (×1.0) + NormalizationH2.java:57-59:
+        tfn = freq * log2(1 + c*avgdl/dl); λg = (ttf+1)/(N+ttf+1);
+        score = boost * (B - (B-A)/(1+tfn))."""
+        postings = self.postings.get(term, {})
+        ttf = sum(postings.values())
+        n_docs = float(self.doc_count)
+        lam = (ttf + 1.0) / (n_docs + ttf + 1.0)
+        ln2 = math.log(2.0)
+        a2 = math.log(lam + 1.0) / ln2
+        b2 = math.log((1.0 + lam) / lam) / ln2
+        c_avgdl = c * (self.sum_total_term_freq / n_docs)
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            tfn = freq * math.log(1.0 + c_avgdl / dl) / ln2
+            raw = float(boost) * (b2 - (b2 - a2) / (1.0 + tfn))
+            out[doc_id] = np.float32(raw)
+        return out
+
     def search_or_lm(self, terms: list[str], k: int):
         per_term = [self.term_scores_lm(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_lm_jm(self, terms: list[str], k: int):
+        per_term = [self.term_scores_lm_jm(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_dfr(self, terms: list[str], k: int):
+        per_term = [self.term_scores_dfr(t) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
         return self._topk(self._sum_scores(per_term, doc_ids), k)
 

@@ -81,8 +81,11 @@ class IndexSearcher:
     SCORING_MODES = (
         "lucene_f32", "plain_f64", "classic_f32", "classic_f64",
         "lm_dirichlet_f32", "lm_dirichlet_f64",
+        "lm_jm_f32", "lm_jm_f64", "dfr_f32", "dfr_f64",
     )
     LM_MU = 2000.0  # LMDirichletSimilarity default mu
+    LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity λ (title-query optimum)
+    DFR_C = 1.0  # NormalizationH2 default hyper-parameter c
 
     def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32",
                  term_cache_max: int | None = None):
@@ -94,8 +97,15 @@ class IndexSearcher:
             self.family = "classic"
         elif scoring.startswith("lm_dirichlet"):
             self.family = "lm"
+        elif scoring.startswith("lm_jm"):
+            self.family = "lm_jm"
+        elif scoring.startswith("dfr"):
+            self.family = "dfr"
         else:
             self.family = "bm25"
+        # SimilarityBase-derived families: double math end-to-end, one
+        # float cast at the end (BasicSimScorer.score), term-scoped
+        self.simbase = self.family in ("lm", "lm_jm", "dfr")
         self.score_type = "float" if scoring.endswith("f32") else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
@@ -131,9 +141,9 @@ class IndexSearcher:
     def _phrase_weight(self, terms, dfs, boost: float) -> float:
         """Phrase weight = boost * idf-sum (idfExplain sums per-term float32
         idfs in a double then casts — BM25Similarity.java idfExplain)."""
-        if self.family == "lm":
+        if self.simbase:
             raise NotImplementedError(
-                "lm_dirichlet scoring is scoped to term-based queries"
+                f"{self.scoring} scoring is scoped to term-based queries"
             )
         if self.score_type == "float":
             idf_sum = np.float32(sum(float(self.idf(dfs[t])) for t in terms))
@@ -257,8 +267,8 @@ class IndexSearcher:
         term set (predicate pushdown), broadcast join of the tiny weight
         table."""
         spark = self.index.spark
-        if self.family == "lm":
-            return self._scored_terms_lm(term_boosts)
+        if self.simbase:
+            return self._scored_terms_simbase(term_boosts)
         dfs = self.term_doc_freqs(list(term_boosts))
         weights = [
             (t, self._weight(b, dfs[t])) for t, b in term_boosts.items() if t in dfs
@@ -283,37 +293,78 @@ class IndexSearcher:
         )
         return {r.term: int(r.total_term_freq) for r in rows}
 
-    def _scored_terms_lm(self, term_boosts: dict[str, float]) -> DataFrame:
-        """LMDirichletSimilarity (LMDirichletSimilarity.java:35-41 +
-        LMSimilarity.DefaultCollectionModel): per (term, doc)
+    def _scored_terms_simbase(self, term_boosts: dict[str, float]) -> DataFrame:
+        """SimilarityBase-derived families (double math per
+        SimilarityBase.BasicSimScorer.score, one cast at the end):
 
+        * ``lm`` — LMDirichletSimilarity.java:35-41 +
+          LMSimilarity.DefaultCollectionModel:
             p(t|C) = (ttf + 1) / (sumTotalTermFreq + 1)
-            score  = boost * (ln(1 + freq/(mu * p)) + ln(mu/(dl + mu)))
-                     clamped at 0, double math, cast to float in f32 mode
-                     (SimilarityBase.BasicSimScorer.score casts the double).
+            score  = boost * (ln(1 + freq/(mu*p)) + ln(mu/(dl + mu)))
+            clamped at 0.
+        * ``lm_jm`` — LMJelinekMercerSimilarity.java:62-69:
+            score = boost * ln(1 + ((1-λ) * freq / dl) / (λ * p(t|C)))
+          with the same DefaultCollectionModel p(t|C); λ = LM_LAMBDA.
+        * ``dfr`` — DFRSimilarity.java:106-110 with BasicModelG +
+          AfterEffectL + NormalizationH2 (the combination the reference's
+          tests exercise):
+            tfn    = freq * log2(1 + c * avgdl / dl)   (NormalizationH2.java:57)
+            λg     = (ttf + 1) / (N + ttf + 1)          (BasicModelG.java:38-40)
+            A      = log2(λg + 1);  B = log2((1 + λg) / λg)
+            score  = boost * (B - (B - A) / (1 + tfn))  (AfterEffectL: ×1.0)
         """
         ttfs = self.term_total_freqs(list(term_boosts))
         if not ttfs:
             return self._empty_scored()
-        mu = float(self.LM_MU)
         sttf = float(self.index.stats["sum_total_term_freq"])
-        rows = [
-            (t, float(b), mu * ((ttfs[t] + 1.0) / (sttf + 1.0)))
-            for t, b in term_boosts.items()
-            if t in ttfs
-        ]
-        wdf = self.index.spark.createDataFrame(
-            rows, "term string, _b double, _mp double"
-        )
-        pf = self.index.postings_for_terms([t for t, _, _ in rows]).select(
+        n_docs = float(self.doc_count)
+        dl = F.element_at(self._dl_lit(), F.col("norm") + F.lit(1))
+        fr = F.col("freq").cast("double")
+        ln2 = math.log(2.0)
+        if self.family == "lm":
+            mu = float(self.LM_MU)
+            rows = [
+                (t, float(b), mu * ((ttfs[t] + 1.0) / (sttf + 1.0)))
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _mp double"
+            raw = F.col("_b") * (
+                F.log(F.lit(1.0) + fr / F.col("_mp"))
+                + F.log(F.lit(mu) / (dl + F.lit(mu)))
+            )
+            raw = F.greatest(F.lit(0.0), raw)
+        elif self.family == "lm_jm":
+            lam = float(self.LM_LAMBDA)
+            rows = [
+                (t, float(b), lam * ((ttfs[t] + 1.0) / (sttf + 1.0)))
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _lp double"
+            raw = F.col("_b") * F.log(
+                F.lit(1.0) + (F.lit(1.0 - lam) * fr / dl) / F.col("_lp")
+            )
+        else:  # dfr (G + L + H2)
+            c_avgdl = float(self.DFR_C) * (sttf / n_docs)
+            rows = []
+            for t, b in term_boosts.items():
+                if t not in ttfs:
+                    continue
+                lam = (ttfs[t] + 1.0) / (n_docs + ttfs[t] + 1.0)
+                a2 = math.log(lam + 1.0) / ln2
+                b2 = math.log((1.0 + lam) / lam) / ln2
+                rows.append((t, float(b), b2, b2 - a2))
+            schema = "term string, _b double, _big double, _bag double"
+            tfn = fr * F.log(F.lit(1.0) + F.lit(c_avgdl) / dl) / F.lit(ln2)
+            raw = F.col("_b") * (F.col("_big") - F.col("_bag") / (F.lit(1.0) + tfn))
+        if not rows:
+            return self._empty_scored()
+        wdf = self.index.spark.createDataFrame(rows, schema)
+        pf = self.index.postings_for_terms([r[0] for r in rows]).select(
             "term", "doc_id", "freq", "norm"
         )
-        dl = F.element_at(self._dl_lit(), F.col("norm") + F.lit(1))
-        raw = F.col("_b") * (
-            F.log(F.lit(1.0) + F.col("freq").cast("double") / F.col("_mp"))
-            + F.log(F.lit(mu) / (dl + F.lit(mu)))
-        )
-        score = F.greatest(F.lit(0.0), raw).cast(self.score_type)
+        score = raw.cast(self.score_type)
         return pf.join(F.broadcast(wdf), "term").select(
             "doc_id", score.alias("score")
         )
@@ -552,7 +603,7 @@ class IndexSearcher:
         # the batched fast path assumes the idf-weight shape; the LM family
         # scores per-term via _scored_terms (needs ttf), so route its term
         # clauses through the generic per-clause lowering
-        batch_terms = self.family != "lm"
+        batch_terms = not self.simbase
         for i, sub in enumerate(musts):
             if batch_terms and isinstance(sub, TermQuery):
                 term_clauses.append((sub.term, sub.boost, i, None))
