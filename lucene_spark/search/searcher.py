@@ -386,8 +386,11 @@ class IndexSearcher:
         """terms relation filtered by a dictionary predicate."""
         return self.index.term_stats.filter(predicate).select("term", "doc_freq")
 
-    # expansions above this size skip the driver round-trip and semi-join
-    MAX_COLLECTED_EXPANSION = 65536
+    # expansions above this size skip the driver round-trip and semi-join;
+    # capped at the reference's IndexSearcher maxClauseCount (1024) — a
+    # larger IN-list bloats the Catalyst predicate for marginal gain over
+    # the broadcast semi-join fallback
+    MAX_COLLECTED_EXPANSION = 1024
 
     def _const_score_from_terms(self, terms_df: DataFrame, boost: float) -> DataFrame:
         """CONSTANT_SCORE rewrite (MultiTermQuery.java:39-83): expand against
@@ -395,31 +398,145 @@ class IndexSearcher:
         driver-side when small (the common case — it is vocabulary-bounded),
         enabling bucket/term pushdown into the postings scan; huge expansions
         fall back to a broadcast semi-join."""
+        return self._const_scored(self._docs_from_terms(terms_df), boost)
+
+    def _docs_from_terms(self, terms_df: DataFrame) -> DataFrame:
+        """DataFrame(doc_id) matching ANY term of a dictionary expansion:
+        collected driver-side when small (bucket/term pushdown into the
+        postings scan), broadcast semi-join otherwise."""
         expanded = [
             r.term
             for r in terms_df.select("term").limit(self.MAX_COLLECTED_EXPANSION + 1).collect()
         ]
         if len(expanded) <= self.MAX_COLLECTED_EXPANSION:
             if not expanded:
-                return self._empty_scored()
-            matches = (
+                return self.index.docs.select("doc_id").limit(0)
+            return (
                 self.index.postings_for_terms(expanded).select("doc_id").distinct()
             )
-        else:
-            matches = (
-                self.index.postings.join(
-                    F.broadcast(terms_df.select("term")), "term", "left_semi"
-                )
-                .select("doc_id")
-                .distinct()
+        return (
+            self.index.postings.join(
+                F.broadcast(terms_df.select("term")), "term", "left_semi"
             )
-        return self._const_scored(matches, boost)
+            .select("doc_id")
+            .distinct()
+        )
 
     # ------------------------------------------------------------------
     # match-only lowering (for FILTER / MUST_NOT contexts — no scores)
     def _matches(self, q: Query) -> DataFrame:
-        """DataFrame(doc_id) of matching docs (non-scoring)."""
+        """DataFrame(doc_id) of matching docs (non-scoring).
+
+        Term-shaped operands lower to a postings scan → distinct doc_id
+        with NO weight join, NO score expression, and NO per-term stats
+        lookup — the FILTER / MUST_NOT / ConstantScore side of a plan
+        carries none of the scoring machinery (≙ Weight.scorer under
+        ScoreMode.COMPLETE_NO_SCORES).  Positional/feature queries fall
+        back to the scored plan, whose matching IS the work."""
+        if isinstance(q, TermQuery):
+            return (
+                self.index.postings_for_terms([q.term]).select("doc_id").distinct()
+            )
+        if isinstance(q, SynonymQuery):
+            return (
+                self.index.postings_for_terms(list(dict.fromkeys(q.terms)))
+                .select("doc_id")
+                .distinct()
+            )
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self._matches(q.query)
+        if isinstance(q, TermInSetQuery):
+            return self._docs_from_terms(
+                self._expand_terms(F.col("term").isin(list(q.terms)))
+            )
+        if isinstance(q, PrefixQuery):
+            return self._docs_from_terms(
+                self._expand_terms(F.col("term").startswith(q.prefix))
+            )
+        if isinstance(q, WildcardQuery):
+            return self._docs_from_terms(
+                self._expand_terms(F.col("term").rlike(_wildcard_to_regex(q.pattern)))
+            )
+        if isinstance(q, RegexpQuery):
+            return self._docs_from_terms(
+                self._expand_terms(F.col("term").rlike(f"^(?:{q.pattern})$"))
+            )
+        if isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                pred = pred & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+            return self._docs_from_terms(self._expand_terms(pred))
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.docs.select("doc_id")
+        if isinstance(q, MatchNoDocsQuery):
+            return self.index.docs.select("doc_id").limit(0)
+        if isinstance(q, FieldExistsQuery):
+            return self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
+        if isinstance(q, RangePredicate):
+            c = F.col(q.column)
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
+            if q.upper is not None:
+                pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
+            return self.index.docs.filter(pred).select("doc_id")
+        if isinstance(q, BooleanQuery):
+            return self._matches_boolean(q)
         return self._scored(q).select("doc_id").distinct()
+
+    def _matches_boolean(self, q: BooleanQuery) -> DataFrame:
+        """Match-only Boolean: semi-joins for MUST/FILTER, union-distinct
+        for SHOULD (count-distinct constraint for minShouldMatch > 1),
+        anti-join for MUST_NOT — no scoring anywhere in the subtree."""
+        musts = [c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)]
+        shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        msm = q.min_should_match
+        if not musts and not shoulds:
+            # pure negation — let the scored path raise its usual error
+            return self._scored(q).select("doc_id").distinct()
+        if musts:
+            base = self._matches(musts[0])
+            for sub in musts[1:]:
+                base = base.join(self._matches(sub), "doc_id", "left_semi")
+            if shoulds and msm > 0:
+                base = base.join(
+                    self._n_should_matched(shoulds, msm), "doc_id", "left_semi"
+                )
+        else:
+            need = max(1, msm)
+            if need <= 1:
+                base = self._matches(shoulds[0])
+                for sub in shoulds[1:]:
+                    base = base.unionByName(self._matches(sub))
+                base = base.distinct()
+            else:
+                base = self._n_should_matched(shoulds, need)
+        for sub in nots:
+            base = base.join(self._matches(sub), "doc_id", "left_anti")
+        return base
+
+    def _n_should_matched(self, shoulds, need: int) -> DataFrame:
+        """doc_ids matching at least ``need`` distinct SHOULD clauses."""
+        parts = [
+            self._matches(s).withColumn("_cl", F.lit(i))
+            for i, s in enumerate(shoulds)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.groupBy("doc_id")
+            .agg(F.count_distinct("_cl").alias("_n"))
+            .filter(F.col("_n") >= need)
+            .select("doc_id")
+        )
 
     # ------------------------------------------------------------------
     # scored lowering

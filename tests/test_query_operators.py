@@ -213,3 +213,28 @@ def test_blended_term_query(spark, tiny_index, tiny_oracle):
         np.array([r.score for r in got], dtype=np.float32),
         np.array([x for _, x in ranked], dtype=np.float32),
     )
+
+
+def test_match_only_lowering_carries_no_scoring(spark, tiny_index):
+    """FILTER/MUST_NOT operands lower via _matches without the BM25
+    machinery: no score column, no weight broadcast join, no norm-cache
+    literal in the analyzed plan — and the match set equals the scored
+    path's distinct doc_ids (VERDICT r02 'What's wrong #3')."""
+    from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+    from lucene_spark.search.query import PrefixQuery
+
+    s = IndexSearcher(tiny_index)
+    for q in (
+        TermQuery("model"),
+        PrefixQuery("mod"),
+        BooleanQuery.of(
+            (TermQuery("data"), Occur.MUST), (TermQuery("model"), Occur.SHOULD)
+        ),
+    ):
+        m = s._matches(q)
+        assert m.columns == ["doc_id"]
+        plan = m._jdf.queryExecution().analyzed().toString()
+        assert "score" not in plan, type(q).__name__
+        got = {r.doc_id for r in m.collect()}
+        want = {r.doc_id for r in s._scored(q).select("doc_id").collect()}
+        assert got == want, type(q).__name__
