@@ -979,6 +979,132 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_synonym(text: str, rules, k: int):
+    """Query-time synonym expansion (QueryBuilder.java analyzeGraphBoolean):
+    single-token rules lower to SynonymQuery (summed freq, max df)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.querybuilder import QueryBuilder, QueryTimeSynonyms
+
+        _, searcher = _searcher(spark, sf_dir)
+        qb = QueryBuilder(synonyms=QueryTimeSynonyms(rules))
+        return _ranked_topk(searcher, qb.create_boolean_query(text), k)
+
+    return run
+
+
+def _synonym_topk_sql(syn_terms: list[str], other_terms: list[str], k: int) -> str:
+    """Twin for SHOULD(SynonymQuery(syn_terms), TermQuery(t) ...): the
+    synonym clause scores as ONE pseudo-term with freq summed over members
+    and df = max member df (SynonymQuery.java:50)."""
+    slist = ", ".join(f"'{t}'" for t in syn_terms)
+    tlist = ", ".join(f"'{t}'" for t in other_terms) or "''"
+    return (
+        _PRELUDE
+        + f""",
+syn AS (
+  SELECT conv_id, turn_idx, SUM(freq) AS freq
+  FROM tf WHERE term IN ({slist}) GROUP BY 1, 2
+),
+syn_w AS (SELECT max(doc_freq) AS mdf FROM dfreq WHERE term IN ({slist})),
+parts AS (
+  SELECT s.conv_id, s.turn_idx,
+    ln(1 + (stats.doc_count - syn_w.mdf + 0.5) / (syn_w.mdf + 0.5))
+      * s.freq / (s.freq + 1.2 * (0.25 + 0.75 * dlq.dlq
+        / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM syn s
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats CROSS JOIN syn_w
+  UNION ALL
+  SELECT tf.conv_id, tf.turn_idx, {_SCORE} AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+),
+scored AS (
+  SELECT conv_id, turn_idx, SUM(score) AS score FROM parts GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_synonym_phrase(word: str, rules, k: int):
+    """Multi-word synonym alternative through the classic parser: the rule
+    dst is a phrase, so the clause is SHOULD(term, phrase)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.parser import QueryParser
+        from lucene_spark.search.querybuilder import QueryTimeSynonyms
+
+        _, searcher = _searcher(spark, sf_dir)
+        p = QueryParser(synonyms=QueryTimeSynonyms(rules))
+        return _ranked_topk(searcher, p.parse(word), k)
+
+    return run
+
+
+def _synonym_phrase_sql(term: str, phrase: list[str], k: int) -> str:
+    """Twin for SHOULD(TermQuery(term), PhraseQuery(phrase)): per-doc sum
+    of the term clause and the phrase clause (idf-sum weight, positional
+    freq via the token-array lambda — engine PhraseQuery semantics)."""
+    n = len(phrase)
+    conds = " AND ".join(f"arr[i + {i}] = '{t}'" for i, t in enumerate(phrase))
+    idf_sum = " + ".join(
+        f"ln(1 + (stats.doc_count - COALESCE(d{i}.doc_freq, 0) + 0.5) / (COALESCE(d{i}.doc_freq, 0) + 0.5))"
+        for i in range(n)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN dfreq d{i} ON d{i}.term = '{t}'" for i, t in enumerate(phrase)
+    )
+    return (
+        _PRELUDE
+        + f""",
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pfreq AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(range(1, len(arr) - {n - 2}), i -> {conds})) AS freq
+  FROM parr
+),
+parts AS (
+  SELECT p.conv_id, p.turn_idx,
+         ({idf_sum})
+         * p.freq / (p.freq + 1.2 * (0.25 + 0.75 * dlq.dlq
+           / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM pfreq p
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  {joins}
+  WHERE p.freq > 0
+  UNION ALL
+  SELECT tf.conv_id, tf.turn_idx, {_SCORE} AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+),
+scored AS (
+  SELECT conv_id, turn_idx, SUM(score) AS score FROM parts GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_simbase(terms, k: int, scoring: str):
     """Shared runner for the SimilarityBase families (lm_jm / dfr) through
     the same scoring socket as lm_dirichlet."""
@@ -1673,6 +1799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
+        "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
+        "synonym_phrase_topk": _q_synonym_phrase(
+            "spark", [("spark", "the customer")], 10
+        ),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -1728,6 +1858,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
+        "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
+        "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),

@@ -76,12 +76,16 @@ class QueryParser:
     phrases keep its position holes."""
 
     def __init__(self, field: str = "text", default_operator: str = "OR",
-                 analyzer=None):
+                 analyzer=None, synonyms=None):
         if default_operator not in ("OR", "AND"):
             raise QueryParseError("default_operator must be OR or AND")
         self.field = field
         self.default_occur = Occur.SHOULD if default_operator == "OR" else Occur.MUST
         self.analyzer = analyzer
+        # QueryTimeSynonyms: query-side graph expansion (QueryBuilder.java
+        # analyzeGraphBoolean) — single-token rules become SynonymQuery,
+        # multi-token alternatives become phrase SHOULD-groups
+        self.synonyms = synonyms
 
     def _analyze_word(self, word: str) -> list[str]:
         if self.analyzer is not None:
@@ -257,6 +261,16 @@ class QueryParser:
         terms = self._analyze_word(word)
         if not terms:
             return MatchNoDocsQuery()
+        if self.synonyms is not None:
+            from lucene_spark.search.querybuilder import element_query
+
+            clauses = [
+                element_query(span, alts)
+                for span, alts in self.synonyms.elements(terms)
+            ]
+            if len(clauses) == 1:
+                return clauses[0]
+            return BooleanQuery.of(*[(c, Occur.SHOULD) for c in clauses])
         if len(terms) == 1:
             return TermQuery(terms[0])
         # one query word analyzed into several tokens -> SHOULD of terms

@@ -171,3 +171,113 @@ def test_and_promotes_left_even_with_explicit_plus_on_right():
         (TermQuery("hello"), Occur.MUST),
         (TermQuery("world"), Occur.MUST),
     ]
+
+
+# -- query-time synonym expansion (QueryBuilder.java / SynonymGraphFilter) --
+
+def test_querybuilder_single_token_synonym():
+    from lucene_spark.search.query import SynonymQuery, TermQuery, BooleanQuery, Occur
+    from lucene_spark.search.querybuilder import QueryBuilder, QueryTimeSynonyms
+
+    qb = QueryBuilder(synonyms=QueryTimeSynonyms([("fast", "quick"), ("fast", "rapid")]))
+    q = qb.create_boolean_query("fast data")
+    assert isinstance(q, BooleanQuery)
+    syn, term = q.clauses[0].query, q.clauses[1].query
+    assert isinstance(syn, SynonymQuery) and set(syn.terms) == {"fast", "quick", "rapid"}
+    assert isinstance(term, TermQuery) and term.term == "data"
+    assert all(c.occur == Occur.SHOULD for c in q.clauses)
+
+
+def test_querybuilder_multiword_dst_becomes_phrase_group():
+    from lucene_spark.search.query import BooleanQuery, PhraseQuery, TermQuery
+    from lucene_spark.search.querybuilder import QueryBuilder, QueryTimeSynonyms
+
+    qb = QueryBuilder(synonyms=QueryTimeSynonyms([("ml", "machine learning")]))
+    q = qb.create_boolean_query("ml")
+    assert isinstance(q, BooleanQuery)
+    kinds = {type(c.query) for c in q.clauses}
+    assert kinds == {TermQuery, PhraseQuery}
+    ph = next(c.query for c in q.clauses if isinstance(c.query, PhraseQuery))
+    assert ph.terms == ("machine", "learning")
+
+
+def test_querybuilder_multiword_src_longest_match():
+    from lucene_spark.search.query import BooleanQuery, PhraseQuery, TermQuery
+    from lucene_spark.search.querybuilder import QueryBuilder, QueryTimeSynonyms
+
+    syn = QueryTimeSynonyms([("machine learning", "ml"), ("machine", "engine")])
+    qb = QueryBuilder(synonyms=syn)
+    # longest match wins: "machine learning" consumed as one element
+    q = qb.create_boolean_query("machine learning rocks")
+    assert isinstance(q, BooleanQuery) and len(q.clauses) == 2
+    grp = q.clauses[0].query
+    assert isinstance(grp, BooleanQuery)
+    assert {type(c.query) for c in grp.clauses} == {PhraseQuery, TermQuery}
+    # single "machine" still matches the shorter rule
+    q2 = qb.create_boolean_query("machine rocks")
+    from lucene_spark.search.query import SynonymQuery
+
+    assert isinstance(q2.clauses[0].query, SynonymQuery)
+    assert set(q2.clauses[0].query.terms) == {"machine", "engine"}
+
+
+def test_querybuilder_rules_analyzed_through_chain():
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.search.query import SynonymQuery
+    from lucene_spark.search.querybuilder import QueryBuilder, QueryTimeSynonyms
+
+    an = Analyzer(stopwords=frozenset({"the"}), stemmer="porter")
+    syn = QueryTimeSynonyms([("training", "the learning")], analyzer=an)
+    qb = QueryBuilder(analyzer=an, synonyms=syn)
+    # both sides stem + stop: "training"->train, "the learning"->learn
+    q = qb.create_boolean_query("training")
+    assert isinstance(q, SynonymQuery) and set(q.terms) == {"train", "learn"}
+
+
+def test_parser_with_synonyms():
+    from lucene_spark.search.parser import QueryParser
+    from lucene_spark.search.query import BooleanQuery, Occur, PhraseQuery, SynonymQuery, TermQuery
+    from lucene_spark.search.querybuilder import QueryTimeSynonyms
+
+    p = QueryParser(synonyms=QueryTimeSynonyms([("fast", "quick"), ("ml", "machine learning")]))
+    q = p.parse("+fast ml")
+    assert isinstance(q, BooleanQuery)
+    by_occur = {c.occur: c.query for c in q.clauses}
+    assert isinstance(by_occur[Occur.MUST], SynonymQuery)
+    grp = by_occur[Occur.SHOULD]
+    assert isinstance(grp, BooleanQuery)
+    assert {type(c.query) for c in grp.clauses} == {TermQuery, PhraseQuery}
+
+
+def test_synonym_query_searches(spark, tiny_index, tiny_oracle):
+    """End-to-end: SynonymQuery expansion scores as summed-freq/max-df
+    pseudo-term — equals the oracle's brute force."""
+    import numpy as np
+
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.querybuilder import QueryBuilder, QueryTimeSynonyms
+
+    s = IndexSearcher(tiny_index)
+    qb = QueryBuilder(synonyms=QueryTimeSynonyms([("data", "model")]))
+    q = qb.create_boolean_query("data")
+    got = [(r.conv_id, r.turn_idx, np.float32(r.score)) for r in s.search(q, 10).collect()]
+    # oracle: one pseudo-term, freq summed, df = max
+    o = tiny_oracle
+    import math
+
+    members = ["data", "model"]
+    mdf = max(o.doc_freq(t) for t in members)
+    N = o.doc_count
+    w = np.float32(math.log(1 + (N - mdf + 0.5) / (mdf + 0.5)))
+    cache = o.norm_inverse_cache()
+    scores = {}
+    freqs = {}
+    for t in members:
+        for d, f in o.postings.get(t, {}).items():
+            freqs[d] = freqs.get(d, 0) + f
+    one = np.float32(1.0)
+    for d, f in freqs.items():
+        inv = cache[o.docs[d].norm]
+        scores[d] = np.float32(np.float32(w - w / (one + np.float32(f) * inv)))
+    want = [(c, t, np.float32(sc)) for c, t, sc in o.topk_keys(o._topk(scores, 10))]
+    assert got == want
