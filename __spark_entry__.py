@@ -705,6 +705,68 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_span_near(t0: str, t1: str, slop: int, k: int):
+    """SpanNearQuery(ordered, slop) — rewrites to maxgaps(slop,
+    ordered(...)), riding the interval plan (spans surface)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.spans import SpanNearQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        return _ranked_topk(searcher, SpanNearQuery((t0, t1), slop=slop), k)
+
+    return run
+
+
+def _span_near_sql(t0: str, t1: str, slop: int, k: int) -> str:
+    """2-term ordered minimal intervals (pred + no intervening occurrence
+    of either term), gap filter <= slop, freq = sum 1/(q-p), saturation
+    score — the engine's span-over-intervals scoring."""
+    return (
+        _PRELUDE
+        + f""",
+parr2 AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pa AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t0}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+pb AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t1}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+fq AS (
+  SELECT b.conv_id, b.turn_idx, SUM(1.0 / (b.pos - a.pos)) AS freq
+  FROM pb b JOIN pa a
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.pos < b.pos AND b.pos - a.pos - 1 <= {slop}
+   AND NOT EXISTS (SELECT 1 FROM pa a2
+       WHERE a2.conv_id = b.conv_id AND a2.turn_idx = b.turn_idx
+         AND a2.pos > a.pos AND a2.pos < b.pos)
+   AND NOT EXISTS (SELECT 1 FROM pb b2
+       WHERE b2.conv_id = b.conv_id AND b2.turn_idx = b.turn_idx
+         AND b2.pos > a.pos AND b2.pos < b.pos)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT conv_id, turn_idx, 1.0 * (1 - 1.0 / (1 + freq)) AS score
+  FROM fq WHERE freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_match_set(make_query):
     """Match-set queries (multi-term rewrites): DISTINCT (conv_id, turn_idx)."""
 
@@ -1804,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "spark", [("spark", "the customer")], 10
         ),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
+        "span_near_topk": _q_span_near("customer", "join", 2, 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
         "wildcard_match": _q_match_set(lambda: __import__("lucene_spark.search", fromlist=["WildcardQuery"]).WildcardQuery("s?ark")),
@@ -1861,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
+        "span_near_topk": _span_near_sql("customer", "join", 2, 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),
         "wildcard_match": _match_set_sql("term LIKE 's_ark'"),

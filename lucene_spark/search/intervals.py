@@ -77,9 +77,66 @@ class Unordered(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class Or(IntervalsSource):
+    """DisjunctionIntervalsSource — minimal intervals of the union."""
+
+    sources: tuple
+
+    def terms(self):
+        return tuple(t for s in self.sources for t in s.terms())
+
+    def min_extent(self):
+        return min(s.min_extent() for s in self.sources)
+
+
+@dataclass(frozen=True)
+class Containing(IntervalsSource):
+    """ContainingIntervalsSource — intervals of ``big`` containing an
+    interval of ``small``."""
+
+    big: IntervalsSource
+    small: IntervalsSource
+
+    def terms(self):
+        return tuple(self.big.terms()) + tuple(self.small.terms())
+
+    def min_extent(self):
+        return self.big.min_extent()
+
+
+@dataclass(frozen=True)
+class ContainedBy(IntervalsSource):
+    """ContainedByIntervalsSource — intervals of ``small`` contained in an
+    interval of ``big``."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+    def terms(self):
+        return tuple(self.small.terms()) + tuple(self.big.terms())
+
+    def min_extent(self):
+        return self.small.min_extent()
+
+
+@dataclass(frozen=True)
 class MaxGaps(IntervalsSource):
     source: IntervalsSource
     gaps: int
+
+    def terms(self):
+        return self.source.terms()
+
+    def min_extent(self):
+        return self.source.min_extent()
+
+
+@dataclass(frozen=True)
+class EndingBefore(IntervalsSource):
+    """Spans' SpanFirstQuery filter: intervals with end < ``end``."""
+
+    source: IntervalsSource
+    end: int
 
     def terms(self):
         return self.source.terms()
@@ -106,6 +163,18 @@ def ordered(*sources):
 
 def unordered(*sources):
     return Unordered(tuple(_as_source(s) for s in sources))
+
+
+def or_(*sources):
+    return Or(tuple(_as_source(s) for s in sources))
+
+
+def containing(big, small):
+    return Containing(_as_source(big), _as_source(small))
+
+
+def contained_by(small, big):
+    return ContainedBy(_as_source(small), _as_source(big))
 
 
 def maxgaps(gaps: int, source):
@@ -272,6 +341,139 @@ class _UnorderedIter:
         return self.slop
 
 
+class _OrIter:
+    """DisjunctionIntervalsSource.DisjunctionIntervalIterator:202-245 —
+    PQ ordered by (end asc, start desc); emitting an interval pops every
+    queued interval CONTAINING the current one (minimal-interval union)."""
+
+    __slots__ = ("queue", "current", "start", "end", "_n", "_exhausted")
+
+    def __init__(self, subs):
+        self.queue: list = []
+        self._n = 0
+        self.current = None  # EMPTY
+        self._exhausted = False
+        self.start = self.end = -1
+        for it in subs:
+            if it.next_interval() != NO_MORE:
+                self._add(it)
+
+    def _add(self, it):
+        import heapq
+
+        self._n += 1
+        heapq.heappush(self.queue, (it.end, -it.start, self._n, it))
+
+    def _sync(self):
+        self.current = self.queue[0][3]
+        self.start, self.end = self.current.start, self.current.end
+
+    def next_interval(self) -> int:
+        import heapq
+
+        if self._exhausted:
+            return NO_MORE
+        if self.current is None:
+            if not self.queue:
+                self._exhausted = True
+                self.start = self.end = NO_MORE
+                return NO_MORE
+            self._sync()
+            return self.start
+        start, end = self.current.start, self.current.end
+        while self.queue and self._contains(self.queue[0][3], start, end):
+            it = heapq.heappop(self.queue)[3]
+            if it.next_interval() != NO_MORE:
+                self._add(it)
+        if not self.queue:
+            self._exhausted = True
+            self.start = self.end = NO_MORE
+            return NO_MORE
+        self._sync()
+        return self.start
+
+    @staticmethod
+    def _contains(it, start, end):
+        return it.start <= start <= it.end and it.start <= end <= it.end
+
+    def width(self) -> int:
+        return self.end - self.start + 1
+
+    def gaps(self) -> int:
+        return self.current.gaps()
+
+
+class _ContainingIter:
+    """ContainingIntervalsSource.combine:41-66 — emit ``a`` (big)
+    intervals that contain the current ``b`` (small) interval."""
+
+    __slots__ = ("a", "b", "bpos", "start", "end")
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+        self.bpos = b.next_interval() != NO_MORE  # FilteringIntervalIterator.reset
+        self.start = self.end = -1
+
+    def next_interval(self) -> int:
+        if not self.bpos:
+            self.start = self.end = NO_MORE
+            return NO_MORE
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while b.start < a.start and b.end < a.end:
+                if b.next_interval() == NO_MORE:
+                    self.bpos = False
+                    self.start = self.end = NO_MORE
+                    return NO_MORE
+            if a.start <= b.start and a.end >= b.end:
+                self.start, self.end = a.start, a.end
+                return self.start
+        self.start = self.end = NO_MORE
+        return NO_MORE
+
+    def width(self) -> int:
+        return self.end - self.start + 1
+
+    def gaps(self) -> int:
+        return self.a.gaps()
+
+
+class _ContainedByIter:
+    """ContainedByIntervalsSource.combine:42-68 — emit ``a`` (small)
+    intervals lying inside the current ``b`` (big) interval."""
+
+    __slots__ = ("a", "b", "bpos", "start", "end")
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+        self.bpos = b.next_interval() != NO_MORE
+        self.start = self.end = -1
+
+    def next_interval(self) -> int:
+        if not self.bpos:
+            self.start = self.end = NO_MORE
+            return NO_MORE
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while b.end < a.end:
+                if b.next_interval() == NO_MORE:
+                    self.bpos = False
+                    self.start = self.end = NO_MORE
+                    return NO_MORE
+            if b.start <= a.start:
+                self.start, self.end = a.start, a.end
+                return self.start
+        self.bpos = False
+        self.start = self.end = NO_MORE
+        return NO_MORE
+
+    def width(self) -> int:
+        return self.end - self.start + 1
+
+    def gaps(self) -> int:
+        return self.a.gaps()
+
+
 class _FilteredIter:
     """FilteredIntervalsSource: emit sub intervals passing ``accept``."""
 
@@ -310,6 +512,24 @@ def build_iter(source: IntervalsSource, pos_map: dict):
         if any(s is None for s in subs):
             return None
         return _OrderedIter(subs) if isinstance(source, Ordered) else _UnorderedIter(subs)
+    if isinstance(source, Or):
+        subs = [build_iter(s, pos_map) for s in source.sources]
+        subs = [s for s in subs if s is not None]
+        if not subs:
+            return None
+        return _OrIter(subs)
+    if isinstance(source, Containing):
+        a = build_iter(source.big, pos_map)
+        b = build_iter(source.small, pos_map)
+        if a is None or b is None:
+            return None
+        return _ContainingIter(a, b)
+    if isinstance(source, ContainedBy):
+        a = build_iter(source.small, pos_map)
+        b = build_iter(source.big, pos_map)
+        if a is None or b is None:
+            return None
+        return _ContainedByIter(a, b)
     if isinstance(source, MaxGaps):
         sub = build_iter(source.source, pos_map)
         g = source.gaps
@@ -318,6 +538,10 @@ def build_iter(source: IntervalsSource, pos_map: dict):
         sub = build_iter(source.source, pos_map)
         w = source.width
         return None if sub is None else _FilteredIter(sub, lambda it: it.width() <= w)
+    if isinstance(source, EndingBefore):
+        sub = build_iter(source.source, pos_map)
+        e = source.end
+        return None if sub is None else _FilteredIter(sub, lambda it: it.end < e)
     raise TypeError(f"unknown source {source!r}")
 
 
