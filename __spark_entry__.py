@@ -1577,6 +1577,32 @@ def _q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _q_turns_of_matching_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToChildBlockJoinQuery: the top-5 matching conversations (parent =
+    max-rollup of turn scores for 'customer') push DOWN to every child
+    turn, each carrying the parent's score."""
+    from lucene_spark.search import TermQuery
+    from lucene_spark.search.facets import to_child_block_join
+
+    idx, searcher = _searcher(spark, sf_dir)
+    scored = searcher.scored(TermQuery("customer"))
+    keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+    parents = (
+        scored.join(keys, "doc_id")
+        .withColumn("score_i", F.round(F.col("score") * 10000).cast("long"))
+        .groupBy("conv_id")
+        .agg(F.max("score_i").alias("parent_score_i"))
+        .orderBy(F.desc("parent_score_i"), F.asc("conv_id"))
+        .limit(5)
+    )
+    children = idx.docs.select("conv_id", "turn_idx")
+    return (
+        to_child_block_join(parents, children)
+        .select("conv_id", "turn_idx", "parent_score_i")
+        .orderBy(F.desc("parent_score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+    )
+
+
 def _q_topk_or_pruned(terms, k):
     """Same results as the plain OR top-k, computed through the packed
     block-max-pruned plan (WAND analog) — the driver cross-check doubles as
@@ -1884,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix_match,
         "facet_role_counts": _q_facet_role_counts,
         "conv_topk_blockjoin": _q_conv_topk,
+        "turns_of_matching_convs": _q_turns_of_matching_convs,
         "range_facet_events": _q_range_facet_events,
         "bm25_topk_or_pruned": _q_topk_or_pruned(["spark", "query", "data"], 20),
         "grouping_topk": _q_grouping_topk,
@@ -1977,6 +2004,23 @@ def oracle_sql() -> dict[str, str]:
            FROM agg
            ORDER BY max_score_i DESC, conv_id
            LIMIT 10""",
+        "turns_of_matching_convs": _PRELUDE
+        + ", "
+        + _scored_from("tf.term IN ('customer')").lstrip().replace(
+            "ranked AS (", "ranked_unused AS ("
+        )
+        + """, parents AS (
+              SELECT conv_id, max(score_i) AS parent_score_i
+              FROM (SELECT conv_id, turn_idx,
+                           CAST(round(score * 10000) AS BIGINT) AS score_i
+                    FROM scored)
+              GROUP BY conv_id
+              ORDER BY parent_score_i DESC, conv_id
+              LIMIT 5
+           )
+           SELECT tr.conv_id, tr.turn_idx, p.parent_score_i
+           FROM tr JOIN parents p USING (conv_id)
+           ORDER BY p.parent_score_i DESC, tr.conv_id, tr.turn_idx""",
         "range_facet_events": """
             SELECT event_type, count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100

@@ -135,3 +135,18 @@ def join_util(
     return to_docs.join(
         keys, to_docs[to_key] == keys["_jk"]
     ).drop("_jk")
+
+
+def to_child_block_join(
+    parents: DataFrame, children: DataFrame, key: str = "conv_id"
+) -> DataFrame:
+    """join/.../ToChildBlockJoinQuery.java:40 — the inverse of the parent
+    rollup: every CHILD doc of a matching parent emits, carrying the
+    PARENT's score (ToChildBlockJoinScorer.score() returns the parent's
+    score for each child it iterates).
+
+    ``parents``: (key, <score cols>) matching-parent relation — usually
+    k-bounded (a parent top-k), so it is broadcast and the child side
+    never shuffles; at scale the child scan prunes on the key via the
+    join predicate."""
+    return children.join(F.broadcast(parents), key)

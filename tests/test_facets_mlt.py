@@ -168,3 +168,30 @@ def test_join_util(spark, tiny_index):
     for r in fm.collect():
         brute[r.conv_id] = max(brute.get(r.conv_id, 0.0), r.score)
     assert {r.cid: r.score for r in joined} == pytest.approx(brute)
+
+
+def test_to_child_block_join(spark, tiny_index):
+    """ToChildBlockJoinQuery: children of matching parents emit with the
+    PARENT's score; every turn of a matched conversation appears, no turn
+    of an unmatched one does."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search import IndexSearcher, TermQuery
+    from lucene_spark.search.facets import to_child_block_join
+
+    s = IndexSearcher(tiny_index)
+    keys = tiny_index.docs.select("doc_id", "conv_id", "turn_idx")
+    parents = (
+        s.scored(TermQuery("model"))
+        .join(keys, "doc_id")
+        .groupBy("conv_id")
+        .agg(F.max("score").alias("parent_score"))
+    )
+    out = to_child_block_join(parents, keys.select("conv_id", "turn_idx")).collect()
+    pmap = {r.conv_id: r.parent_score for r in parents.collect()}
+    turns = keys.select("conv_id", "turn_idx").collect()
+    want = {
+        (r.conv_id, r.turn_idx, pmap[r.conv_id]) for r in turns if r.conv_id in pmap
+    }
+    assert {(r.conv_id, r.turn_idx, r.parent_score) for r in out} == want
+    assert len(out) > 0
