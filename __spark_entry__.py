@@ -1248,6 +1248,79 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_shingle_topk(shingle_term: str, k: int):
+    """BM25 over a shingle-2 index: word bigrams are first-class terms
+    (ShingleFilter.java, outputUnigrams=true), so a quoted-adjacency
+    lookup is ONE postings seek instead of a positional join."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher, TermQuery
+
+        key = ("shingle2", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            idx = IndexBuilder(
+                num_segments=8, analyzer=Analyzer(shingle_size=2)
+            ).build(_transcripts_df(spark, sf_dir))
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(shingle_term), k)
+
+    return run
+
+
+def _shingle_topk_sql(t0: str, t1: str, k: int) -> str:
+    """Twin: doc length = unigrams + bigrams (2*len - 1), freq = adjacency
+    count, df/stats recomputed over the shingled token multiset."""
+    quant = """CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END"""
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx, text
+  FROM documents
+),
+toks AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+dl AS (
+  SELECT conv_id, turn_idx, len(arr) + greatest(len(arr) - 1, 0) AS dl
+  FROM toks
+),
+dlq AS (SELECT conv_id, turn_idx, dl, {quant} AS dlq FROM dl),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf FROM dl
+),
+fq AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(range(1, len(arr)),
+             i -> arr[i] = '{t0}' AND arr[i + 1] = '{t1}')) AS freq
+  FROM toks
+),
+dfreq AS (SELECT count(*) FILTER (WHERE freq > 0) AS doc_freq FROM fq),
+scored AS (
+  SELECT f.conv_id, f.turn_idx,
+    ln(1 + (stats.doc_count - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+      * f.freq / (f.freq + 1.2 * (0.25 + 0.75 * dlq.dlq
+        / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM fq f
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats CROSS JOIN dfreq
+  WHERE f.freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor/percolator: registered queries matched against the document
     batch (stream-static join analog)."""
@@ -1888,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
+        "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
             "spark", [("spark", "the customer")], 10
         ),
@@ -1949,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
+        "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "span_near_topk": _span_near_sql("customer", "join", 2, 10),

@@ -75,11 +75,19 @@ class Analyzer:
     synonyms: mapping term -> tuple of additional terms emitted at the same
     position (applied AFTER stemming, on the stemmed form, like an
     index-time SynonymGraphFilter placed last in the chain).
+    shingle_size: >= 2 emits word n-grams of that size ALONGSIDE unigrams
+    (ShingleFilter.java with outputUnigrams=true, separator ' '), built
+    from the RAW token stream (the filter's usual right-after-tokenizer
+    slot) at the first word's position; stop/stem apply to unigrams only.
+    ngram: (min, max) character n-grams REPLACING each surviving token at
+    its position (NGramTokenFilter.java, preserveOriginal=false).
     """
 
     stopwords: frozenset = frozenset()
     stemmer: str | None = None
     synonyms: tuple = ()  # tuple of (term, extra_term) pairs
+    shingle_size: int = 0
+    ngram: tuple | None = None  # (min_gram, max_gram)
 
     def __post_init__(self):
         if self.stemmer not in (None, "s", "porter"):
@@ -89,6 +97,22 @@ class Analyzer:
             # stage ordered after it would need a second dictionary pass —
             # out of scope (use stemmer='s' with synonyms instead)
             raise ValueError("synonyms are not supported with stemmer='porter'")
+        if self.shingle_size:
+            if self.shingle_size < 2:
+                raise ValueError("shingle_size must be >= 2 (or 0 to disable)")
+            if self.stemmer is not None or self.synonyms or self.ngram:
+                # shingles read the raw stream; a stem/synonym/ngram stage
+                # would make unigram and shingle vocabularies diverge —
+                # documented orthogonal-stages subset
+                raise ValueError(
+                    "shingle_size composes only with stopwords (unigram side)"
+                )
+        if self.ngram is not None:
+            mn, mx = self.ngram
+            if not (1 <= mn <= mx):
+                raise ValueError(f"bad ngram range {self.ngram!r}")
+            if self.stemmer is not None or self.synonyms:
+                raise ValueError("ngram composes only with stopwords")
 
     @property
     def syn_map(self) -> dict[str, list[str]]:
@@ -98,7 +122,13 @@ class Analyzer:
         return m
 
     def is_noop(self) -> bool:
-        return not self.stopwords and self.stemmer is None and not self.synonyms
+        return (
+            not self.stopwords
+            and self.stemmer is None
+            and not self.synonyms
+            and not self.shingle_size
+            and self.ngram is None
+        )
 
     # -- commit.json round-trip -----------------------------------------
     def to_json(self) -> dict | None:
@@ -108,16 +138,21 @@ class Analyzer:
             "stopwords": sorted(self.stopwords),
             "stemmer": self.stemmer,
             "synonyms": [list(p) for p in self.synonyms],
+            "shingle_size": self.shingle_size,
+            "ngram": list(self.ngram) if self.ngram else None,
         }
 
     @classmethod
     def from_json(cls, d: dict | None) -> "Analyzer | None":
         if not d:
             return None
+        ng = d.get("ngram")
         return cls(
             stopwords=frozenset(d.get("stopwords", ())),
             stemmer=d.get("stemmer"),
             synonyms=tuple((s, e) for s, e in d.get("synonyms", ())),
+            shingle_size=d.get("shingle_size", 0),
+            ngram=tuple(ng) if ng else None,
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -130,6 +165,12 @@ class Analyzer:
         for pos, t in enumerate(toks):
             if t in self.stopwords:
                 continue
+            if self.ngram is not None:
+                mn, mx = self.ngram
+                for ln in range(mn, mx + 1):
+                    for s in range(len(t) - ln + 1):
+                        out.append((t[s : s + ln], pos))
+                continue
             if self.stemmer == "s":
                 t = s_stem(t)
             elif self.stemmer == "porter":
@@ -137,6 +178,10 @@ class Analyzer:
             out.append((t, pos))
             for extra in syn.get(t, ()):
                 out.append((extra, pos))
+        if self.shingle_size:
+            n = self.shingle_size
+            for i in range(len(toks) - n + 1):
+                out.append((" ".join(toks[i : i + n]), i))
         return out
 
     def analyze_query_positions(self, text: str | None) -> list[tuple[str, int]]:
@@ -185,6 +230,45 @@ class Analyzer:
                     _s_stem_col(e["term"]).alias("term"), e["pos"].alias("pos")
                 ),
             )
+        if self.ngram is not None:
+            mn, mx = self.ngram
+            entries = F.flatten(
+                F.transform(
+                    entries,
+                    lambda e: F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(mn), F.lit(mx)),
+                            lambda ln: F.when(
+                                F.length(e["term"]) >= ln,
+                                F.transform(
+                                    F.sequence(F.lit(1), F.length(e["term"]) - ln + 1),
+                                    lambda s: F.struct(
+                                        F.substring(e["term"], s, ln).alias("term"),
+                                        e["pos"].alias("pos"),
+                                    ),
+                                ),
+                            ).otherwise(
+                                F.array().cast("array<struct<term:string,pos:int>>")
+                            ),
+                        )
+                    ),
+                )
+            )
+        if self.shingle_size:
+            n = self.shingle_size
+            idxs = F.when(
+                F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+            ).otherwise(F.array().cast("array<int>"))
+            shingles = F.transform(
+                idxs,
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    ).alias("term"),
+                    i.cast("int").alias("pos"),
+                ),
+            )
+            entries = F.concat(entries, shingles)
         if self.synonyms:
             # emit [token, syn1, syn2...] per entry, then flatten — additive
             # same-position synonyms

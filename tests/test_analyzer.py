@@ -178,3 +178,86 @@ def test_store_roundtrip_preserves_analyzer(spark, en_index, tmp_path):
     assert [(r.conv_id, r.turn_idx, r.score) for r in a] == [
         (r.conv_id, r.turn_idx, r.score) for r in b
     ]
+
+
+# -- shingle / ngram stages (ShingleFilter.java / NGramTokenFilter.java) --
+
+def test_shingle_python_chain():
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(shingle_size=2)
+    got = an.analyze_text("the quick fox")
+    assert got == [
+        ("the", 0), ("quick", 1), ("fox", 2),
+        ("the quick", 0), ("quick fox", 1),
+    ]
+    # stopwords drop unigrams but shingles come from the raw stream
+    an2 = Analyzer(stopwords=frozenset({"the"}), shingle_size=2)
+    got2 = an2.analyze_text("the quick fox")
+    assert got2 == [
+        ("quick", 1), ("fox", 2), ("the quick", 0), ("quick fox", 1),
+    ]
+    assert Analyzer(shingle_size=3).analyze_text("a b") == [("a", 0), ("b", 1)]
+
+
+def test_ngram_python_chain():
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(ngram=(2, 3))
+    got = an.analyze_text("fox be")
+    assert got == [
+        ("fo", 0), ("ox", 0), ("fox", 0), ("be", 1),
+    ]
+
+
+def test_shingle_ngram_constraints():
+    import pytest as _pt
+
+    from lucene_spark.analysis import Analyzer
+
+    with _pt.raises(ValueError):
+        Analyzer(shingle_size=1)
+    with _pt.raises(ValueError):
+        Analyzer(shingle_size=2, stemmer="s")
+    with _pt.raises(ValueError):
+        Analyzer(ngram=(0, 2))
+    with _pt.raises(ValueError):
+        Analyzer(ngram=(2, 3), stemmer="porter")
+    # json round-trip
+    an = Analyzer(shingle_size=2)
+    assert Analyzer.from_json(an.to_json()) == an
+    an2 = Analyzer(ngram=(2, 4))
+    assert Analyzer.from_json(an2.to_json()) == an2
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(shingle_size=2),
+        dict(shingle_size=3, stopwords=frozenset({"the", "a"})),
+        dict(ngram=(2, 3)),
+        dict(ngram=(1, 2), stopwords=frozenset({"of"})),
+    ],
+)
+def test_entries_expr_matches_python_chain(spark, an_kwargs):
+    """JVM lowering == the python reference for the new stages (same
+    multiset of (term, pos) entries; order may differ across stages)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(**an_kwargs)
+    texts = [
+        "the quick brown fox",
+        "a of the",
+        "one",
+        "",
+        None,
+        "repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs)
