@@ -1059,11 +1059,17 @@ class IndexSearcher:
         f32 = self.score_type == "float"
         lq = self._slop_lcm(slop)
         acc0 = F.lit(0.0).cast("float") if f32 else F.lit(0).cast("long")
+        # equal adjusted positions across the two lists (rare; usually
+        # empty) — the one case the running-predecessor bookkeeping below
+        # can't see, because at ties the A element is traversed first
+        eqs = F.array_intersect(A, B)
         init = F.struct(
             F.lit(False).alias("sa"),
             F.lit(False).alias("sb"),
             F.lit(-1).alias("exp"),
             F.lit(0).alias("fp"),
+            F.lit(None).cast("integer").alias("la"),
+            F.lit(None).cast("integer").alias("lb"),
             acc0.alias("acc"),
         )
 
@@ -1076,13 +1082,19 @@ class IndexSearcher:
                 )
                 .otherwise((x["off"] == acc["exp"]) & (x["pos"] > acc["fp"]))
             )
-            # width = frontier pos - other list's largest ppos <= it (the
-            # matcher's <=-absorbing minimization)
+            # width = frontier pos - other list's largest pos <= it (the
+            # matcher's <=-absorbing minimization).  The predecessor is
+            # CARRIED in the accumulator (la/lb = last traversed pos per
+            # list) instead of re-scanning the other list per element —
+            # O(f) instead of O(f^2) per doc; the equal-position case
+            # (other list's element not yet traversed at a tie) reads the
+            # tiny precomputed intersection.
             w = F.when(
-                is_a, x["pos"] - F.array_max(F.filter(B, lambda y: y <= x["pos"]))
-            ).otherwise(
-                x["pos"] - F.array_max(F.filter(A, lambda y: y <= x["pos"]))
-            )
+                is_a,
+                F.when(F.array_contains(eqs, x["pos"]), F.lit(0)).otherwise(
+                    x["pos"] - acc["lb"]
+                ),
+            ).otherwise(x["pos"] - acc["la"])
             counted = frontier & (w <= F.lit(slop))
             if f32:
                 one = F.lit(1.0).cast("float")
@@ -1099,6 +1111,8 @@ class IndexSearcher:
                 (acc["sb"] | ~is_a).alias("sb"),
                 F.when(frontier, F.lit(1) - x["off"]).otherwise(acc["exp"]).alias("exp"),
                 F.when(frontier, x["pos"]).otherwise(acc["fp"]).alias("fp"),
+                F.when(is_a, x["pos"].cast("integer")).otherwise(acc["la"]).alias("la"),
+                F.when(is_a, acc["lb"]).otherwise(x["pos"].cast("integer")).alias("lb"),
                 nacc.alias("acc"),
             )
 

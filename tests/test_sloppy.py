@@ -190,3 +190,20 @@ def test_phrase_with_positions_holes(spark, tiny_index, tiny_oracle):
         np.array([r.score for r in engine], dtype=np.float32),
         np.array([s for _, _, s in oracle], dtype=np.float32),
     )
+
+
+@pytest.mark.parametrize("slop", [1, 2, 4])
+def test_sloppy_hole_phrase_with_position_ties(spark, tiny_index, tiny_oracle, slop):
+    """Hole phrases make ADJUSTED positions collide (A pos p vs B pos p+2
+    adjusted to p): the chain fold's carried-predecessor bookkeeping must
+    read the tie through the intersection fast path; engine == oracle."""
+    q = PhraseQuery(("the", "model"), positions=(0, 2), slop=slop)
+    engine = IndexSearcher(tiny_index).search(q, 10).collect()
+    oracle = tiny_oracle.topk_keys(
+        tiny_oracle.search_sloppy_phrase(["the", "model"], slop, 10, positions=[0, 2])
+    )
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [(c, t) for c, t, _ in oracle], slop
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([s for _, _, s in oracle], dtype=np.float32),
+    )
