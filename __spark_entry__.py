@@ -705,6 +705,51 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_simple_parse(text: str, k: int):
+    """SimpleQueryParser (never-throws dialect) end-to-end: parse + search.
+    'data customer -slow' with MUST default = conjunction of both terms,
+    negation as (MatchAll SHOULD=1.0, MUST_NOT slow) per the reference's
+    buildQueryTree, so matching docs score bm25(data)+bm25(customer)+1."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.simpleparser import SimpleQueryParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = SimpleQueryParser(default_operator="MUST").parse(text)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _simple_parse_sql(t0: str, t1: str, t_not: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+scored0 AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) + 1.0 AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ('{t0}', '{t1}')
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.term) = 2
+),
+excl AS (SELECT DISTINCT conv_id, turn_idx FROM tf WHERE term = '{t_not}'),
+scored AS (
+  SELECT s.conv_id, s.turn_idx, s.score
+  FROM scored0 s LEFT JOIN excl e USING (conv_id, turn_idx)
+  WHERE e.conv_id IS NULL
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_span_near(t0: str, t1: str, slop: int, k: int):
     """SpanNearQuery(ordered, slop) — rewrites to maxgaps(slop,
     ordered(...)), riding the interval plan (spans surface)."""
@@ -1967,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
         "span_near_topk": _q_span_near("customer", "join", 2, 10),
+        "simple_parse_topk": _q_simple_parse("data customer -slow", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
         "wildcard_match": _q_match_set(lambda: __import__("lucene_spark.search", fromlist=["WildcardQuery"]).WildcardQuery("s?ark")),
@@ -2027,6 +2073,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
         "span_near_topk": _span_near_sql("customer", "join", 2, 10),
+        "simple_parse_topk": _simple_parse_sql("data", "customer", "slow", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),
         "wildcard_match": _match_set_sql("term LIKE 's_ark'"),

@@ -130,7 +130,8 @@ class QueryBuilder:
         else:
             elems = [((t,), []) for t in toks]
         clauses = [element_query(span, alts) for span, alts in elems]
-        if len(clauses) == 1 and occur != Occur.MUST:
+        if len(clauses) == 1:
+            # single element: the clause itself (QueryBuilder.analyzeTerm)
             return clauses[0]
         return BooleanQuery.of(*[(c, occur) for c in clauses])
 
