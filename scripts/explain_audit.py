@@ -140,6 +140,54 @@ def main():
         ),
     ]
 
+    # round-3 surfaces
+    from lucene_spark.search.query import SynonymQuery
+    from lucene_spark.search.spans import SpanNearQuery
+
+    ivf_dir = f"{d}/ivf"
+    sim.ivf_build(emb, ivf_dir)
+    sections += [
+        (
+            "Match-only lowering (MUST_NOT / FILTER side)",
+            "The negative/filter operand lowers to postings scan -> distinct "
+            "doc_id: NO score expression, NO weight broadcast join, NO "
+            "norm-cache literal anywhere in this subtree (Weight.scorer "
+            "under COMPLETE_NO_SCORES).",
+            mem_s._matches(orq("slow", "legacy")),
+        ),
+        (
+            "NOT query (scored MUST + match-only anti-join)",
+            "The MUST side carries the BM25 algebra; the MUST_NOT side joins "
+            "in as a LeftAnti against the score-free match plan above.",
+            mem_s.search(
+                BooleanQuery.of(
+                    (TermQuery("spark"), Occur.MUST), (TermQuery("the"), Occur.MUST_NOT)
+                ),
+                10,
+            ),
+        ),
+        (
+            "IVF indexed ANN query (partition-pruned scan)",
+            "The prebuilt index scan must show PartitionFilters: [cid IN "
+            "(probes)] — only nprobe/K of the corpus directories are read; "
+            "assignment cost was paid once at ivf_build time.",
+            sim.ivf_topk_indexed(spark, ivf_dir, qv, 10),
+        ),
+        (
+            "Span near query (rides the interval/position-gather plan)",
+            "SpanNearQuery rewrites to IntervalQuery: same single-Exchange "
+            "position gather as phrases; the minimal-interval iterators run "
+            "per-candidate in one Arrow UDF.",
+            mem_s.search(SpanNearQuery(("the", "data"), slop=2), 10),
+        ),
+        (
+            "Synonym query (one pseudo-term)",
+            "Members aggregate to summed freq in ONE hash aggregate over a "
+            "single postings scan; one weight (max-df idf) scores the sum.",
+            mem_s.scored(SynonymQuery(("data", "model"))),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
