@@ -82,6 +82,11 @@ class InvertedIndex:
     # (filter BEFORE the decode UDF -> parquet predicate/partition pushdown)
     prefer_packed: bool = False
     n_buckets: Optional[int] = None
+    # term vectors: the postings laid out BY DOCUMENT (doc_id-range sorted)
+    # ≙ Lucene90TermVectorsFormat (Lucene99Codec.java:51) — per-doc
+    # term/freq/positions fetch without scanning the term-bucketed layout.
+    # None until with_term_vectors() / load_index(tvecs present).
+    term_vectors: Optional[DataFrame] = None
     # every DataFrame this index persisted (released by unpersist_all)
     cached: tuple = ()
 
@@ -109,6 +114,33 @@ class InvertedIndex:
             self.packed = p.persist() if cache else p
             self.packed_chunk_bits = want
         return self
+
+    def with_term_vectors(self, cache: bool = True) -> "InvertedIndex":
+        """Attach the doc-major term-vectors relation (postings re-sorted by
+        doc_id).  One extra shuffle at build time; after it, a per-doc
+        term/freq/positions fetch is a doc_id-pruned scan instead of a scan
+        across every term bucket (the reference stores the same data in the
+        .tvd/.tvx files — Lucene90TermVectorsFormat)."""
+        if self.term_vectors is None:
+            n = max(self.postings.rdd.getNumPartitions(), 1)
+            tv = (
+                self.postings.select("term", "doc_id", "freq", "positions")
+                .repartitionByRange(n, "doc_id")
+                .sortWithinPartitions("doc_id", "term")
+            )
+            self.term_vectors = tv.persist() if cache else tv
+            if cache:
+                self.cached = self.cached + (self.term_vectors,)
+        return self
+
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """(term, freq, positions) for one document — TermVectors.get(doc).
+        Uses the doc-major relation when attached (row-group pruned by the
+        doc_id filter), else filters the logical postings."""
+        src = self.term_vectors if self.term_vectors is not None else self.postings
+        return src.filter(F.col("doc_id") == doc_id).select(
+            "term", "freq", "positions"
+        )
 
     def bucket_filter(self, df: DataFrame, terms) -> DataFrame:
         """Partition pruning for term lookups on a bucketed stored table

@@ -50,6 +50,7 @@ def save_index(
     path: str,
     n_buckets: int = DEFAULT_BUCKETS,
     chunk_bits: int | None = None,
+    term_vectors: bool = False,
 ) -> None:
     """Write the index as a self-contained directory (idempotent overwrite)."""
     from lucene_spark.index.segments import DEFAULT_CHUNK_BITS
@@ -79,6 +80,18 @@ def save_index(
         .mode("overwrite")
         .parquet(os.path.join(path, "term_stats"))
     )
+    if term_vectors:
+        # doc-major copy of the postings (term/freq/positions), range-
+        # partitioned + sorted by doc_id -> a per-doc fetch prunes to one
+        # row group (≙ .tvx/.tvd — Lucene90TermVectorsFormat)
+        n = max(idx.postings.rdd.getNumPartitions(), 1)
+        (
+            idx.postings.select("term", "doc_id", "freq", "positions")
+            .repartitionByRange(n, "doc_id")
+            .sortWithinPartitions("doc_id", "term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "tvecs"))
+        )
     commit = {
         "format_version": 1,
         "stats": idx.stats,
@@ -87,6 +100,7 @@ def save_index(
         "n_buckets": n_buckets,
         "chunk_bits": chunk_bits,
         "analyzer": idx.analyzer.to_json() if idx.analyzer else None,
+        "term_vectors": term_vectors,
     }
     with open(os.path.join(path, "commit.json"), "w") as f:
         json.dump(commit, f, indent=2)
@@ -122,5 +136,7 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     from lucene_spark.analysis.analyzer import Analyzer
 
     idx.analyzer = Analyzer.from_json(commit.get("analyzer"))
+    if commit.get("term_vectors"):
+        idx.term_vectors = spark.read.parquet(os.path.join(path, "tvecs"))
     idx.prefer_packed = True
     return idx

@@ -38,8 +38,13 @@ class MoreLikeThis:
 
     def like(self, doc_id: int) -> Query:
         idx = self.searcher.index
+        # term-vectors path when attached: the doc-major relation prunes to
+        # the doc's row group instead of scanning every term bucket
+        # (MoreLikeThis.java retrieveTerms reads the doc's term vector when
+        # stored, falling back to re-analysis otherwise)
+        src = idx.term_vectors if idx.term_vectors is not None else idx.postings
         terms = (
-            idx.postings.filter(F.col("doc_id") == doc_id)
+            src.filter(F.col("doc_id") == doc_id)
             .filter(F.col("freq") >= self.min_term_freq)
             .select("term", "freq")
             .collect()

@@ -116,3 +116,65 @@ def test_checkpoint_build_is_idempotent(spark, tiny_corpus, tmp_path_factory):
     commit2 = json.load(open(os.path.join(ckpt, "index", "commit.json")))
     assert commit1 == commit2
     assert idx2.docs.count() == n1
+
+
+def test_term_vectors_roundtrip(spark, tiny_index, tmp_path):
+    """save_index(term_vectors=True): the doc-major tvecs relation loads
+    back, per-doc fetch equals the postings filter, and the scan pushes a
+    doc_id filter (row-group pruning path)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.store import load_index, save_index
+
+    p = str(tmp_path / "ix_tv")
+    save_index(tiny_index, p, n_buckets=4, term_vectors=True)
+    loaded = load_index(spark, p)
+    assert loaded.term_vectors is not None
+    some_doc = tiny_index.postings.select("doc_id").first().doc_id
+    got = sorted(
+        (r.term, r.freq, list(r.positions))
+        for r in loaded.term_vector(some_doc).collect()
+    )
+    want = sorted(
+        (r.term, r.freq, list(r.positions))
+        for r in tiny_index.postings.filter(F.col("doc_id") == some_doc)
+        .select("term", "freq", "positions")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    plan = (
+        loaded.term_vectors.filter(F.col("doc_id") == some_doc)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_mlt_uses_term_vectors_same_query(spark, tiny_index, tmp_path):
+    """MLT through the term-vectors path builds the identical query."""
+    from lucene_spark.index.store import load_index, save_index
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.mlt import MoreLikeThis
+
+    p = str(tmp_path / "ix_tv2")
+    save_index(tiny_index, p, n_buckets=4, term_vectors=True)
+    loaded = load_index(spark, p)
+    doc = tiny_index.postings.select("doc_id").first().doc_id
+    q_mem = MoreLikeThis(IndexSearcher(tiny_index), min_term_freq=1, min_doc_freq=1).like(doc)
+    q_tv = MoreLikeThis(IndexSearcher(loaded), min_term_freq=1, min_doc_freq=1).like(doc)
+    assert q_mem == q_tv
+
+
+def test_with_term_vectors_in_memory(spark, tiny_index):
+    from pyspark.sql import functions as F
+
+    tiny_index.with_term_vectors()
+    assert tiny_index.term_vectors is not None
+    doc = tiny_index.postings.select("doc_id").first().doc_id
+    got = {r.term for r in tiny_index.term_vector(doc).collect()}
+    want = {
+        r.term
+        for r in tiny_index.postings.filter(F.col("doc_id") == doc).collect()
+    }
+    assert got == want
