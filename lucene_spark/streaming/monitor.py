@@ -88,6 +88,92 @@ def _positive_anchors(q: Query) -> list[tuple[str, bool]]:
     return []
 
 
+def _score_doc(
+    q: Query, toks: list[str], positions: dict[str, list[int]], dl: int,
+    k1: float = 1.2, b: float = 0.75,
+) -> float:
+    """Scored percolation (Monitor.java match(..., ScoringMatch.
+    matchWithSimilarity)): the score the query would get from a forward
+    IndexSearcher over a SINGLE-document index built from this doc —
+    docCount=1, df=1 for present terms, avgdl=dl, float32 BM25 algebra.
+    Returns 0.0 for non-matching docs."""
+    import math
+
+    import numpy as np
+
+    from lucene_spark.util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    if not _match_doc(q, toks, positions):
+        return 0.0
+    if dl <= 0:
+        # only MatchAll-shaped queries reach here; constant score
+        return 1.0
+    norm = int_to_byte4(dl)
+    avgdl = np.float32(float(dl))  # sumTotalTermFreq / docCount, 1 doc
+    one = np.float32(1.0)
+    inv = one / (
+        np.float32(k1)
+        * ((one - np.float32(b)) + np.float32(b) * np.float32(LENGTH_TABLE[norm]) / avgdl)
+    )
+    idf1 = np.float32(math.log(1 + 0.5 / 1.5))  # df=1, N=1
+
+    def bm25(weight: np.float32, freq: float) -> np.float32:
+        w = np.float32(weight)
+        return np.float32(w - np.float32(w / np.float32(one + np.float32(freq) * inv)))
+
+    def score(qq: Query) -> float:
+        if isinstance(qq, MatchAllDocsQuery):
+            return 1.0
+        if isinstance(qq, TermQuery):
+            if qq.term not in positions:
+                return 0.0
+            w = np.float32(np.float32(qq.boost) * idf1)
+            return float(bm25(w, len(positions[qq.term])))
+        if isinstance(qq, (PrefixQuery, WildcardQuery)):
+            return 1.0 if _match_doc(qq, toks, positions) else 0.0
+        if isinstance(qq, (BoostQuery, ConstantScoreQuery)):
+            base = score(qq.query)
+            boost = getattr(qq, "boost", 1.0)
+            if isinstance(qq, ConstantScoreQuery):
+                return float(np.float32(boost)) if base > 0 or _match_doc(qq.query, toks, positions) else 0.0
+            return float(np.float32(np.float32(base) * np.float32(boost)))
+        if isinstance(qq, PhraseQuery):
+            if not _match_doc(qq, toks, positions):
+                return 0.0
+            terms = list(qq.terms)
+            offs = list(qq.positions) if qq.positions else list(range(len(terms)))
+            if qq.slop == 0:
+                first = positions[terms[0]]
+                freq = sum(
+                    1
+                    for p in first
+                    if all(
+                        p + (offs[i] - offs[0]) in positions[terms[i]]
+                        for i in range(1, len(terms))
+                    )
+                )
+            else:
+                freq = sloppy_freq([positions[t] for t in terms], offs, qq.slop)
+            if freq <= 0:
+                return 0.0
+            idf_sum = np.float32(sum(float(idf1) for _ in terms))
+            w = np.float32(np.float32(1.0) * idf_sum)
+            return float(bm25(w, freq))
+        if isinstance(qq, BooleanQuery):
+            musts = [c.query for c in qq.clauses if c.occur == Occur.MUST]
+            shoulds = [c.query for c in qq.clauses if c.occur == Occur.SHOULD]
+            acc = 0.0  # double accumulator, like DisjunctionSumScorer
+            for m in musts:
+                acc += score(m)
+            for s in shoulds:
+                if _match_doc(s, toks, positions):
+                    acc += score(s)
+            return float(np.float32(acc))
+        raise TypeError(f"unsupported monitor query {type(qq).__name__}")
+
+    return score(q)
+
+
 def _match_doc(q: Query, toks: list[str], positions: dict[str, list[int]]) -> bool:
     """Exact per-document matcher for the registered-query subset."""
     if isinstance(q, MatchAllDocsQuery):
@@ -158,9 +244,14 @@ class Monitor:
 
     # -- one batch -------------------------------------------------------
     def match_batch(
-        self, docs: DataFrame, id_cols: tuple = ("doc_id",), text_col: str = "text"
+        self, docs: DataFrame, id_cols: tuple = ("doc_id",), text_col: str = "text",
+        scored: bool = False,
     ) -> DataFrame:
-        """(id_cols..., query_id) for every (doc, registered query) match."""
+        """(id_cols..., query_id[, score]) for every (doc, registered
+        query) match.  ``scored=True`` adds the ScoringMatch score: the
+        float32 BM25 the query would receive from a forward searcher over
+        a single-document index built from the doc (Monitor.java
+        match(..., ScoringMatch.matchWithSimilarity))."""
         import pandas as pd
 
         spark = docs.sparkSession
@@ -228,6 +319,29 @@ class Monitor:
         for p in parts[1:]:
             cand = cand.unionByName(p)
         queries = self.queries
+
+        if scored:
+
+            @F.pandas_udf("double")
+            def verify_scored(ent_arrays, qids):
+                out = []
+                for arr, qid in zip(ent_arrays, qids):
+                    toks_l = [e["term"] for e in arr]
+                    pos: dict[str, list[int]] = {}
+                    for e in arr:
+                        pos.setdefault(e["term"], []).append(e["pos"])
+                    out.append(
+                        _score_doc(queries[qid], toks_l, pos, len(toks_l))
+                    )
+                return pd.Series(out)
+
+            return (
+                cand.withColumn(
+                    "score", verify_scored(F.col("_ent"), F.col("query_id"))
+                )
+                .filter(F.col("score") > 0)
+                .select(*id_cols, "query_id", F.col("score").cast("float"))
+            )
 
         @F.pandas_udf("boolean")
         def verify(ent_arrays, qids):

@@ -117,3 +117,47 @@ def test_monitor_analyzer_chain(spark):
     got = {(r.doc_id, r.query_id) for r in mon.match_batch(docs).collect()}
     # "the models were training" -> model@1, train@3 (stop holes kept)
     assert got == {(1, "q_stem"), (1, "q_phrase_hole")}
+
+
+def test_scored_percolation_equals_forward_single_doc_search(spark):
+    """Monitor(scored=True) == the float32 score a forward IndexSearcher
+    gives the query over a ONE-document index built from the doc (the
+    reference's ScoringMatch semantics)."""
+    import numpy as np
+
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher
+
+    text = "the model trains the data model on spark data quickly"
+    corpus = spark.createDataFrame(
+        [("c0", 0, "user", text, None, 0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    )
+    idx = IndexBuilder(num_segments=1).build(corpus)
+    s = IndexSearcher(idx)
+    queries = {
+        "q_term": TermQuery("model"),
+        "q_bool": BooleanQuery.of(
+            (TermQuery("data"), Occur.MUST), (TermQuery("model"), Occur.SHOULD)
+        ),
+        "q_phrase": PhraseQuery(("the", "model")),
+        "q_sloppy": PhraseQuery(("model", "data"), slop=4),
+        "q_prefix": PrefixQuery("mod"),
+    }
+    mon = Monitor(queries)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.query_id: np.float32(r.score)
+        for r in mon.match_batch(docs, scored=True).collect()
+    }
+    assert set(got) == set(queries)
+    for qid, q in queries.items():
+        fwd = s.search(q, 1).collect()
+        assert len(fwd) == 1, qid
+        assert np.float32(fwd[0].score) == got[qid], qid
+
+
+def test_scored_percolation_nonmatching_absent(spark):
+    mon = Monitor({"q": TermQuery("absent")})
+    docs = spark.createDataFrame([(1, "present words only")], "doc_id long, text string")
+    assert mon.match_batch(docs, scored=True).collect() == []
