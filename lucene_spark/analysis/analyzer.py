@@ -66,6 +66,47 @@ def s_stem_sql(expr: str) -> str:
   ELSE ({expr}) END"""
 
 
+# ASCIIFoldingFilter subset: 1:1 Latin-1 / Latin-Extended-A/B foldings,
+# applied as a CHAR filter before tokenization (the tokenizer's [a-z0-9]
+# alphabet would otherwise split words at accented characters).  The
+# reference folds a far larger table (ASCIIFoldingFilter.java:78+); this
+# covers the Latin-script accents; multi-char ligatures (æ, œ, ß) are out
+# of the 1:1 subset and documented as such.  The table is DERIVED, not
+# hand-written: NFD-decompose each code point in U+00C0–U+024F and keep
+# the base letter when the decomposition is base+combining-marks, plus a
+# small manual table for the letters that don't decompose (stroke/bar
+# forms the reference also folds: ø→o, ł→l, đ→d, ð→d, ħ→h, ŧ→t, þ→th is
+# multi-char so excluded, ı→i).
+def _build_fold_table() -> tuple[str, str]:
+    import unicodedata
+
+    manual = {"ø": "o", "ł": "l", "đ": "d", "ð": "d", "ħ": "h", "ŧ": "t", "ı": "i"}
+    frm, to = [], []
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp)
+        low = manual.get(ch.lower())
+        if low is None:
+            decomp = unicodedata.normalize("NFD", ch)
+            base = "".join(c for c in decomp if not unicodedata.combining(c))
+            if len(base) != 1:
+                continue
+            low = base.lower()
+            if low == ch:
+                continue
+        if "a" <= low <= "z":
+            frm.append(ch)
+            to.append(low)
+    return "".join(frm), "".join(to)
+
+
+_FOLD_FROM, _FOLD_TO = _build_fold_table()
+_FOLD_TABLE = str.maketrans(_FOLD_FROM, _FOLD_TO)
+
+
+def ascii_fold(text: str) -> str:
+    return text.translate(_FOLD_TABLE)
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Immutable analyzer spec shared by engine, oracle, and SQL twins.
@@ -88,6 +129,9 @@ class Analyzer:
     synonyms: tuple = ()  # tuple of (term, extra_term) pairs
     shingle_size: int = 0
     ngram: tuple | None = None  # (min_gram, max_gram)
+    # ASCIIFoldingFilter (1:1 subset) as a pre-tokenize char filter —
+    # composes with every other stage
+    ascii_folding: bool = False
 
     def __post_init__(self):
         if self.stemmer not in (None, "s", "porter"):
@@ -128,6 +172,7 @@ class Analyzer:
             and not self.synonyms
             and not self.shingle_size
             and self.ngram is None
+            and not self.ascii_folding
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -140,6 +185,7 @@ class Analyzer:
             "synonyms": [list(p) for p in self.synonyms],
             "shingle_size": self.shingle_size,
             "ngram": list(self.ngram) if self.ngram else None,
+            "ascii_folding": self.ascii_folding,
         }
 
     @classmethod
@@ -153,12 +199,15 @@ class Analyzer:
             synonyms=tuple((s, e) for s, e in d.get("synonyms", ())),
             shingle_size=d.get("shingle_size", 0),
             ngram=tuple(ng) if ng else None,
+            ascii_folding=d.get("ascii_folding", False),
         )
 
     # -- python reference (oracle path) ---------------------------------
     def analyze_text(self, text: str | None) -> list[tuple[str, int]]:
         """[(term, position)] after the full chain.  Positions carry stop
         holes; synonym emissions share their source's position."""
+        if self.ascii_folding and text is not None:
+            text = ascii_fold(text)
         toks = tokenize_text(text)
         out: list[tuple[str, int]] = []
         syn = self.syn_map
@@ -189,6 +238,8 @@ class Analyzer:
         PhraseQuery).  No synonym expansion — the reference expands query
         synonyms via SynonymQuery, not the index chain; QueryParser does
         that explicitly."""
+        if self.ascii_folding and text is not None:
+            text = ascii_fold(text)
         out: list[tuple[str, int]] = []
         for pos, t in enumerate(tokenize_text(text)):
             if t in self.stopwords:
@@ -214,6 +265,8 @@ class Analyzer:
 
         from lucene_spark.analysis.tokenizer import tokens_expr
 
+        if self.ascii_folding:
+            col = F.translate(col, _FOLD_FROM, _FOLD_TO)
         toks = tokens_expr(col)
         entries = F.transform(
             toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))

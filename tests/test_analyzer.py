@@ -261,3 +261,47 @@ def test_entries_expr_matches_python_chain(spark, an_kwargs):
         got = sorted((x["term"], x["pos"]) for x in (r.e or []))
         want = sorted(an.analyze_text(t))
         assert got == want, (t, an_kwargs)
+
+
+def test_ascii_fold_table():
+    from lucene_spark.analysis.analyzer import _FOLD_FROM, _FOLD_TO, ascii_fold
+
+    assert len(_FOLD_FROM) == len(_FOLD_TO)
+    assert all("a" <= c <= "z" for c in _FOLD_TO)
+    assert ascii_fold("Café Zürich naïve Ørsted Łódź") == "Cafe Zurich naive orsted lodz"
+    # non-decomposing stroke/bar letters fold too
+    assert ascii_fold("đħŧðı") == "dhtdi"
+    # ligatures are out of the 1:1 subset: left untouched
+    assert ascii_fold("æœß") == "æœß"
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(ascii_folding=True),
+        dict(ascii_folding=True, stopwords=frozenset({"the"}), stemmer="s"),
+        dict(ascii_folding=True, shingle_size=2),
+    ],
+)
+def test_ascii_folding_entries_expr_parity(spark, an_kwargs):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(**an_kwargs)
+    assert Analyzer.from_json(an.to_json()) == an
+    texts = [
+        "Café au lait",
+        "the Zürich Ørsted survey",
+        "Łódź naïve résumés",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs)
+    # query side folds the same way
+    assert Analyzer(ascii_folding=True).analyze_query("Łódź Café") == ["lodz", "cafe"]
