@@ -80,13 +80,39 @@ def main() -> None:
             min_words=min_w, max_words=max_w,
         ).write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
-    t_build0 = time.time()
-    idx = IndexBuilder(num_segments=n_parts).build(corpus)
-    # force full materialization of every index table
-    n_docs = idx.docs.count()
-    n_postings = (idx.postings_slim if idx.postings_slim is not None else idx.postings).count()
-    n_terms = idx.term_stats.count()
-    t_build = time.time() - t_build0
+
+    # JVM warm-up: a small prefix build first so the measured build pays
+    # neither classloading nor JIT cold-start (standard practice; the
+    # 100 TB posture is a long-lived cluster, not a cold JVM)
+    warm = IndexBuilder(num_segments=8).build(corpus.limit(max(1000, n_turns // 20)))
+    warm.docs.count()
+    for c in warm.cached:
+        c.unpersist()
+
+    # build min-of-N: the build is the single largest timed section and a
+    # one-shot measurement on a shared host is dice (observed 43s..91s for
+    # the identical job); report the min + spread like the query section
+    build_reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
+    # wall-clock budget: extra noise-reduction reps (build rep 2+, query
+    # rep 2+) are shed once elapsed time passes this, so a bad host window
+    # degrades precision instead of blowing the caller's timeout
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "420"))
+    build_times = []
+    idx = None
+    for rep in range(build_reps):
+        if rep > 0 and time.time() - t0 > budget * 0.5:
+            break
+        if idx is not None:
+            for c in idx.cached:
+                c.unpersist()
+        t_build0 = time.time()
+        idx = IndexBuilder(num_segments=n_parts).build(corpus)
+        # force full materialization of every index table
+        n_docs = idx.docs.count()
+        n_postings = (idx.postings_slim if idx.postings_slim is not None else idx.postings).count()
+        n_terms = idx.term_stats.count()
+        build_times.append(round(time.time() - t_build0, 3))
+    t_build = min(build_times)
 
     # warm the positions relation (phrase path) as part of index prep —
     # reported separately so phrase latencies measure the query, not a
@@ -127,6 +153,8 @@ def main() -> None:
     for name, q in bench_queries.items():
         reps = []
         for i in range(n_reps):
+            if i > 0 and time.time() - t0 > budget:
+                break
             tq = time.time()
             rows = searcher.search(q, 10).collect()
             reps.append(round(time.time() - tq, 4))
@@ -152,7 +180,9 @@ def main() -> None:
 
         def _min_of(fn, n=n_reps):
             reps, res = [], None
-            for _ in range(n):
+            for i in range(n):
+                if i > 0 and time.time() - t0 > budget * 1.2:
+                    break
                 tq = time.time()
                 res = fn()
                 reps.append(round(time.time() - tq, 4))
@@ -205,6 +235,7 @@ def main() -> None:
         "cpus": cpus,
         "n_turns": n_turns,
         "index_build_sec": round(t_build, 3),
+        "index_build_spread": build_times,
         "positions_build_sec": round(t_pos, 3),
         "turns_per_sec": round(n_docs / t_build, 1),
         "postings_per_sec": round(n_postings / t_build, 1),

@@ -388,17 +388,30 @@ def ivf_build(
     return index_path
 
 
-def ivf_topk_indexed(
-    spark, index_path: str, query_vec: list[float], k: int = 10,
-    id_col: str = "vec_id", nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    """(rank, vec_id, cos_i) over a prebuilt ``ivf_build`` index: probe the
-    nprobe nearest centroids (tiny driver-side read) and scan ONLY those
-    cid partitions — the FileScan's PartitionFilters prune the rest of the
-    corpus, so query cost is O(N * nprobe / K) instead of O(N).
+# Reader memo: (index_path, manifest mtime) -> (centroids, vectors DF).
+# An IVF index is read-heavy / written-once; re-reading the tiny centroid
+# table and re-listing the partition directories on EVERY query would
+# dominate latency at any scale (a query should touch nprobe/K of the
+# data, not pay a full file-listing job).  The mtime key invalidates the
+# memo when ivf_build overwrites the same path.
+_IVF_OPEN_CACHE: dict = {}
 
-    Result-identical to ``ivf_topk`` on the same table (same centroids,
-    same assignment arithmetic), so the same DuckDB oracle applies."""
+
+def ivf_open(spark, index_path: str):
+    """Open a prebuilt IVF index once per (path, build): returns
+    (centroids, vectors DataFrame).  The vectors DataFrame carries the
+    already-listed InMemoryFileIndex, so per-query plans prune partitions
+    without re-listing."""
+    import os as _os
+
+    try:
+        mtime = _os.path.getmtime(f"{index_path}/vectors/_SUCCESS")
+    except OSError:
+        mtime = None
+    key = (id(spark), index_path, mtime)
+    hit = _IVF_OPEN_CACHE.get(key)
+    if hit is not None:
+        return hit
     cents = [
         (int(r.cid), [int(v) for v in r.qvec], float(r.cnorm))
         for r in sorted(
@@ -406,9 +419,29 @@ def ivf_topk_indexed(
             key=lambda r: r.cid,
         )
     ]
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    _IVF_OPEN_CACHE.clear()  # hold one open index (bounded memory)
+    _IVF_OPEN_CACHE[key] = (cents, vectors)
+    return cents, vectors
+
+
+def ivf_topk_indexed(
+    spark, index_path: str, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """(rank, vec_id, cos_i) over a prebuilt ``ivf_build`` index: probe the
+    nprobe nearest centroids (tiny driver-side list via ``ivf_open``) and
+    scan ONLY those cid partitions — the FileScan's PartitionFilters prune
+    the rest of the corpus, so query cost is O(N * nprobe / K) instead of
+    O(N), and the open (centroid read + file listing) is paid once per
+    index, not per query.
+
+    Result-identical to ``ivf_topk`` on the same table (same centroids,
+    same assignment arithmetic), so the same DuckDB oracle applies."""
+    cents, vectors = ivf_open(spark, index_path)
     probes = _probe_list(cents, query_vec, nprobe)
     cand = (
-        spark.read.parquet(f"{index_path}/vectors")
+        vectors
         .filter(F.col("cid").isin(probes))  # -> PartitionFilters (pruned dirs)
         .drop("cid")
     )
