@@ -1934,11 +1934,13 @@ def _q_sim_ann(spark, sf_dir):
 
 
 def _q_sim_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN (8 planes, Hamming<=1 multi-probe)."""
+    """Hyperplane-LSH ANN (8 planes, Hamming<=1 multi-probe) — the
+    explicit lsh_topk surface (ann_topk routes to IVF; see lsh_topk's
+    recall warning)."""
     from lucene_spark.pipeline import similarity as sim
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return sim.ann_topk(emb, _qvec(spark, sf_dir), 10)
+    return sim.lsh_topk(emb, _qvec(spark, sf_dir), 10)
 
 
 _EMB_DUP_REL = (
@@ -2166,6 +2168,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_topk_bruteforce": _pl_sim.cosine_topk_sql_view("embeddings", 10),
         "sim_topk_ann": _pl_sim.ivf_topk_sql_view("embeddings", 10),
-        "sim_topk_lsh": _pl_sim.ann_topk_sql_view("embeddings", 64, 10),
+        "sim_topk_lsh": _pl_sim.lsh_topk_sql_view("embeddings", 64, 10),
         "dedup_embedding": _pl_sim.near_duplicates_embedding_sql(_EMB_DUP_REL, 0.9),
     }

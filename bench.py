@@ -211,7 +211,7 @@ def main() -> None:
             lambda: {r.vec_id for r in sim.ivf_topk(emb, qvec, 10).collect()}, n=1
         )
         ann["t_lsh"], lsh = _min_of(
-            lambda: {r.vec_id for r in sim.ann_topk(emb, qvec, 10).collect()}
+            lambda: {r.vec_id for r in sim.lsh_topk(emb, qvec, 10).collect()}
         )
         ann["recall_ivf_at10"] = round(len(brute & ivf) / max(len(brute), 1), 2)
         ann["recall_lsh_at10"] = round(len(brute & lsh) / max(len(brute), 1), 2)

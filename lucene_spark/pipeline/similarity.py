@@ -14,15 +14,18 @@ Scale paths:
   for the top-k.
 * ``cosine_topk_batch`` — mapInPandas numpy matrix multiply: queries x
   corpus per Arrow batch; the vectorized throughput path for many queries.
-* ``ann_topk`` — random-hyperplane LSH (sign sketch): 8 md5-derived integer
+* ``lsh_topk`` — random-hyperplane LSH (sign sketch): 8 md5-derived integer
   hyperplanes -> 256 buckets; multi-probe of the Hamming-adjacent buckets
   (``bit_count(bucket XOR qbucket) <= max_hamming``).  O(N*probes/256) per
   query; recall depends on how clustered the corpus is (weak on
-  near-isotropic vectors — measured in BENCH.md).
+  near-isotropic vectors — measured in BENCH.md; see lsh_topk's warning).
 * ``ivf_topk`` — IVF-flat coarse quantizer with a deterministic,
   SQL-derivable centroid sample; assignment is a single shuffle-free
   projection and the query probes its nprobe nearest centroids.  The
-  preferred ANN path: data-dependent, so recall holds where LSH's doesn't.
+  preferred ANN path: data-dependent, so recall holds where LSH's doesn't —
+  ``ann_topk`` (the generic entry point) routes here.  ``ivf_build`` +
+  ``ivf_topk_indexed`` persist the assignment as a partition column so
+  queries scan only the probed partitions.
   Both ANN paths are expressible in SQL, so they stay oracle-checkable.
 """
 
@@ -157,11 +160,34 @@ def _bucket_expr(vec_q, planes: list[list[int]]):
 
 def ann_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """(rank, vec_id, cos_i) approximate top-k — the DEFAULT ANN entry
+    point, routed to the IVF coarse quantizer (``ivf_topk``), whose
+    data-dependent cells hold recall ~1.0 on both clustered and
+    near-isotropic embeddings.  For repeated queries build once with
+    ``ivf_build`` and query via ``ivf_topk_indexed``.  The
+    hyperplane-LSH variant is available explicitly as ``lsh_topk`` —
+    see its warning before choosing it."""
+    return ivf_topk(emb, query_vec, k, id_col=id_col)
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
     max_hamming: int = LSH_MAX_HAMMING,
 ) -> DataFrame:
     """(rank, vec_id, cos_i) approximate top-k: candidates restricted to the
     buckets within ``max_hamming`` bits of the query's hyperplane-LSH
-    bucket (multi-probe), then exact cosine within the probed buckets."""
+    bucket (multi-probe), then exact cosine within the probed buckets.
+
+    .. warning:: On near-isotropic embeddings (random projections, many
+       modern encoder outputs after whitening) hyperplane LSH recall
+       degrades to roughly the scanned fraction of the corpus — measured
+       recall@10 ~0.1 at the defaults (9/256 buckets probed) on the bench
+       embeddings.  That is a property of the sketch, not a bug: neighbors
+       at cos ~0 share each sign bit with p ~0.5.  Prefer ``ann_topk``
+       (IVF, recall ~1.0) unless your embeddings are strongly clustered;
+       if you do use LSH, size ``N_PLANES``/``max_hamming`` against a
+       measured recall target."""
     dim = len(query_vec)
     planes = _planes(dim)
     q = [_round_away(float(x) * QUANT) for x in query_vec]
@@ -176,7 +202,7 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, id_col)
 
 
-def ann_topk_sql(
+def lsh_topk_sql(
     emb_rel: str, query_vec: list[float], k: int = 10,
     max_hamming: int = LSH_MAX_HAMMING,
 ) -> str:
@@ -614,7 +640,7 @@ SELECT CAST(row_number() OVER (ORDER BY cos_i DESC, vec_id) AS INT) AS rank, vec
 FROM s ORDER BY cos_i DESC, vec_id LIMIT {k}"""
 
 
-def ann_topk_sql_view(
+def lsh_topk_sql_view(
     emb_rel: str, dim: int, k: int = 10, max_hamming: int = LSH_MAX_HAMMING
 ) -> str:
     planes = _planes(dim)

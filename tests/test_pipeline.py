@@ -142,12 +142,21 @@ def test_cosine_topk(emb, con, qvec):
     )
 
 
-def test_ann_topk(emb, con, qvec):
+def test_lsh_topk(emb, con, qvec):
     from lucene_spark.pipeline import similarity as sim
 
     assert_match(
-        sim.ann_topk(emb, qvec, 10), con, sim.ann_topk_sql(EMB_REL, qvec, 10), ordered=True
+        sim.lsh_topk(emb, qvec, 10), con, sim.lsh_topk_sql(EMB_REL, qvec, 10), ordered=True
     )
+
+
+def test_ann_topk_routes_to_ivf(emb, qvec):
+    # the generic ANN entry point is the recall-1.0 IVF path
+    from lucene_spark.pipeline import similarity as sim
+
+    a = [tuple(r) for r in sim.ann_topk(emb, qvec, 10).collect()]
+    b = [tuple(r) for r in sim.ivf_topk(emb, qvec, 10).collect()]
+    assert a == b
 
 
 def test_ivf_indexed_matches_unindexed(spark, emb, qvec, tmp_path_factory):
