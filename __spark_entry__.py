@@ -1260,6 +1260,68 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _ib_sql(terms, k: int, c: float = 1.0) -> str:
+    """IBSimilarity (DistributionLL + LambdaDF + NormalizationH2) twin:
+    tfn = freq * log2(1 + c*avgdl/dl); λ = float32((df+1)/(N+1)) — the
+    REAL cast mirrors LambdaDF.java's float intermediate;
+    score = -ln(λ/(tfn+λ))."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    lam = ("CAST(CAST((dfreq.doc_freq + 1.0)"
+           " / (stats.doc_count + 1.0) AS REAL) AS DOUBLE)")
+    tfn = (f"(tf.freq * ln(1.0 + {c!r} * (CAST(stats.sttf AS DOUBLE)"
+           f" / stats.doc_count) / dlq.dlq) / ln(2))")
+    score = f"(-ln({lam} / ({tfn} + {lam})))"
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _ax_sql(terms, k: int, s: float = 0.25, kk: float = 0.35) -> str:
+    """AxiomaticF2EXP twin: score = max(0, freq/(freq + s + s*dl/avgdl) *
+    ((N+1)/df)^k), s=0.25, k=0.35."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    avgdl = "(CAST(stats.sttf AS DOUBLE) / stats.doc_count)"
+    score = (
+        f"greatest(0.0, (tf.freq / (tf.freq + {s!r} + {s!r} * dlq.dlq / {avgdl}))"
+        f" * pow((stats.doc_count + 1.0) / dfreq.doc_freq, {kk!r}))"
+    )
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _dfr_sql(terms, k: int, c: float = 1.0) -> str:
     """DFRSimilarity (BasicModelG + AfterEffectL + NormalizationH2) twin:
     tfn = freq * log2(1 + c*avgdl/dl); λg = (ttf+1)/(N+ttf+1);
@@ -2007,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
+        "ib_topk": _q_simbase(["spark", "query", "data"], 10, "ib_f64"),
+        "axiomatic_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f64"),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -2070,6 +2134,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
+        "ib_topk": _ib_sql(["spark", "query", "data"], 10),
+        "axiomatic_topk": _ax_sql(["spark", "query", "data"], 10),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -205,6 +205,39 @@ class OracleIndex:
             out[doc_id] = np.float32(raw)
         return out
 
+    def term_scores_ib(self, term: str, boost: float = 1.0, c: float = 1.0) -> dict[int, np.float32]:
+        """IBSimilarity.java:95-98 with DistributionLL.java:33-34 +
+        LambdaDF.java:32-38 (float λ intermediate) + NormalizationH2:
+        tfn = freq * log2(1 + c*avgdl/dl); λ = float32((df+1)/(N+1));
+        score = boost * -ln(λ/(tfn+λ))."""
+        postings = self.postings.get(term, {})
+        n_docs = float(self.doc_count)
+        lam = float(np.float32((len(postings) + 1.0) / (n_docs + 1.0)))
+        ln2 = math.log(2.0)
+        c_avgdl = c * (self.sum_total_term_freq / n_docs)
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            tfn = freq * math.log(1.0 + c_avgdl / dl) / ln2
+            raw = float(boost) * -math.log(lam / (tfn + lam))
+            out[doc_id] = np.float32(raw)
+        return out
+
+    def term_scores_ax(self, term: str, boost: float = 1.0, s: float = 0.25, kk: float = 0.35) -> dict[int, np.float32]:
+        """AxiomaticF2EXP (Axiomatic.java:95-106 composition; tf=ln=1,
+        gamma=0): score = max(0, boost * freq/(freq + s + s*dl/avgdl) *
+        ((N+1)/df)^k)."""
+        postings = self.postings.get(term, {})
+        n_docs = float(self.doc_count)
+        avgdl = self.sum_total_term_freq / n_docs
+        idf = math.pow((n_docs + 1.0) / len(postings), kk) if postings else 0.0
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            raw = float(boost) * (freq / (freq + s + s * dl / avgdl)) * idf
+            out[doc_id] = np.float32(raw if raw > 0.0 else 0.0)
+        return out
+
     def search_or_lm(self, terms: list[str], k: int):
         per_term = [self.term_scores_lm(t) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
@@ -217,6 +250,16 @@ class OracleIndex:
 
     def search_or_dfr(self, terms: list[str], k: int):
         per_term = [self.term_scores_dfr(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_ib(self, terms: list[str], k: int):
+        per_term = [self.term_scores_ib(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_ax(self, terms: list[str], k: int):
+        per_term = [self.term_scores_ax(t) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
         return self._topk(self._sum_scores(per_term, doc_ids), k)
 

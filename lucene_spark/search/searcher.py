@@ -82,10 +82,14 @@ class IndexSearcher:
         "lucene_f32", "plain_f64", "classic_f32", "classic_f64",
         "lm_dirichlet_f32", "lm_dirichlet_f64",
         "lm_jm_f32", "lm_jm_f64", "dfr_f32", "dfr_f64",
+        "ib_f32", "ib_f64", "ax_f32", "ax_f64",
     )
     LM_MU = 2000.0  # LMDirichletSimilarity default mu
     LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity λ (title-query optimum)
     DFR_C = 1.0  # NormalizationH2 default hyper-parameter c
+    IB_C = 1.0  # IBSimilarity NormalizationH2 hyper-parameter c
+    AX_S = 0.25  # Axiomatic.java:91-93 defaults (s, k)
+    AX_K = 0.35
 
     def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32",
                  term_cache_max: int | None = None):
@@ -101,11 +105,15 @@ class IndexSearcher:
             self.family = "lm_jm"
         elif scoring.startswith("dfr"):
             self.family = "dfr"
+        elif scoring.startswith("ib"):
+            self.family = "ib"
+        elif scoring.startswith("ax"):
+            self.family = "ax"
         else:
             self.family = "bm25"
         # SimilarityBase-derived families: double math end-to-end, one
         # float cast at the end (BasicSimScorer.score), term-scoped
-        self.simbase = self.family in ("lm", "lm_jm", "dfr")
+        self.simbase = self.family in ("lm", "lm_jm", "dfr", "ib", "ax")
         self.score_type = "float" if scoring.endswith("f32") else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
@@ -312,8 +320,23 @@ class IndexSearcher:
             λg     = (ttf + 1) / (N + ttf + 1)          (BasicModelG.java:38-40)
             A      = log2(λg + 1);  B = log2((1 + λg) / λg)
             score  = boost * (B - (B - A) / (1 + tfn))  (AfterEffectL: ×1.0)
+        * ``ib`` — IBSimilarity.java:95-98 with DistributionLL + LambdaDF +
+          NormalizationH2 (LL chosen over SPL, whose javadoc warns of
+          infinite/negative scores at extreme tf):
+            tfn   = freq * log2(1 + c * avgdl / dl)
+            λ     = float32((df + 1) / (N + 1))       (LambdaDF.java:32-38,
+                    float intermediate mirrored)
+            score = boost * -ln(λ / (tfn + λ))        (DistributionLL.java:33-34)
+        * ``ax`` — AxiomaticF2EXP (Axiomatic.java:95-106 composition,
+          defaults s=0.25, k=0.35; Fang & Zhai 2005 F2-EXP):
+            score = max(0, boost * freq / (freq + s + s * dl / avgdl)
+                              * ((N + 1) / df)^k)
         """
-        ttfs = self.term_total_freqs(list(term_boosts))
+        if self.family in ("ib", "ax"):
+            stat = self.term_doc_freqs(list(term_boosts))
+        else:
+            stat = self.term_total_freqs(list(term_boosts))
+        ttfs = stat
         if not ttfs:
             return self._empty_scored()
         sttf = float(self.index.stats["sum_total_term_freq"])
@@ -345,7 +368,7 @@ class IndexSearcher:
             raw = F.col("_b") * F.log(
                 F.lit(1.0) + (F.lit(1.0 - lam) * fr / dl) / F.col("_lp")
             )
-        else:  # dfr (G + L + H2)
+        elif self.family == "dfr":  # G + L + H2
             c_avgdl = float(self.DFR_C) * (sttf / n_docs)
             rows = []
             for t, b in term_boosts.items():
@@ -358,6 +381,31 @@ class IndexSearcher:
             schema = "term string, _b double, _big double, _bag double"
             tfn = fr * F.log(F.lit(1.0) + F.lit(c_avgdl) / dl) / F.lit(ln2)
             raw = F.col("_b") * (F.col("_big") - F.col("_bag") / (F.lit(1.0) + tfn))
+        elif self.family == "ib":  # LL + LambdaDF + H2
+            c_avgdl = float(self.IB_C) * (sttf / n_docs)
+            rows = [
+                (t, float(b), float(np.float32((ttfs[t] + 1.0) / (n_docs + 1.0))))
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _lam double"
+            tfn = fr * F.log(F.lit(1.0) + F.lit(c_avgdl) / dl) / F.lit(ln2)
+            raw = F.col("_b") * -F.log(F.col("_lam") / (tfn + F.col("_lam")))
+        else:  # ax (AxiomaticF2EXP)
+            s, kk = float(self.AX_S), float(self.AX_K)
+            avgdl = sttf / n_docs
+            rows = [
+                (t, float(b), math.pow((n_docs + 1.0) / ttfs[t], kk))
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _idf double"
+            raw = F.greatest(
+                F.lit(0.0),
+                F.col("_b")
+                * (fr / (fr + F.lit(s) + F.lit(s) * dl / F.lit(avgdl)))
+                * F.col("_idf"),
+            )
         if not rows:
             return self._empty_scored()
         wdf = self.index.spark.createDataFrame(rows, schema)

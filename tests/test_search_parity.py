@@ -211,11 +211,55 @@ def test_dfr_parity(spark, tiny_index, tiny_oracle):
         )
 
 
+def test_ib_parity(spark, tiny_index, tiny_oracle):
+    """ib_f32 (DistributionLL + LambdaDF + NormalizationH2) == the oracle
+    transliteration (rank + float32 score identity)."""
+    s = IndexSearcher(tiny_index, scoring="ib_f32")
+    for terms in (["model"], ["the", "spark", "query"]):
+        q = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        )
+        engine = [(r.conv_id, r.turn_idx, np.float32(r.score)) for r in s.search(q, 10).collect()]
+        want = [
+            (c, t, np.float32(sc))
+            for c, t, sc in tiny_oracle.topk_keys(tiny_oracle.search_or_ib(terms, 10))
+        ]
+        assert [(c, t) for c, t, _ in engine] == [(c, t) for c, t, _ in want], terms
+        np.testing.assert_array_equal(
+            np.array([x for _, _, x in engine], dtype=np.float32),
+            np.array([x for _, _, x in want], dtype=np.float32),
+        )
+
+
+def test_ax_parity(spark, tiny_index, tiny_oracle):
+    """ax_f32 (AxiomaticF2EXP, s=0.25 k=0.35) == the oracle transliteration
+    (rank + float32 score identity)."""
+    s = IndexSearcher(tiny_index, scoring="ax_f32")
+    for terms in (["model"], ["the", "spark", "query"]):
+        q = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        )
+        engine = [(r.conv_id, r.turn_idx, np.float32(r.score)) for r in s.search(q, 10).collect()]
+        want = [
+            (c, t, np.float32(sc))
+            for c, t, sc in tiny_oracle.topk_keys(tiny_oracle.search_or_ax(terms, 10))
+        ]
+        assert [(c, t) for c, t, _ in engine] == [(c, t) for c, t, _ in want], terms
+        np.testing.assert_array_equal(
+            np.array([x for _, _, x in engine], dtype=np.float32),
+            np.array([x for _, _, x in want], dtype=np.float32),
+        )
+
+
 def test_simbase_families_differ(spark, tiny_index):
-    """Sanity: the four SimilarityBase-adjacent families produce distinct
+    """Sanity: the six SimilarityBase-adjacent families produce distinct
     score functions."""
     scores = {}
-    for mode in ("lucene_f32", "lm_dirichlet_f32", "lm_jm_f32", "dfr_f32"):
+    for mode in ("lucene_f32", "lm_dirichlet_f32", "lm_jm_f32", "dfr_f32", "ib_f32", "ax_f32"):
         s = IndexSearcher(tiny_index, scoring=mode)
         scores[mode] = [float(r.score) for r in s.search(TermQuery("the"), 20).collect()]
     vals = list(scores.values())
