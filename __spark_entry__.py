@@ -2045,6 +2045,409 @@ def _q_range_facet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public contract
 
 
+
+# ---------------------------------------------------------------------------
+# round-3 gates: previously pytest-only operators promoted to driver gates
+
+
+def _q_term_in_set(terms):
+    """TermInSetQuery.java:72 — field IN (set), constant score."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermInSetQuery
+
+        idx, searcher = _searcher(spark, sf_dir)
+        matches = searcher.scored(TermInSetQuery(tuple(terms))).select("doc_id").distinct()
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        return matches.join(keys, "doc_id").select("conv_id", "turn_idx")
+
+    return run
+
+
+def _q_field_exists(column: str):
+    """FieldExistsQuery.java — hit count of docs where the column is set."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.query import FieldExistsQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        n = searcher.count(FieldExistsQuery(column))
+        return spark.createDataFrame([(n,)], "n long")
+
+    return run
+
+
+def _q_term_vector(doc_id: int):
+    """Term vectors (Lucene90TermVectorsFormat analog): per-doc
+    (term, freq, positions) from the doc-major relation."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx, _ = _searcher(spark, sf_dir)
+        idx.with_term_vectors()
+        return idx.term_vector(doc_id).select(
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("positions").cast("array<int>").alias("positions"),
+        ).orderBy("term")
+
+    return run
+
+
+def _term_vector_sql(doc_id: int) -> str:
+    conv = f"conv{doc_id // TURNS_PER_CONV:06d}"
+    turn = doc_id % TURNS_PER_CONV
+    return (
+        _PRELUDE
+        + f""",
+toksp AS (
+  SELECT unnest(arr) AS term,
+         unnest(range(1, len(arr) + 1)) AS pos1
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM tr WHERE conv_id = '{conv}' AND turn_idx = {turn})
+)
+SELECT term, CAST(count(*) AS BIGINT) AS freq,
+       list_sort(list(CAST(pos1 - 1 AS INT))) AS positions
+FROM toksp GROUP BY term ORDER BY term"""
+    )
+
+
+def _q_suggest_fuzzy(prefix: str, k: int, max_edits: int = 1):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.suggest import suggest_fuzzy
+
+        idx, _ = _searcher(spark, sf_dir)
+        return suggest_fuzzy(idx, prefix, k, max_edits=max_edits)
+
+    return run
+
+
+def _suggest_fuzzy_sql(prefix: str, k: int, max_edits: int = 1) -> str:
+    n = len(prefix)
+    conds = " OR ".join(
+        f"levenshtein(substr(term, 1, {ln}), '{prefix}') <= {max_edits}"
+        for ln in range(max(1, n - max_edits), n + max_edits + 1)
+    )
+    return (
+        _PRELUDE
+        + f""",
+cands AS (
+  SELECT term, total_term_freq AS weight FROM dfreq WHERE {conds}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY weight DESC, term) AS INT) AS rank,
+         term, weight
+  FROM cands
+)
+SELECT rank, term, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_search_after(term: str, k: int):
+    """searchAfter paging (TopFieldCollector.searchAfter): page 2 of the
+    (ts desc, score desc, doc asc) sort — the cursor is page 1's last
+    row's sort values."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import Sort, SortField, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        srt = Sort.by(SortField("ts", reverse=True), SortField("score"))
+        page1 = searcher.search_sorted(TermQuery(term), k, srt).collect()
+        last = page1[-1]
+        cursor = (last.ts, last.score, last.doc_id)
+        page2 = searcher.search_sorted(TermQuery(term), k, srt, search_after=cursor)
+        return page2.select(
+            F.col("rank").cast("int").alias("rank"),
+            "conv_id",
+            "turn_idx",
+            F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+            F.round(F.col("score") * 10000).cast("long").alias("score_i"),
+        ).orderBy("rank")
+
+    return run
+
+
+def _search_after_sql(term: str, k: int) -> str:
+    """Page 2 == global ranks k+1..2k re-numbered from 1."""
+    return (
+        _PRELUDE
+        + f""",
+tsd AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 97) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+  GROUP BY 1, 2
+),
+ordered AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY ts DESC, score DESC, s.conv_id, s.turn_idx) AS INT) AS gr,
+         s.conv_id, s.turn_idx,
+         CAST(epoch(ts) AS BIGINT) AS ts_epoch,
+         CAST(round(score * 10000) AS BIGINT) AS score_i
+  FROM scored s JOIN tsd USING (conv_id, turn_idx)
+)
+SELECT CAST(gr - {k} AS INT) AS rank, conv_id, turn_idx, ts_epoch, score_i
+FROM ordered WHERE gr > {k} AND gr <= {2 * k} ORDER BY rank"""
+    )
+
+
+def _q_join_util(term: str, k: int, score_mode: str = "total"):
+    """JoinUtil.createJoinQuery analog: turn-level matches rolled up to
+    conv keys (ScoreMode.Total), joined back to the conv side."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import join_util
+
+        idx, searcher = _searcher(spark, sf_dir)
+        keys = idx.docs.select("doc_id", "conv_id")
+        from_matches = searcher.scored(TermQuery(term)).join(keys, "doc_id")
+        to_docs = idx.docs.select("conv_id").distinct()
+        joined = join_util(from_matches, to_docs, "conv_id", "conv_id", score_mode)
+        out = (
+            joined.withColumn("score_i", F.round(F.col("score") * 10000).cast("long"))
+            .orderBy(F.desc("score_i"), F.asc("conv_id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score_i"), F.asc("conv_id"))
+        return out.select(
+            F.row_number().over(w).cast("int").alias("rank"), "conv_id", "score_i"
+        ).orderBy("rank")
+
+    return run
+
+
+def _join_util_sql(term: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+  GROUP BY 1, 2
+),
+convs AS (
+  SELECT conv_id, SUM(score) AS score FROM scored GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id) AS INT) AS rank,
+         conv_id, score_i
+  FROM (SELECT conv_id, CAST(round(score * 10000) AS BIGINT) AS score_i FROM convs)
+)
+SELECT rank, conv_id, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_rescore(term: str, phrase, first_n: int, k: int):
+    """QueryRescorer.rescore: BM25 first pass top-N, phrase second pass,
+    combined = 1.0*first + 2.0*second."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lucene_spark.search import PhraseQuery, TermQuery
+        from lucene_spark.search.mlt import rescore
+
+        idx, searcher = _searcher(spark, sf_dir)
+        first = (
+            searcher.scored(TermQuery(term))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(first_n)
+        )
+        out = rescore(
+            searcher, first, PhraseQuery(tuple(phrase)),
+            weight=1.0, rescore_weight=2.0, k=k,
+        )
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        out = (
+            out.join(keys, "doc_id")
+            .withColumn("score_i", F.round(F.col("score") * 10000).cast("long"))
+            .orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+        return out.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "conv_id", "turn_idx", "score_i",
+        ).orderBy("rank")
+
+    return run
+
+
+def _rescore_sql(term: str, phrase, first_n: int, k: int) -> str:
+    n = len(phrase)
+    conds = " AND ".join(f"arr[i + {i}] = '{t}'" for i, t in enumerate(phrase))
+    idf_sum = " + ".join(
+        f"ln(1 + (stats.doc_count - COALESCE(d{i}.doc_freq, 0) + 0.5) / (COALESCE(d{i}.doc_freq, 0) + 0.5))"
+        for i in range(n)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN dfreq d{i} ON d{i}.term = '{t}'" for i, t in enumerate(phrase)
+    )
+    return (
+        _PRELUDE
+        + f""",
+first AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+  GROUP BY 1, 2
+),
+topn AS (
+  SELECT conv_id, turn_idx, score
+  FROM first ORDER BY score DESC, conv_id, turn_idx LIMIT {first_n}
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pfreq AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(range(1, len(arr) - {n - 2}), i -> {conds})) AS freq
+  FROM parr
+),
+second AS (
+  SELECT p.conv_id, p.turn_idx,
+         ({idf_sum})
+         * p.freq / (p.freq + 1.2 * (0.25 + 0.75 * dlq.dlq
+           / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM pfreq p
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  {joins}
+  WHERE p.freq > 0
+),
+combined AS (
+  SELECT t.conv_id, t.turn_idx,
+         1.0 * t.score + 2.0 * COALESCE(s.score, 0.0) AS score
+  FROM topn t LEFT JOIN second s USING (conv_id, turn_idx)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM combined)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_multi_phrase(slots, k: int):
+    """MultiPhraseQuery.java — phrase with per-slot alternatives."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.query import MultiPhraseQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = MultiPhraseQuery(tuple(tuple(ts) for ts in slots))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _multi_phrase_sql(slots, k: int) -> str:
+    n = len(slots)
+    conds = " AND ".join(
+        "arr[i + {i}] IN ({alts})".format(
+            i=i, alts=", ".join(f"'{t}'" for t in ts)
+        )
+        for i, ts in enumerate(slots)
+    )
+    flat = [t for ts in slots for t in ts]
+    idf_sum = " + ".join(
+        f"ln(1 + (stats.doc_count - COALESCE(d{j}.doc_freq, 0) + 0.5) / (COALESCE(d{j}.doc_freq, 0) + 0.5))"
+        for j in range(len(flat))
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN dfreq d{j} ON d{j}.term = '{t}'" for j, t in enumerate(flat)
+    )
+    return (
+        _PRELUDE
+        + f""",
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pfreq AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(range(1, len(arr) - {n - 2}), i -> {conds})) AS freq
+  FROM parr
+),
+scored AS (
+  SELECT p.conv_id, p.turn_idx,
+         ({idf_sum})
+         * p.freq / (p.freq + 1.2 * (0.25 + 0.75 * dlq.dlq
+           / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM pfreq p
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  {joins}
+  WHERE p.freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+
+def _q_monitor_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored percolation (Monitor.match with ScoringMatch): score = the
+    f32 BM25 each registered term query would receive from a single-doc
+    index over the matching document."""
+    from lucene_spark.search import TermQuery
+    from lucene_spark.streaming.monitor import Monitor
+
+    mon = Monitor({"q_spark": TermQuery("spark"), "q_customer": TermQuery("customer")})
+    docs = _transcripts_df(spark, sf_dir)
+    out = mon.match_batch(docs, id_cols=("conv_id", "turn_idx"), scored=True)
+    return out.select(
+        "conv_id", "turn_idx", "query_id",
+        F.round(F.col("score").cast("double") * 10000).cast("long").alias("score_i"),
+    )
+
+
+def _monitor_scored_sql() -> str:
+    """f32 single-doc BM25 twin: every arithmetic step in REAL mirrors the
+    engine's numpy-float32 chain (idf1 = float32(ln(1 + 0.5/1.5)) inlined)."""
+    idf1 = 0.28768208622932434
+    inv = ("(CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) * ((CAST(1.0 AS REAL) - CAST(0.75 AS REAL))"
+           " + CAST(0.75 AS REAL) * CAST(dlq.dlq AS REAL) / CAST(dlq.dl AS REAL))))")
+    score = (f"(CAST({idf1} AS REAL) - CAST({idf1} AS REAL)"
+             f" / (CAST(1.0 AS REAL) + CAST(tf.freq AS REAL) * {inv}))"
+             ).format(idf1=idf1, inv=inv)
+    return (
+        _PRELUDE
+        + f"""
+SELECT tf.conv_id, tf.turn_idx,
+       CASE tf.term WHEN 'spark' THEN 'q_spark' ELSE 'q_customer' END AS query_id,
+       CAST(round(CAST({score} AS DOUBLE) * 10000) AS BIGINT) AS score_i
+FROM tf
+JOIN dlq USING (conv_id, turn_idx)
+WHERE tf.term IN ('spark', 'customer')""".format(score=score)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -2071,6 +2474,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "ib_topk": _q_simbase(["spark", "query", "data"], 10, "ib_f64"),
         "axiomatic_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f64"),
+        "term_in_set_match": _q_term_in_set(["spark", "data", "model"]),
+        "field_exists_count": _q_field_exists("tool"),
+        "term_vector_doc": _q_term_vector(123),
+        "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
+        "search_after_page2": _q_search_after("data", 10),
+        "join_util_convs": _q_join_util("data", 10),
+        "rescore_topk": _q_rescore("data", ["the", "customer"], 20, 10),
+        "multi_phrase_topk": _q_multi_phrase([["the"], ["customer", "join"]], 10),
+        "monitor_matches_scored": _q_monitor_scored,
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -2136,6 +2548,15 @@ def oracle_sql() -> dict[str, str]:
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "ib_topk": _ib_sql(["spark", "query", "data"], 10),
         "axiomatic_topk": _ax_sql(["spark", "query", "data"], 10),
+        "term_in_set_match": _match_set_sql("term IN ('spark', 'data', 'model')"),
+        "field_exists_count": _PRELUDE + "SELECT count(*) AS n FROM tr WHERE tool IS NOT NULL",
+        "term_vector_doc": _term_vector_sql(123),
+        "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
+        "search_after_page2": _search_after_sql("data", 10),
+        "join_util_convs": _join_util_sql("data", 10),
+        "rescore_topk": _rescore_sql("data", ["the", "customer"], 20, 10),
+        "multi_phrase_topk": _multi_phrase_sql([["the"], ["customer", "join"]], 10),
+        "monitor_matches_scored": _monitor_scored_sql(),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
