@@ -2448,6 +2448,63 @@ WHERE tf.term IN ('spark', 'customer')""".format(score=score)
     )
 
 
+
+def _q_nrt_topk(term: str, k: int):
+    """NRT/durability gate: the SAME corpus ingested as 5 micro-batches
+    through IncrementalIndexer (manifest-last commits), tiered-merged,
+    reopened — and the reopened index must score identically to the
+    one-shot build (so the one-shot SQL twin applies verbatim)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from lucene_spark.search import IndexSearcher, TermQuery
+        from lucene_spark.streaming.incremental import IncrementalIndexer
+
+        key = ("nrt", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="lucene_spark_nrt_")
+            inc = IncrementalIndexer(d)
+            docs = _transcripts_df(spark, sf_dir)
+            n_batches = 5
+            for b in range(n_batches):
+                batch = docs.filter(
+                    F.crc32(F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string")))
+                    % n_batches == b
+                )
+                inc.process_batch(batch, b)
+            inc.maybe_merge(spark)
+            idx = inc.open_index(spark)
+            _CACHE[key] = IndexSearcher(idx, scoring="plain_f64")
+        searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(term), k)
+
+    return run
+
+
+def _q_store_roundtrip_topk(term: str, k: int):
+    """Durability gate: save_index -> load_index (point-in-time reader
+    over the stored bucketed tables) must score identically to the live
+    index, so the one-shot SQL twin applies verbatim."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from lucene_spark.index.store import load_index, save_index
+        from lucene_spark.search import IndexSearcher, TermQuery
+
+        key = ("store_rt", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="lucene_spark_store_")
+            save_index(idx, d)
+            _CACHE[key] = IndexSearcher(load_index(spark, d), scoring="plain_f64")
+        searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(term), k)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -2483,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": _q_rescore("data", ["the", "customer"], 20, 10),
         "multi_phrase_topk": _q_multi_phrase([["the"], ["customer", "join"]], 10),
         "monitor_matches_scored": _q_monitor_scored,
+        "nrt_bm25_topk": _q_nrt_topk("query", 10),
+        "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -2557,6 +2616,8 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": _rescore_sql("data", ["the", "customer"], 20, 10),
         "multi_phrase_topk": _multi_phrase_sql([["the"], ["customer", "join"]], 10),
         "monitor_matches_scored": _monitor_scored_sql(),
+        "nrt_bm25_topk": _topk_sql(["query"], 10),
+        "store_roundtrip_topk": _topk_sql(["merge"], 10),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
