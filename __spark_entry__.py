@@ -1355,6 +1355,87 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _simbase_sum_sql(score: str, terms, k: int) -> str:
+    """Shared tail for per-term-summed SimilarityBase twins: SUM(score)
+    per doc, ranked by the 1e-4-quantized double (dodges last-ulp
+    evaluation-order differences between engines)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _ib_spl_sql(terms, k: int, c: float = 1.0) -> str:
+    """IBSimilarity (DistributionSPL + LambdaDF + NormalizationH2) twin
+    (DistributionSPL.java:35-59): q = 1 - 1/(tfn+1);
+    score = -ln((λ^q - λ)/(1 - λ)); λ = float32((df+1)/(N+1))."""
+    lam = ("CAST(CAST((dfreq.doc_freq + 1.0)"
+           " / (stats.doc_count + 1.0) AS REAL) AS DOUBLE)")
+    tfn = (f"(tf.freq * ln(1.0 + {c!r} * (CAST(stats.sttf AS DOUBLE)"
+           f" / stats.doc_count) / dlq.dlq) / ln(2))")
+    q = f"(1.0 - 1.0 / ({tfn} + 1.0))"
+    score = f"(-ln((pow({lam}, {q}) - {lam}) / (1.0 - {lam})))"
+    return _simbase_sum_sql(score, terms, k)
+
+
+def _dfi_sql(terms, k: int) -> str:
+    """DFISimilarity + IndependenceStandardized twin
+    (DFISimilarity.java:77-87): expected = (ttf+1)*dl/(sttf+1); 0 when
+    freq <= expected, else log2((freq-expected)/sqrt(expected) + 1)."""
+    expected = ("((dfreq.total_term_freq + 1.0) * dlq.dlq"
+                " / (CAST(stats.sttf AS DOUBLE) + 1.0))")
+    measure = f"((tf.freq - {expected}) / sqrt({expected}))"
+    score = (f"(CASE WHEN tf.freq <= {expected} THEN 0.0"
+             f" ELSE ln({measure} + 1.0) / ln(2) END)")
+    return _simbase_sum_sql(score, terms, k)
+
+
+def _bool_sql(terms, k: int) -> str:
+    """BooleanSimilarity twin (BooleanSimilarity.java:56-60): each
+    matching term contributes exactly the boost (1.0)."""
+    return _simbase_sum_sql("1.0", terms, k)
+
+
+def _ax_variant_sql(terms, k: int, variant: str,
+                    s: float = 0.25, kk: float = 0.35, qlen: int = 1) -> str:
+    """Axiomatic F1/F2/F3 EXP/LOG twins (Axiomatic.java:96-106 with the
+    per-variant components from AxiomaticF*.java; defaults s=0.25, k=0.35,
+    queryLen=1): score = max(0, tf*ln*tfln*idf - gamma)."""
+    avgdl = "(CAST(stats.sttf AS DOUBLE) / stats.doc_count)"
+    idf = (
+        f"pow((stats.doc_count + 1.0) / dfreq.doc_freq, {kk!r})"
+        if variant.endswith("exp")
+        else "ln((stats.doc_count + 1.0) / dfreq.doc_freq)"
+    )
+    tf_c = "(1.0 + ln(1.0 + ln(tf.freq + 1.0)))"
+    if variant in ("f1exp", "f1log"):
+        ln_c = f"(({avgdl} + {s!r}) / ({avgdl} + dlq.dlq * {s!r}))"
+        core = f"({tf_c} * {ln_c} * {idf})"
+    elif variant == "f2log":
+        core = (f"((tf.freq / (tf.freq + {s!r} + {s!r} * dlq.dlq / {avgdl}))"
+                f" * {idf})")
+    else:  # f3exp / f3log
+        gamma = f"((dlq.dlq - {qlen}) * {s!r} * {qlen} / {avgdl})"
+        core = f"({tf_c} * {idf} - {gamma})"
+    return _simbase_sum_sql(f"greatest(0.0, {core})", terms, k)
+
+
 def _q_shingle_topk(shingle_term: str, k: int):
     """BM25 over a shingle-2 index: word bigrams are first-class terms
     (ShingleFilter.java, outputUnigrams=true), so a quoted-adjacency
@@ -2530,6 +2611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "ib_topk": _q_simbase(["spark", "query", "data"], 10, "ib_f64"),
+        "ib_spl_topk": _q_simbase(["spark", "query", "data"], 10, "ib_spl_f64"),
+        "dfi_topk": _q_simbase(["spark", "query", "data"], 10, "dfi_f64"),
+        "bool_sim_topk": _q_simbase(["spark", "query", "data"], 10, "bool_f64"),
+        "ax_f1exp_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f1exp_f64"),
+        "ax_f1log_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f1log_f64"),
+        "ax_f2log_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f2log_f64"),
+        "ax_f3exp_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f3exp_f64"),
+        "ax_f3log_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f3log_f64"),
         "axiomatic_topk": _q_simbase(["spark", "query", "data"], 10, "ax_f64"),
         "term_in_set_match": _q_term_in_set(["spark", "data", "model"]),
         "field_exists_count": _q_field_exists("tool"),
@@ -2606,6 +2695,14 @@ def oracle_sql() -> dict[str, str]:
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "ib_topk": _ib_sql(["spark", "query", "data"], 10),
+        "ib_spl_topk": _ib_spl_sql(["spark", "query", "data"], 10),
+        "dfi_topk": _dfi_sql(["spark", "query", "data"], 10),
+        "bool_sim_topk": _bool_sql(["spark", "query", "data"], 10),
+        "ax_f1exp_topk": _ax_variant_sql(["spark", "query", "data"], 10, "f1exp"),
+        "ax_f1log_topk": _ax_variant_sql(["spark", "query", "data"], 10, "f1log"),
+        "ax_f2log_topk": _ax_variant_sql(["spark", "query", "data"], 10, "f2log"),
+        "ax_f3exp_topk": _ax_variant_sql(["spark", "query", "data"], 10, "f3exp"),
+        "ax_f3log_topk": _ax_variant_sql(["spark", "query", "data"], 10, "f3log"),
         "axiomatic_topk": _ax_sql(["spark", "query", "data"], 10),
         "term_in_set_match": _match_set_sql("term IN ('spark', 'data', 'model')"),
         "field_exists_count": _PRELUDE + "SELECT count(*) AS n FROM tr WHERE tool IS NOT NULL",

@@ -238,6 +238,89 @@ class OracleIndex:
             out[doc_id] = np.float32(raw if raw > 0.0 else 0.0)
         return out
 
+    def term_scores_ib_spl(self, term: str, boost: float = 1.0, c: float = 1.0) -> dict[int, np.float32]:
+        """IBSimilarity with DistributionSPL.java:35-59 + LambdaDF + H2:
+        tfn = freq * log2(1 + c*avgdl/dl); λ = float32((df+1)/(N+1));
+        q = 1 - 1/(tfn+1); score = boost * -ln((λ^q - λ)/(1 - λ))."""
+        postings = self.postings.get(term, {})
+        n_docs = float(self.doc_count)
+        lam = float(np.float32((len(postings) + 1.0) / (n_docs + 1.0)))
+        ln2 = math.log(2.0)
+        c_avgdl = c * (self.sum_total_term_freq / n_docs)
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            tfn = freq * math.log(1.0 + c_avgdl / dl) / ln2
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            raw = float(boost) * -math.log(
+                (math.pow(lam, q) - lam) / (1.0 - lam)
+            )
+            out[doc_id] = np.float32(raw)
+        return out
+
+    def term_scores_dfi(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        """DFISimilarity.java:77-87 + IndependenceStandardized.java:28-30:
+        expected = (ttf+1)*dl/(sttf+1); 0 when freq <= expected; else
+        boost * log2((freq-expected)/sqrt(expected) + 1)."""
+        postings = self.postings.get(term, {})
+        ttf = sum(postings.values())
+        sttf = float(self.sum_total_term_freq)
+        ef = (ttf + 1.0) / (sttf + 1.0)
+        ln2 = math.log(2.0)
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            expected = ef * dl
+            if freq <= expected:
+                out[doc_id] = np.float32(0.0)
+                continue
+            measure = (freq - expected) / math.sqrt(expected)
+            out[doc_id] = np.float32(
+                float(boost) * math.log(measure + 1.0) / ln2
+            )
+        return out
+
+    def term_scores_bool(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        """BooleanSimilarity.java:56-60: score = boost per matching doc."""
+        return {
+            doc_id: np.float32(float(boost))
+            for doc_id in self.postings.get(term, {})
+        }
+
+    def term_scores_ax_variant(
+        self, term: str, variant: str, boost: float = 1.0,
+        s: float = 0.25, kk: float = 0.35, qlen: int = 1,
+    ) -> dict[int, np.float32]:
+        """Axiomatic F1/F2/F3 EXP/LOG variants (Axiomatic.java:96-106
+        composition; per-variant components from AxiomaticF*.java):
+        score = max(0, boost * (tf * ln * tfln * idf - gamma))."""
+        postings = self.postings.get(term, {})
+        n_docs = float(self.doc_count)
+        avgdl = self.sum_total_term_freq / n_docs
+        if not postings:
+            return {}
+        df = len(postings)
+        idf = (
+            math.pow((n_docs + 1.0) / df, kk)
+            if variant.endswith("exp")
+            else math.log((n_docs + 1.0) / df)
+        )
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            tf_c = 1.0 + math.log(1.0 + math.log(freq + 1.0))
+            if variant in ("f1exp", "f1log"):
+                ln_c = (avgdl + s) / (avgdl + dl * s)
+                core = tf_c * ln_c * idf
+            elif variant == "f2log":
+                core = (freq / (freq + s + s * dl / avgdl)) * idf
+            else:  # f3exp / f3log
+                gamma = (dl - qlen) * s * qlen / avgdl
+                core = tf_c * idf - gamma
+            raw = float(boost) * core
+            out[doc_id] = np.float32(raw if raw > 0.0 else 0.0)
+        return out
+
     def search_or_lm(self, terms: list[str], k: int):
         per_term = [self.term_scores_lm(t) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
@@ -260,6 +343,26 @@ class OracleIndex:
 
     def search_or_ax(self, terms: list[str], k: int):
         per_term = [self.term_scores_ax(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_ib_spl(self, terms: list[str], k: int):
+        per_term = [self.term_scores_ib_spl(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_dfi(self, terms: list[str], k: int):
+        per_term = [self.term_scores_dfi(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_bool(self, terms: list[str], k: int):
+        per_term = [self.term_scores_bool(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_ax_variant(self, terms: list[str], variant: str, k: int):
+        per_term = [self.term_scores_ax_variant(t, variant) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
         return self._topk(self._sum_scores(per_term, doc_ids), k)
 

@@ -82,14 +82,37 @@ class IndexSearcher:
         "lucene_f32", "plain_f64", "classic_f32", "classic_f64",
         "lm_dirichlet_f32", "lm_dirichlet_f64",
         "lm_jm_f32", "lm_jm_f64", "dfr_f32", "dfr_f64",
-        "ib_f32", "ib_f64", "ax_f32", "ax_f64",
+        "ib_f32", "ib_f64", "ib_spl_f32", "ib_spl_f64",
+        "ax_f32", "ax_f64",
+        "ax_f1exp_f32", "ax_f1exp_f64", "ax_f1log_f32", "ax_f1log_f64",
+        "ax_f2log_f32", "ax_f2log_f64",
+        "ax_f3exp_f32", "ax_f3exp_f64", "ax_f3log_f32", "ax_f3log_f64",
+        "dfi_f32", "dfi_f64", "bool_f32", "bool_f64",
+    )
+    # mode prefix -> family, LONGEST prefix first ("ib_spl" before "ib",
+    # "ax_f1exp" before "ax", "lm_jm" before "lm")
+    _FAMILY_PREFIXES = (
+        ("lm_dirichlet", "lm"), ("lm_jm", "lm_jm"),
+        ("ib_spl", "ib_spl"), ("ib", "ib"),
+        ("ax_f1exp", "ax_f1exp"), ("ax_f1log", "ax_f1log"),
+        ("ax_f2log", "ax_f2log"),
+        ("ax_f3exp", "ax_f3exp"), ("ax_f3log", "ax_f3log"), ("ax", "ax"),
+        ("classic", "classic"), ("dfr", "dfr"), ("dfi", "dfi"),
+        ("bool", "bool"),
+    )
+    # families whose per-term stat is docFreq (LambdaDF / Axiomatic idf);
+    # the rest use totalTermFreq (LM collection model, DFR λ_g, DFI expected)
+    _DF_FAMILIES = frozenset(
+        {"ib", "ib_spl", "ax", "ax_f1exp", "ax_f1log", "ax_f2log",
+         "ax_f3exp", "ax_f3log", "bool"}
     )
     LM_MU = 2000.0  # LMDirichletSimilarity default mu
     LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity λ (title-query optimum)
     DFR_C = 1.0  # NormalizationH2 default hyper-parameter c
     IB_C = 1.0  # IBSimilarity NormalizationH2 hyper-parameter c
-    AX_S = 0.25  # Axiomatic.java:91-93 defaults (s, k)
+    AX_S = 0.25  # Axiomatic.java:91-93 defaults (s, queryLen, k)
     AX_K = 0.35
+    AX_QUERY_LEN = 1  # Axiomatic.java:92 default queryLen (F3 gamma term)
 
     def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32",
                  term_cache_max: int | None = None):
@@ -97,23 +120,16 @@ class IndexSearcher:
             raise ValueError(f"unknown scoring mode {scoring}")
         self.index = index
         self.scoring = scoring
-        if scoring.startswith("classic"):
-            self.family = "classic"
-        elif scoring.startswith("lm_dirichlet"):
-            self.family = "lm"
-        elif scoring.startswith("lm_jm"):
-            self.family = "lm_jm"
-        elif scoring.startswith("dfr"):
-            self.family = "dfr"
-        elif scoring.startswith("ib"):
-            self.family = "ib"
-        elif scoring.startswith("ax"):
-            self.family = "ax"
-        else:
-            self.family = "bm25"
+        self.family = "bm25"
+        for prefix, family in self._FAMILY_PREFIXES:
+            if scoring.startswith(prefix):
+                self.family = family
+                break
         # SimilarityBase-derived families: double math end-to-end, one
-        # float cast at the end (BasicSimScorer.score), term-scoped
-        self.simbase = self.family in ("lm", "lm_jm", "dfr", "ib", "ax")
+        # float cast at the end (BasicSimScorer.score), term-scoped.
+        # "bool" (BooleanSimilarity) is float-native in the reference but
+        # its score is a constant, so the double socket is exact for it.
+        self.simbase = self.family not in ("bm25", "classic")
         self.score_type = "float" if scoring.endswith("f32") else "double"
         self.k1 = np.float32(index.k1)
         self.b = np.float32(index.b)
@@ -332,7 +348,7 @@ class IndexSearcher:
             score = max(0, boost * freq / (freq + s + s * dl / avgdl)
                               * ((N + 1) / df)^k)
         """
-        if self.family in ("ib", "ax"):
+        if self.family in self._DF_FAMILIES:
             stat = self.term_doc_freqs(list(term_boosts))
         else:
             stat = self.term_total_freqs(list(term_boosts))
@@ -391,6 +407,88 @@ class IndexSearcher:
             schema = "term string, _b double, _lam double"
             tfn = fr * F.log(F.lit(1.0) + F.lit(c_avgdl) / dl) / F.lit(ln2)
             raw = F.col("_b") * -F.log(F.col("_lam") / (tfn + F.col("_lam")))
+        elif self.family == "ib_spl":  # SPL + LambdaDF + H2
+            # DistributionSPL.java:35-59: q = 1 - 1/(tfn+1);
+            # score = -ln((λ^q - λ) / (1 - λ)); λ = float32((df+1)/(N+1))
+            # per LambdaDF.java:32-38.  The nextUp/nextDown denormal guards
+            # (q==1, λ^q==λ) need bit-level nextafter and cannot fire for
+            # the finite tfn > 0 this engine produces; omitted by design.
+            c_avgdl = float(self.IB_C) * (sttf / n_docs)
+            rows = [
+                (t, float(b), float(np.float32((ttfs[t] + 1.0) / (n_docs + 1.0))))
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _lam double"
+            tfn = fr * F.log(F.lit(1.0) + F.lit(c_avgdl) / dl) / F.lit(ln2)
+            qq = F.lit(1.0) - F.lit(1.0) / (tfn + F.lit(1.0))
+            raw = F.col("_b") * -F.log(
+                (F.pow(F.col("_lam"), qq) - F.col("_lam"))
+                / (F.lit(1.0) - F.col("_lam"))
+            )
+        elif self.family == "dfi":  # DFISimilarity + IndependenceStandardized
+            # DFISimilarity.java:77-87: expected = (ttf+1)*dl/(sttf+1);
+            # 0 when freq <= expected; else boost * log2(m + 1) with
+            # m = (freq - expected)/sqrt(expected)
+            # (IndependenceStandardized.java:28-30)
+            rows = [
+                (t, float(b), (ttfs[t] + 1.0) / (sttf + 1.0))
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _ef double"
+            expected = F.col("_ef") * dl
+            measure = (fr - expected) / F.sqrt(expected)
+            raw = F.when(
+                fr <= expected, F.lit(0.0)
+            ).otherwise(
+                F.col("_b") * F.log(measure + F.lit(1.0)) / F.lit(ln2)
+            )
+        elif self.family == "bool":  # BooleanSimilarity.java:56-60
+            rows = [
+                (t, float(b)) for t, b in term_boosts.items() if t in ttfs
+            ]
+            schema = "term string, _b double"
+            raw = F.col("_b")
+        elif self.family in (
+            "ax_f1exp", "ax_f1log", "ax_f2log", "ax_f3exp", "ax_f3log"
+        ):
+            # Axiomatic.java:96-106: score = max(0, boost *
+            # (tf * ln * tfln * idf - gamma)); per-variant components from
+            # AxiomaticF{1,2,3}{EXP,LOG}.java.
+            s, kk = float(self.AX_S), float(self.AX_K)
+            qlen = float(self.AX_QUERY_LEN)
+            avgdl = sttf / n_docs
+            exp_idf = self.family.endswith("exp")
+            rows = [
+                (
+                    t,
+                    float(b),
+                    math.pow((n_docs + 1.0) / ttfs[t], kk)
+                    if exp_idf
+                    else math.log((n_docs + 1.0) / ttfs[t]),
+                )
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _idf double"
+            # tf component (F1/F3): 1 + ln(1 + ln(freq + 1))
+            tf_c = F.lit(1.0) + F.log(F.lit(1.0) + F.log(fr + F.lit(1.0)))
+            if self.family in ("ax_f1exp", "ax_f1log"):
+                # ln component: (avgdl + s) / (avgdl + dl*s)
+                ln_c = F.lit(avgdl + s) / (F.lit(avgdl) + dl * F.lit(s))
+                core = tf_c * ln_c * F.col("_idf")
+            elif self.family == "ax_f2log":
+                # tfln component: freq / (freq + s + s*dl/avgdl)
+                core = (
+                    fr / (fr + F.lit(s) + F.lit(s) * dl / F.lit(avgdl))
+                ) * F.col("_idf")
+            else:  # ax_f3exp / ax_f3log: tf * idf - gamma
+                # left-assoc order mirrors AxiomaticF3EXP.java:97:
+                # ((docLen - queryLen) * s * queryLen) / avgdl
+                gamma = (dl - F.lit(qlen)) * F.lit(s) * F.lit(qlen) / F.lit(avgdl)
+                core = tf_c * F.col("_idf") - gamma
+            raw = F.greatest(F.lit(0.0), F.col("_b") * core)
         else:  # ax (AxiomaticF2EXP)
             s, kk = float(self.AX_S), float(self.AX_K)
             avgdl = sttf / n_docs

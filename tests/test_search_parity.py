@@ -255,11 +255,64 @@ def test_ax_parity(spark, tiny_index, tiny_oracle):
         )
 
 
+def _simbase_parity(tiny_index, tiny_oracle, mode, oracle_fn):
+    s = IndexSearcher(tiny_index, scoring=mode)
+    for terms in (["model"], ["the", "spark", "query"]):
+        q = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        )
+        engine = [(r.conv_id, r.turn_idx, np.float32(r.score)) for r in s.search(q, 10).collect()]
+        want = [
+            (c, t, np.float32(sc))
+            for c, t, sc in tiny_oracle.topk_keys(oracle_fn(terms, 10))
+        ]
+        assert [(c, t) for c, t, _ in engine] == [(c, t) for c, t, _ in want], (mode, terms)
+        np.testing.assert_array_equal(
+            np.array([x for _, _, x in engine], dtype=np.float32),
+            np.array([x for _, _, x in want], dtype=np.float32),
+        )
+
+
+def test_ib_spl_parity(spark, tiny_index, tiny_oracle):
+    """ib_spl_f32 (DistributionSPL + LambdaDF + NormalizationH2) == the
+    oracle transliteration (rank + float32 score identity)."""
+    _simbase_parity(tiny_index, tiny_oracle, "ib_spl_f32", tiny_oracle.search_or_ib_spl)
+
+
+def test_dfi_parity(spark, tiny_index, tiny_oracle):
+    """dfi_f32 (DFISimilarity + IndependenceStandardized) == the oracle
+    transliteration, including the freq<=expected zero clamp."""
+    _simbase_parity(tiny_index, tiny_oracle, "dfi_f32", tiny_oracle.search_or_dfi)
+
+
+def test_bool_parity(spark, tiny_index, tiny_oracle):
+    """bool_f32 (BooleanSimilarity: score = boost per match) == oracle."""
+    _simbase_parity(tiny_index, tiny_oracle, "bool_f32", tiny_oracle.search_or_bool)
+
+
+@pytest.mark.parametrize("variant", ["f1exp", "f1log", "f2log", "f3exp", "f3log"])
+def test_ax_variant_parity(spark, tiny_index, tiny_oracle, variant):
+    """Axiomatic F1/F2/F3 EXP/LOG variants == the oracle transliteration
+    (AxiomaticF*.java component formulas, defaults s=0.25 k=0.35 queryLen=1)."""
+    _simbase_parity(
+        tiny_index,
+        tiny_oracle,
+        f"ax_{variant}_f32",
+        lambda terms, k: tiny_oracle.search_or_ax_variant(terms, variant, k),
+    )
+
+
 def test_simbase_families_differ(spark, tiny_index):
-    """Sanity: the six SimilarityBase-adjacent families produce distinct
+    """Sanity: the SimilarityBase-adjacent families produce distinct
     score functions."""
     scores = {}
-    for mode in ("lucene_f32", "lm_dirichlet_f32", "lm_jm_f32", "dfr_f32", "ib_f32", "ax_f32"):
+    for mode in (
+        "lucene_f32", "lm_dirichlet_f32", "lm_jm_f32", "dfr_f32",
+        "ib_f32", "ib_spl_f32", "ax_f32", "ax_f1exp_f32", "ax_f1log_f32",
+        "ax_f2log_f32", "ax_f3exp_f32", "ax_f3log_f32", "dfi_f32", "bool_f32",
+    ):
         s = IndexSearcher(tiny_index, scoring=mode)
         scores[mode] = [float(r.score) for r in s.search(TermQuery("the"), 20).collect()]
     vals = list(scores.values())
