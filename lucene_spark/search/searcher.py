@@ -625,21 +625,95 @@ class IndexSearcher:
         if isinstance(q, FieldExistsQuery):
             return self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
         if isinstance(q, RangePredicate):
-            c = F.col(q.column)
-            pred = F.lit(True)
-            if q.lower is not None:
-                pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
-            if q.upper is not None:
-                pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
-            return self.index.docs.filter(pred).select("doc_id")
+            return self.index.docs.filter(_range_pred(q)).select("doc_id")
         if isinstance(q, BooleanQuery):
             return self._matches_boolean(q)
         return self._scored(q).select("doc_id").distinct()
 
+    # ------------------------------------------------------------------
+    # access-path cost model (IndexOrDocValuesQuery.java:176-192): doc
+    # values pay an 8x penalty vs the points index, so a range clause is
+    # evaluated as a per-candidate post-filter (dv) only when the lead
+    # clause is more than 8x more selective than the range itself
+    _DV_PENALTY_SHIFT = 3
+
+    def _col_minmax(self, column: str):
+        """Memoized (min, max) of a docs column as floats (timestamps →
+        epoch seconds) — the parquet-footer-stats analog used for the
+        uniform-distribution range-selectivity estimate; None when the
+        column is absent or non-numeric."""
+        cache = getattr(self, "_minmax_cache", None)
+        if cache is None:
+            cache = self._minmax_cache = {}
+        if column not in cache:
+            if column not in self.index.docs.columns:
+                cache[column] = None
+            else:
+                row = self.index.docs.agg(
+                    F.min(column).alias("lo"), F.max(column).alias("hi")
+                ).collect()[0]
+                cache[column] = (_as_float(row.lo), _as_float(row.hi))
+                if None in cache[column]:
+                    cache[column] = None
+        return cache[column]
+
+    def _range_cost(self, q: RangePredicate) -> float:
+        """Estimated match count of a range clause (ScorerSupplier.cost):
+        uniform-overlap fraction of the column's [min, max] span."""
+        n = float(self.doc_count)
+        mm = self._col_minmax(q.column)
+        if mm is None:
+            return n
+        lo, hi = mm
+        qlo = _as_float(q.lower) if q.lower is not None else lo
+        qhi = _as_float(q.upper) if q.upper is not None else hi
+        if qlo is None or qhi is None or hi <= lo:
+            return n
+        frac = max(0.0, min(hi, qhi) - max(lo, qlo)) / (hi - lo)
+        return n * min(1.0, frac)
+
+    def _clause_cost(self, q: Query) -> float:
+        """Upper-bound match-count estimate per clause (the per-scorer
+        ``cost()`` Lucene's ConjunctionUtils sorts leads by); unknown
+        shapes cost doc_count."""
+        n = float(self.doc_count)
+        if isinstance(q, TermQuery):
+            return float(self.term_doc_freqs([q.term]).get(q.term, 0))
+        if isinstance(q, SynonymQuery):
+            return float(sum(self.term_doc_freqs(list(q.terms)).values()))
+        if isinstance(q, PhraseQuery):
+            dfs = self.term_doc_freqs(list(q.terms))
+            return float(min(dfs.values())) if len(dfs) == len(set(q.terms)) else 0.0
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self._clause_cost(q.query)
+        if isinstance(q, RangePredicate):
+            return self._range_cost(q)
+        if isinstance(q, MatchNoDocsQuery):
+            return 0.0
+        if isinstance(q, BooleanQuery):
+            musts = [
+                c.query for c in q.clauses
+                if c.occur in (Occur.MUST, Occur.FILTER)
+            ]
+            if musts:
+                return min(self._clause_cost(c) for c in musts)
+            shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+            if shoulds:
+                return min(n, sum(self._clause_cost(c) for c in shoulds))
+        return n
+
     def _matches_boolean(self, q: BooleanQuery) -> DataFrame:
         """Match-only Boolean: semi-joins for MUST/FILTER, union-distinct
         for SHOULD (count-distinct constraint for minShouldMatch > 1),
-        anti-join for MUST_NOT — no scoring anywhere in the subtree."""
+        anti-join for MUST_NOT — no scoring anywhere in the subtree.
+
+        Required clauses evaluate cheapest-cost-first (ConjunctionUtils
+        lead ordering), and a RangePredicate alongside a more-selective
+        lead takes the doc-values path: the candidate set is broadcast
+        and the range predicate rides the docs scan as a per-candidate
+        post-filter — zero Exchange — instead of a filtered-scan +
+        shuffle semi-join (IndexOrDocValuesQuery.java:176-192, with the
+        same 8x dv penalty)."""
         musts = [c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)]
         shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
         nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
@@ -648,9 +722,32 @@ class IndexSearcher:
             # pure negation — let the scored path raise its usual error
             return self._scored(q).select("doc_id").distinct()
         if musts:
-            base = self._matches(musts[0])
-            for sub in musts[1:]:
-                base = base.join(self._matches(sub), "doc_id", "left_semi")
+            ranges = [m for m in musts if isinstance(m, RangePredicate)]
+            others = [m for m in musts if not isinstance(m, RangePredicate)]
+            if ranges and others:
+                costed = sorted(others, key=self._clause_cost)
+                lead_cost = self._clause_cost(costed[0])
+                base = self._matches(costed[0])
+                for sub in costed[1:]:
+                    base = base.join(self._matches(sub), "doc_id", "left_semi")
+                for rp in ranges:
+                    idx_cost = self._range_cost(rp)
+                    if (idx_cost / (1 << self._DV_PENALTY_SHIFT)) <= lead_cost:
+                        # index path: pruned scan + semi-join
+                        base = base.join(self._matches(rp), "doc_id", "left_semi")
+                    else:
+                        # dv path: broadcast candidates, filter in-scan
+                        base = (
+                            self.index.docs.join(
+                                F.broadcast(base), "doc_id", "left_semi"
+                            )
+                            .filter(_range_pred(rp))
+                            .select("doc_id")
+                        )
+            else:
+                base = self._matches(musts[0])
+                for sub in musts[1:]:
+                    base = base.join(self._matches(sub), "doc_id", "left_semi")
             if shoulds and msm > 0:
                 base = base.join(
                     self._n_should_matched(shoulds, msm), "doc_id", "left_semi"
@@ -1637,6 +1734,34 @@ class IndexSearcher:
                     "description": "no match", "details": []}
         return {"value": float(row[0].score), "matched": True,
                 "description": f"score({type(q).__name__})", "details": []}
+
+
+def _range_pred(q: "RangePredicate"):
+    """Column predicate for a RangePredicate (shared by the index-path
+    scan filter and the dv-path post-filter)."""
+    c = F.col(q.column)
+    pred = F.lit(True)
+    if q.lower is not None:
+        pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
+    if q.upper is not None:
+        pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
+    return pred
+
+
+def _as_float(v):
+    """Numeric/temporal value → float for selectivity math; None when the
+    value has no natural numeric order (strings, nulls)."""
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return float(v.toordinal()) * 86400.0
+    return None
 
 
 def _and_all(conds):

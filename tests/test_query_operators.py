@@ -238,3 +238,48 @@ def test_match_only_lowering_carries_no_scoring(spark, tiny_index):
         got = {r.doc_id for r in m.collect()}
         want = {r.doc_id for r in s._scored(q).select("doc_id").collect()}
         assert got == want, type(q).__name__
+
+
+def test_index_or_docvalues_paths(env):
+    """IndexOrDocValuesQuery access-path choice (the 8x dv penalty of
+    IndexOrDocValuesQuery.java:176-192): a range FILTER next to a selective
+    lead takes the broadcast post-filter (dv) path; next to a broad lead it
+    takes the filtered-scan semi-join (index) path.  Both must produce the
+    reference match set."""
+    searcher, by_term, docs = env
+    wide = RangePredicate("turn_idx", lower=1)  # matches most docs
+    # rare lead: dv path expected (range cost / 8 > lead cost)
+    rare = min(by_term, key=lambda t: len(by_term[t]))
+    common = max(by_term, key=lambda t: len(by_term[t]))
+    assert searcher._range_cost(wide) / 8 > len(by_term[rare])
+    for lead in (rare, common):
+        q = BooleanQuery.of(
+            (TermQuery(lead), Occur.MUST), (wide, Occur.FILTER)
+        )
+        want = set(by_term[lead]) & {
+            d for d, r in docs.items() if r.turn_idx >= 1
+        }
+        got = {r.doc_id for r in searcher._matches(q).collect()}
+        assert got == want, lead
+    # dv plan: broadcast of the candidate set, no shuffle of docs
+    qdv = BooleanQuery.of(
+        (TermQuery(rare), Occur.MUST), (wide, Occur.FILTER)
+    )
+    plan = searcher._matches(qdv)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_clause_cost_ordering(env):
+    """Clause costs: term cost == docFreq; range cost scales with the
+    queried fraction of the column span; unknown shapes cost doc_count."""
+    searcher, by_term, docs = env
+    for t, postings in list(by_term.items())[:5]:
+        assert searcher._clause_cost(TermQuery(t)) == len(postings)
+    n = float(searcher.doc_count)
+    full = searcher._range_cost(RangePredicate("turn_idx"))
+    assert full == pytest.approx(n)
+    lo, hi = searcher._col_minmax("turn_idx")
+    mid = (lo + hi) / 2.0
+    half = searcher._range_cost(RangePredicate("turn_idx", lower=mid))
+    assert 0.0 < half < full
+    assert searcher._clause_cost(PrefixQuery("mod")) == n
