@@ -188,6 +188,31 @@ def main():
         ),
     ]
 
+    # IndexOrDocValuesQuery access-path choice
+    from lucene_spark.search.query import RangePredicate
+
+    rare_term = (
+        idx.term_stats.orderBy("doc_freq", "term").limit(1).collect()[0].term
+    )
+    sections += [
+        (
+            "Range FILTER beside a selective lead — dv path "
+            "(IndexOrDocValuesQuery, 8x dv penalty)",
+            "The wide range clause costs > 8x the rare lead term, so it "
+            "takes the doc-values path: the candidate doc_ids broadcast "
+            "(BroadcastHashJoin LeftSemi) and the range predicate rides the "
+            "docs scan as a per-candidate post-filter — NO Exchange for the "
+            "range side (vs the filtered-scan + shuffle semi-join index "
+            "path).",
+            mem_s._matches(
+                BooleanQuery.of(
+                    (TermQuery(rare_term), Occur.MUST),
+                    (RangePredicate("turn_idx", lower=1), Occur.FILTER),
+                )
+            ),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
