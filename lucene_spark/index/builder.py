@@ -25,7 +25,7 @@ top in ``lucene_spark.index.segments``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -234,10 +234,10 @@ class IndexBuilder:
         b: float = 0.75,
         num_segments: Optional[int] = None,
         text_col: str = "text",
-        invert: str = "mapside",
+        invert: str = "arrow",
         analyzer: Optional[Analyzer] = None,
     ):
-        if invert not in ("mapside", "shuffle"):
+        if invert not in ("arrow", "mapside", "shuffle"):
             raise ValueError(f"unknown invert strategy {invert}")
         self.k1 = k1
         self.b = b
@@ -327,18 +327,122 @@ class IndexBuilder:
             )
         )
 
+    # -- vectorized Arrow tokenize + invert -------------------------------
+    def _arrow_base(self, with_ids: DataFrame) -> DataFrame:
+        """Tokenize + per-doc invert in ONE Arrow-batched ``mapInPandas``
+        pass — the north-star shape ("tokenize/normalize transcript turns
+        with vectorized Arrow UDFs").  The analysis chain runs through the
+        Python reference implementation (``Analyzer.analyze_text`` /
+        ``tokenize_text``), which the property tests hold equal to the JVM
+        expression chain — parity by construction with the DuckDB oracle.
+
+        Why not the HOF expression inversion (``mapside``): Spark's
+        higher-order functions have NO whole-stage codegen — they evaluate
+        through ``SimpleHigherOrderFunction.eval`` (interpreted, one boxed
+        lambda call per array element), so the O(L*D) per-doc inversion
+        burns ~10x the cycles of this O(L) dict pass and its
+        allocation-heavy interpret loop degrades sharply when many
+        executor cores contend for shared cache (measured: 4x1-JVM
+        local[2] builds each slow 2.5-5x vs solo; the Arrow path scales
+        ~linearly).  Per-doc Python here is a C-speed regex + dict append;
+        batches move as Arrow columns, never per-row Python UDF calls.
+        """
+        import pandas as pd
+
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        an = self.analyzer
+        if an is not None and an.is_noop():
+            an = None
+        if an is not None and an.stemmer == "porter":
+            # Porter is deferred to the term dictionary (apply_porter);
+            # the index chain runs everything BUT the stem, exactly like
+            # entries_expr (porter+synonyms is rejected at Analyzer init,
+            # so dropping the stem here changes nothing else).
+            an = dc_replace(an, stemmer=None)
+        text_col = self.text_col
+        entry_t = ArrayType(
+            StructType(
+                [
+                    StructField("term", StringType()),
+                    StructField("positions", ArrayType(IntegerType())),
+                ]
+            )
+        )
+        out_schema = StructType(
+            list(with_ids.schema.fields)
+            + [
+                StructField("length", IntegerType()),
+                StructField("_entries", entry_t),
+            ]
+        )
+
+        def invert_batches(batches):
+            from lucene_spark.analysis.tokenizer import tokenize_text
+
+            for pdf in batches:
+                lengths = []
+                entries_out = []
+                if an is None:
+                    for t in pdf[text_col]:
+                        toks = tokenize_text(t)
+                        inv: dict = {}
+                        for pos, term in enumerate(toks):
+                            ps = inv.get(term)
+                            if ps is None:
+                                inv[term] = [pos]
+                            else:
+                                ps.append(pos)
+                        lengths.append(len(toks))
+                        entries_out.append(
+                            [{"term": k, "positions": v} for k, v in inv.items()]
+                        )
+                else:
+                    for t in pdf[text_col]:
+                        pairs = an.analyze_text(t)
+                        inv = {}
+                        for term, pos in pairs:
+                            ps = inv.get(term)
+                            if ps is None:
+                                inv[term] = [pos]
+                            else:
+                                ps.append(pos)
+                        lengths.append(len(pairs))
+                        entries_out.append(
+                            [{"term": k, "positions": v} for k, v in inv.items()]
+                        )
+                out = pdf.copy()
+                out["length"] = pd.Series(
+                    lengths, index=pdf.index, dtype="int32"
+                )
+                out["_entries"] = pd.Series(
+                    entries_out, index=pdf.index, dtype=object
+                )
+                yield out
+
+        return with_ids.mapInPandas(invert_batches, out_schema).withColumn(
+            "norm", _byte4_encode("length")
+        )
+
     # -- full build ------------------------------------------------------
     def build(self, transcripts: DataFrame) -> InvertedIndex:
-        """Two invert strategies:
+        """Three invert strategies:
 
-        * ``mapside`` (default): per-document inversion as a higher-order
-          array expression — each doc's token array becomes its (term ->
-          positions) entries *inside the map task*, exactly Lucene's
-          doc-at-a-time ``IndexingChain``/``TermsHashPerField`` hash
-          (IndexingChain.java:561, TermsHashPerField.java:190).  NO shuffle
-          touches per-token rows; the only wide exchanges are the doc-id
-          range sort and the (tiny) term_stats aggregation.  O(L*distinct)
-          per doc — right for bounded docs like transcript turns.
+        * ``arrow`` (default): tokenize + per-doc inversion in one
+          Arrow-batched ``mapInPandas`` pass (see :meth:`_arrow_base`) —
+          Lucene's doc-at-a-time ``IndexingChain``/``TermsHashPerField``
+          hash (IndexingChain.java:561, TermsHashPerField.java:190) as a
+          per-doc dict at C speed.  NO shuffle touches per-token rows.
+        * ``mapside``: the same per-document inversion as a higher-order
+          array expression.  Same plan shape, but Spark HOFs evaluate
+          interpreted (no codegen) and the inversion is O(L*distinct) per
+          doc — kept as the pure-JVM reference for parity tests.
         * ``shuffle``: posexplode + groupBy(term, doc_id) — one hash-agg
           shuffle over per-token rows; scales to arbitrarily long single
           documents (no per-doc quadratic term).
@@ -350,41 +454,47 @@ class IndexBuilder:
         # standard-analyze (no analyzer) keeps dense positions; an analyzer
         # adds stop holes / stemming / synonyms (analysis/analyzer.py).  The
         # Porter stage is deferred to the term dictionary (apply_porter).
-        if self.analyzer is None or self.analyzer.is_noop():
-            te = F.transform(
-                tokens_expr(F.col(self.text_col)),
-                lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos")),
-            )
-        else:
-            te = self.analyzer.entries_expr(F.col(self.text_col))
-        toks = with_ids.withColumn("_te", te)
-
-        if self.invert == "mapside":
-            tcol = F.col("_te")
-            entries = F.transform(
-                F.array_distinct(F.transform(tcol, lambda e: e["term"])),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.transform(
-                        F.filter(tcol, lambda e: e["term"] == t),
-                        lambda e: e["pos"],
-                    ).alias("positions"),
-                ),
-            )
-            base = (
-                toks.withColumn("length", F.size("_te"))
-                .withColumn("norm", _byte4_encode("length"))
-                .withColumn(
-                    "_entries",
-                    F.when(F.size(tcol) > 0, entries).otherwise(
-                        F.array().cast(
-                            "array<struct<term:string,positions:array<int>>>"
-                        )
+        if self.invert != "arrow":
+            if self.analyzer is None or self.analyzer.is_noop():
+                te = F.transform(
+                    tokens_expr(F.col(self.text_col)),
+                    lambda t, i: F.struct(
+                        t.alias("term"), i.cast("int").alias("pos")
                     ),
                 )
-                .drop("_te")
-                .persist()
-            )
+            else:
+                te = self.analyzer.entries_expr(F.col(self.text_col))
+            toks = with_ids.withColumn("_te", te)
+
+        if self.invert in ("arrow", "mapside"):
+            if self.invert == "arrow":
+                base = self._arrow_base(with_ids).persist()
+            else:
+                tcol = F.col("_te")
+                entries = F.transform(
+                    F.array_distinct(F.transform(tcol, lambda e: e["term"])),
+                    lambda t: F.struct(
+                        t.alias("term"),
+                        F.transform(
+                            F.filter(tcol, lambda e: e["term"] == t),
+                            lambda e: e["pos"],
+                        ).alias("positions"),
+                    ),
+                )
+                base = (
+                    toks.withColumn("length", F.size("_te"))
+                    .withColumn("norm", _byte4_encode("length"))
+                    .withColumn(
+                        "_entries",
+                        F.when(F.size(tcol) > 0, entries).otherwise(
+                            F.array().cast(
+                                "array<struct<term:string,positions:array<int>>>"
+                            )
+                        ),
+                    )
+                    .drop("_te")
+                    .persist()
+                )
             docs = base.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",

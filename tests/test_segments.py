@@ -70,15 +70,35 @@ def test_chunk_doc_freqs_sum_to_term_stats(tiny_index, packed):
 
 
 def test_mapside_equals_shuffle_invert(spark, tiny_corpus):
-    """Both invert strategies must produce identical postings (the per-doc
-    in-memory inversion is Lucene's own IndexingChain design)."""
+    """All three invert strategies must produce identical postings (the
+    per-doc in-memory inversion is Lucene's own IndexingChain design; the
+    arrow path must match the pure-JVM expression chain byte-for-byte)."""
     from lucene_spark.fixtures import transcripts_df
     from lucene_spark.index import IndexBuilder
 
     df = transcripts_df(spark, rows=tiny_corpus)
     a = IndexBuilder(num_segments=4, invert="mapside").build(df)
     b = IndexBuilder(num_segments=4, invert="shuffle").build(df)
+    c = IndexBuilder(num_segments=4, invert="arrow").build(df)
     cols = ["term", "doc_id", "freq", "positions", "norm"]
-    assert a.postings.select(cols).exceptAll(b.postings.select(cols)).count() == 0
-    assert b.postings.select(cols).exceptAll(a.postings.select(cols)).count() == 0
-    assert a.stats == b.stats
+    for x, y in ((a, b), (a, c)):
+        assert x.postings.select(cols).exceptAll(y.postings.select(cols)).count() == 0
+        assert y.postings.select(cols).exceptAll(x.postings.select(cols)).count() == 0
+        assert x.stats == y.stats
+
+
+def test_arrow_invert_matches_mapside_with_analyzer(spark, tiny_corpus):
+    """The Arrow tokenize+invert pass must agree with the JVM expression
+    chain under a full analysis chain (stop holes + Porter deferral)."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+
+    df = transcripts_df(spark, rows=tiny_corpus)
+    an = Analyzer(stopwords=("the", "a", "to"), stemmer="porter")
+    a = IndexBuilder(num_segments=4, invert="mapside", analyzer=an).build(df)
+    c = IndexBuilder(num_segments=4, invert="arrow", analyzer=an).build(df)
+    cols = ["term", "doc_id", "freq", "positions", "norm"]
+    assert a.postings.select(cols).exceptAll(c.postings.select(cols)).count() == 0
+    assert c.postings.select(cols).exceptAll(a.postings.select(cols)).count() == 0
+    assert a.stats == c.stats
