@@ -375,8 +375,13 @@ class IndexBuilder:
                 ]
             )
         )
+        # The raw text column is consumed here and deliberately NOT
+        # re-emitted: nothing downstream of the invert reads it, and the
+        # inverted base gets persisted — carrying ~KB of text per turn
+        # through the Arrow return channel and into the cache roughly
+        # doubles the fresh-memory footprint of the build for zero use.
         out_schema = StructType(
-            list(with_ids.schema.fields)
+            [f for f in with_ids.schema.fields if f.name != text_col]
             + [
                 StructField("length", IntegerType()),
                 StructField("_entries", entry_t),
@@ -417,7 +422,7 @@ class IndexBuilder:
                         entries_out.append(
                             [{"term": k, "positions": v} for k, v in inv.items()]
                         )
-                out = pdf.copy()
+                out = pdf.drop(columns=[text_col])
                 out["length"] = pd.Series(
                     lengths, index=pdf.index, dtype="int32"
                 )
@@ -492,7 +497,7 @@ class IndexBuilder:
                             )
                         ),
                     )
-                    .drop("_te")
+                    .drop("_te", self.text_col)
                     .persist()
                 )
             docs = base.select(
