@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from lucene_spark.pipeline import cluster as _pl_cluster  # noqa: E402
 from lucene_spark.pipeline import dedup as _pl_dedup  # noqa: E402
 from lucene_spark.pipeline import multimodal as _pl_mm  # noqa: E402
 from lucene_spark.pipeline import similarity as _pl_sim  # noqa: E402
@@ -1812,6 +1813,16 @@ def _q_facet_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy facets: hierarchical (tool -> tool/role) counts of the
+    docs matching 'spark', one ROLLUP pass (facet/taxonomy rollup)."""
+    from lucene_spark.search import TermQuery
+    from lucene_spark.search.facets import taxonomy_counts
+
+    idx, searcher = _searcher(spark, sf_dir)
+    return taxonomy_counts(searcher, TermQuery("spark"), ["tool", "role"])
+
+
 def _q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ToParentBlockJoinQuery analog: turn hits rolled up to conversations,
     parent score = max over child turns (ScoreMode.Max)."""
@@ -1996,6 +2007,14 @@ def _q_dedup_simhash(spark, sf_dir):
     from lucene_spark.pipeline import dedup as dd
 
     return dd.near_duplicates_simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """MinHash pairs -> connected components (large-star/small-star) ->
+    (doc_id, cluster_id, is_canonical); keep-one-per-cluster dedup."""
+    from lucene_spark.pipeline import cluster as cl
+
+    return cl.dedup_clusters(_docs(spark, sf_dir))
 
 
 def _q_text_token_count(spark, sf_dir):
@@ -2662,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_topk": _q_grouping_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "taxonomy_facets": _q_taxonomy_facets,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -2803,6 +2824,20 @@ def oracle_sql() -> dict[str, str]:
         "grouping_topk": _GROUPING_SQL,
         "dedup_exact": _pl_dedup.exact_duplicates_sql(_DUP_REL),
         "dedup_minhash_lsh": _pl_dedup.near_duplicates_minhash_sql(_DOCS_REL),
+        "dedup_clusters": _pl_cluster.dedup_clusters_sql(_DOCS_REL),
+        "taxonomy_facets": _PRELUDE
+        + """, m AS (
+  SELECT tool, role FROM tr
+  WHERE EXISTS (SELECT 1 FROM toks
+                WHERE toks.term = 'spark'
+                  AND toks.conv_id = tr.conv_id
+                  AND toks.turn_idx = tr.turn_idx)
+    AND tool IS NOT NULL AND role IS NOT NULL)
+SELECT * FROM (
+  SELECT 2 - (GROUPING(tool) + GROUPING(role)) AS level,
+         concat_ws('/', tool, role) AS path, count(*) AS n
+  FROM m GROUP BY ROLLUP(tool, role))
+WHERE level >= 1""",
         "dedup_simhash": _pl_dedup.near_duplicates_simhash_sql(_DOCS_REL),
         "text_token_count": _pl_text.token_counts_sql(_DOCS_REL),
         "text_quality": _pl_text.quality_scores_sql(_DOCS_REL),

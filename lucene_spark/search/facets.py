@@ -137,6 +137,55 @@ def join_util(
     ).drop("_jk")
 
 
+def taxonomy_counts(searcher, query: Query, dims: list[str]) -> DataFrame:
+    """(level, path, n): hierarchical facet counts over the matches.
+
+    ≙ facet/taxonomy: ``FacetField("dim", c1, c2)`` paths +
+    ``TaxonomyFacetCounts`` rollup (FacetField.java, TaxonomyFacets
+    getTopChildren/getAllDims) — here a dimension is an ordered list of doc
+    columns (e.g. ``["tool", "role"]`` ⇒ paths ``tool`` and ``tool/role``),
+    and every prefix level's counts come from ONE ``ROLLUP`` aggregation
+    (single pass, map-side partial agg — the taxonomy tree is never
+    materialized, which is the 100 TB-friendly restatement of Lucene's
+    ordinal rollup).  Docs with a NULL path component are excluded, like
+    FacetField's null-component rejection.
+    """
+    m = _matches_with_docs(searcher, query).na.drop(subset=list(dims))
+    agg = m.rollup(*dims).agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid")
+    )
+    level = (F.lit(len(dims)) - F.bit_count(F.col("gid"))).cast("int")
+    # rolled-up components are NULL and concat_ws skips them -> the prefix
+    return (
+        agg.select(
+            level.alias("level"),
+            F.concat_ws("/", *[F.col(d) for d in dims]).alias("path"),
+            "n",
+        )
+        .filter(F.col("level") >= 1)  # drop the grand-total row
+    )
+
+
+def taxonomy_top_children(
+    searcher, query: Query, dims: list[str], prefix: tuple = (), top_n: int = 10
+) -> DataFrame:
+    """(child, n): the top-N immediate children under ``prefix``
+    (TaxonomyFacets.getTopChildren).  Ties break lexicographically like the
+    reference's ordinal order for equal counts."""
+    if len(prefix) >= len(dims):
+        raise ValueError("prefix must be shorter than dims")
+    m = _matches_with_docs(searcher, query).na.drop(subset=list(dims))
+    for d, v in zip(dims, prefix):
+        m = m.filter(F.col(d) == v)
+    child = dims[len(prefix)]
+    return (
+        m.groupBy(F.col(child).alias("child"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("child"))
+        .limit(top_n)
+    )
+
+
 def to_child_block_join(
     parents: DataFrame, children: DataFrame, key: str = "conv_id"
 ) -> DataFrame:
