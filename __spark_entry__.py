@@ -1697,6 +1697,76 @@ SELECT rank, conv_id, turn_idx, score_i, snippet FROM snip ORDER BY rank"""
     )
 
 
+def _q_fvh_snippet(term: str, k: int, width: int = 80, margin: int = 20):
+    """Top-k + FastVectorHighlighter-style snippet: match offsets come from
+    the build-time offsets relation (IndexOptions ..._AND_OFFSETS analog) and
+    the snippet is spliced by a JVM fold — no analysis at query time.  Gate
+    variant bolds only the first match so the SQL twin can reproduce it."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.highlight import (
+            fvh_snippets,
+            token_offsets_relation,
+        )
+
+        idx, searcher = _searcher(spark, sf_dir)
+        top = _ranked_topk(searcher, TermQuery(term), k)
+        text_df = (
+            _transcripts_df(spark, sf_dir)
+            .join(idx.docs.select("doc_id", "conv_id", "turn_idx"),
+                  ["conv_id", "turn_idx"])
+            .select("doc_id", "text")
+        )
+        offsets = token_offsets_relation(text_df)
+        hits = top.join(
+            idx.docs.select("doc_id", "conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+        )
+        out = fvh_snippets(
+            hits, offsets, text_df, [term],
+            width=width, margin=margin, bold_all=False,
+        )
+        return out.select("rank", "conv_id", "turn_idx", "score_i", "snippet").orderBy(
+            "rank"
+        )
+
+    return run
+
+
+def _fvh_sql(term: str, k: int, width: int = 80, margin: int = 20) -> str:
+    # first TOKEN-boundary occurrence via a length-preserving normalization:
+    # every non-[a-z0-9] char becomes one space, so char offsets are stable
+    # and ' term ' in the padded string marks a whole-token match.
+    L = len(term)
+    return (
+        _PRELUDE
+        + ", "
+        + _scored_from(f"tf.term = '{term}'").lstrip()
+        + f""",
+snip AS (
+  SELECT r.rank, r.conv_id, r.turn_idx, r.score_i,
+         CASE WHEN p > 0 THEN
+           substr(low, ws, p - ws) || '<b>{term}</b>' ||
+           substr(low, p + {L}, greatest(0, we - (p + {L})))
+         ELSE '' END AS snippet
+  FROM (
+    SELECT r.rank, r.conv_id, r.turn_idx, r.score_i, low, p,
+           CAST(greatest(1, p - {margin}) AS INT) AS ws,
+           CAST(least(length(low) + 1, greatest(1, p - {margin}) + {width}) AS INT) AS we
+    FROM (
+      SELECT r.rank, r.conv_id, r.turn_idx, r.score_i, lower(t.text) AS low,
+             strpos(' ' || regexp_replace(lower(t.text), '[^a-z0-9]', ' ', 'g') || ' ',
+                    ' {term} ') AS p
+      FROM ranked r JOIN tr t USING (conv_id, turn_idx)
+      WHERE r.rank <= {k}
+    ) r
+  ) r
+)
+SELECT rank, conv_id, turn_idx, score_i, snippet FROM snip ORDER BY rank"""
+    )
+
+
 def _q_common_terms(terms, k: int, mtf: float):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search.query import CommonTermsQuery
@@ -2015,6 +2085,38 @@ def _q_dedup_clusters(spark, sf_dir):
     from lucene_spark.pipeline import cluster as cl
 
     return cl.dedup_clusters(_docs(spark, sf_dir))
+
+
+def _q_boilerplate(spark, sf_dir):
+    """C4-style boilerplate-line removal over docs augmented with a
+    deterministic repeated footer (so the filter has lines to catch)."""
+    from lucene_spark.pipeline import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nAll Rights Reserved")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return ts.remove_boilerplate_lines(aug)
+
+
+_BOILER_REL = (
+    "(SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter today' || "
+    "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All Rights Reserved' ELSE '' END AS text "
+    "FROM documents)"
+)
+
+
+def _q_text_repetition(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.repetition_scores(_docs(spark, sf_dir))
 
 
 def _q_text_token_count(spark, sf_dir):
@@ -2625,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": _q_common_terms(["dup", "the", "data"], 10, 0.5),
         "suggest_prefix": _q_suggest_prefix("s", 10),
         "highlight_term_topk": _q_highlight("spark", 10),
+        "fvh_snippet_topk": _q_fvh_snippet("spark", 10),
         "tfidf_topk": _q_tfidf(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
@@ -2685,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_facets": _q_taxonomy_facets,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_count": _q_text_token_count,
+        "boilerplate_removal": _q_boilerplate,
+        "text_repetition": _q_text_repetition,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -2711,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _common_terms_sql(["dup", "the", "data"], 10, 0.5),
         "suggest_prefix": _suggest_prefix_sql("s", 10),
         "highlight_term_topk": _highlight_sql("spark", 10),
+        "fvh_snippet_topk": _fvh_sql("spark", 10),
         "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
@@ -2840,6 +2946,8 @@ SELECT * FROM (
 WHERE level >= 1""",
         "dedup_simhash": _pl_dedup.near_duplicates_simhash_sql(_DOCS_REL),
         "text_token_count": _pl_text.token_counts_sql(_DOCS_REL),
+        "boilerplate_removal": _pl_text.remove_boilerplate_lines_sql(_BOILER_REL),
+        "text_repetition": _pl_text.repetition_scores_sql(_DOCS_REL),
         "text_quality": _pl_text.quality_scores_sql(_DOCS_REL),
         "text_langid": _pl_text.lang_id_sql(_DOCS_REL),
         "text_fingerprint": _pl_text.fingerprints_sql(_DOCS_REL),

@@ -219,3 +219,179 @@ WITH t AS (
   FROM g
 )
 SELECT DISTINCT doc_id, fp FROM wmin"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate line removal (C4-style line dedup)
+
+
+def _line_rows(docs: DataFrame, text_col: str):
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line")
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame, text_col: str = "text", min_doc_freq: int = 3
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed): drop every line whose normalized
+    form (trimmed, lowercased) appears in >= ``min_doc_freq`` DISTINCT
+    documents — the C4/web-pipeline boilerplate-line filter (nav bars,
+    cookie banners, footers repeat across pages; real content doesn't).
+
+    Scale shape: one explode -> one hash agg for the line document
+    frequencies -> one shuffle join back -> one per-doc re-assembly agg.
+    The line-frequency relation is NOT broadcast (it is corpus-sized); AQE
+    may still choose broadcast when it turns out small.  Blank lines are
+    always kept (they carry formatting, not boilerplate).
+    """
+    lines = _line_rows(docs, text_col)
+    boiler = (
+        lines.filter(F.length("norm") > 0)
+        .groupBy("norm")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("norm", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, "norm", "left")
+    kept = F.when(
+        F.col("is_boiler").isNull(),
+        F.struct(F.col("line_no"), F.col("line")),
+    )  # collect_list skips NULLs -> boilerplate lines drop out
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_lines_sql(doc_rel: str, min_doc_freq: int = 3) -> str:
+    return f"""
+WITH l AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS line_no, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {doc_rel})
+), ln AS (
+  SELECT doc_id, line_no, line, trim(lower(line)) AS norm FROM l
+), boiler AS (
+  SELECT norm FROM ln WHERE length(norm) > 0
+  GROUP BY norm HAVING count(DISTINCT doc_id) >= {min_doc_freq}
+)
+SELECT ln.doc_id,
+       coalesce(string_agg(CASE WHEN b.norm IS NULL THEN ln.line END,
+                           chr(10) ORDER BY ln.line_no), '') AS clean_text,
+       CAST(count(b.norm) AS BIGINT) AS n_removed
+FROM ln LEFT JOIN boiler b ON ln.norm = b.norm
+GROUP BY ln.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+
+
+def _word_ngrams(text_col: str, n: int):
+    toks = tokens(F.col(text_col))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_line_frac_i, top_2gram_frac_i, top_3gram_frac_i):
+    within-document repetition signals from the Gopher data-quality rules
+    (Rae et al. 2021 "Scaling Language Models", Table A1): fraction of
+    duplicate lines, and the frequency share of the single most repeated
+    word 2-gram / 3-gram.  Fractions are emitted as round(10000*x) integers
+    so two engines compare bit-identically.
+
+    Scale shape: three independent explode+hash-agg branches joined on
+    doc_id — each branch is map-side combinable; nothing is collected.
+    """
+
+    def _top_frac(n: int, out: str):
+        g = docs.select(
+            "doc_id", F.explode(_word_ngrams(text_col, n)).alias("g")
+        )
+        per = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.round(F.lit(10000.0) * F.max("c") / F.sum("c"))
+            .cast("long")
+            .alias(out)
+        )
+
+    lines = _line_rows(docs, text_col).filter(F.length("norm") > 0)
+    dup_lines = (
+        lines.groupBy("doc_id", "norm")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.lit(10000.0) * (F.sum("c") - F.count("*")) / F.sum("c")
+            )
+            .cast("long")
+            .alias("dup_line_frac_i")
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(dup_lines, "doc_id", "left")
+        .join(_top_frac(2, "top_2gram_frac_i"), "doc_id", "left")
+        .join(_top_frac(3, "top_3gram_frac_i"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("dup_line_frac_i", F.lit(0)).alias("dup_line_frac_i"),
+        F.coalesce("top_2gram_frac_i", F.lit(0)).alias("top_2gram_frac_i"),
+        F.coalesce("top_3gram_frac_i", F.lit(0)).alias("top_3gram_frac_i"),
+    )
+
+
+def repetition_scores_sql(doc_rel: str) -> str:
+    def top_frac(n: int, out: str) -> str:
+        return f"""
+  SELECT doc_id, CAST(round(10000.0 * max(c) / sum(c)) AS BIGINT) AS {out}
+  FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS g
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RX}') AS toks
+            FROM {doc_rel}),
+           LATERAL unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS u(i)
+      WHERE len(toks) >= {n}
+    ) GROUP BY 1, 2
+  ) GROUP BY doc_id"""
+
+    return f"""
+WITH lines AS (
+  SELECT doc_id, trim(lower(unnest(string_split(text, chr(10))))) AS norm
+  FROM {doc_rel}
+), dl AS (
+  SELECT doc_id,
+         CAST(round(10000.0 * (sum(c) - count(*)) / sum(c)) AS BIGINT)
+           AS dup_line_frac_i
+  FROM (SELECT doc_id, norm, count(*) AS c FROM lines
+        WHERE length(norm) > 0 GROUP BY 1, 2)
+  GROUP BY doc_id
+), g2 AS ({top_frac(2, "top_2gram_frac_i")}
+), g3 AS ({top_frac(3, "top_3gram_frac_i")}
+)
+SELECT d.doc_id,
+       coalesce(dl.dup_line_frac_i, 0) AS dup_line_frac_i,
+       coalesce(g2.top_2gram_frac_i, 0) AS top_2gram_frac_i,
+       coalesce(g3.top_3gram_frac_i, 0) AS top_3gram_frac_i
+FROM (SELECT doc_id FROM {doc_rel}) d
+LEFT JOIN dl ON d.doc_id = dl.doc_id
+LEFT JOIN g2 ON d.doc_id = g2.doc_id
+LEFT JOIN g3 ON d.doc_id = g3.doc_id"""

@@ -128,6 +128,144 @@ def highlight_hits(
     return joined.withColumn("snippet", _snip(F.col("text"))).drop("text")
 
 
+def token_offsets_relation(
+    text_df: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, positions, starts, ends): per-doc token char offsets.
+
+    ≙ storing offsets in the index (``IndexOptions
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS`` /
+    ``Lucene90TermVectorsFormat`` with offsets, FieldType.setStoreTermVector
+    Offsets) — built ONCE at index time with one Arrow pass over the stored
+    text, so query-time highlighting never re-analyzes documents (the whole
+    point of FastVectorHighlighter vs the re-analysis default).
+
+    ``starts``/``ends`` are 0-based [start, end) char offsets into the
+    ORIGINAL text, parallel to ``positions``; tokens chopped at 255 chars
+    emit one row entry per chunk, like the index.  Persist / write this
+    relation partitioned like the stored fields (doc_id-range) so per-hit
+    fetches prune.
+    """
+    import pandas as pd
+
+    from lucene_spark.analysis.tokenizer import MAX_TOKEN_LENGTH
+
+    schema = (
+        f"{doc_col} long, term string, positions array<int>, "
+        "starts array<int>, ends array<int>"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {doc_col: [], "term": [], "positions": [], "starts": [], "ends": []}
+            for did, txt in zip(pdf[doc_col], pdf[text_col]):
+                acc: dict[str, tuple[list, list, list]] = {}
+                pos = 0
+                for m in _TOKEN_RE.finditer((txt or "").lower()):
+                    run = m.group(0)
+                    for i in range(0, len(run), MAX_TOKEN_LENGTH):
+                        tok = run[i : i + MAX_TOKEN_LENGTH]
+                        ps, ss, es = acc.setdefault(tok, ([], [], []))
+                        ps.append(pos)
+                        ss.append(m.start() + i)
+                        es.append(m.start() + i + len(tok))
+                        pos += 1
+                for tok, (ps, ss, es) in acc.items():
+                    out[doc_col].append(did)
+                    out["term"].append(tok)
+                    out["positions"].append(ps)
+                    out["starts"].append(ss)
+                    out["ends"].append(es)
+            # explicit dtypes: an empty batch would otherwise default the
+            # list columns to float64, which Arrow can't cast to list<int>
+            yield pd.DataFrame(
+                {
+                    doc_col: pd.Series(out[doc_col], dtype="int64"),
+                    "term": pd.Series(out["term"], dtype=object),
+                    "positions": pd.Series(out["positions"], dtype=object),
+                    "starts": pd.Series(out["starts"], dtype=object),
+                    "ends": pd.Series(out["ends"], dtype=object),
+                }
+            )
+
+    return text_df.select(doc_col, text_col).mapInPandas(gen, schema)
+
+
+def fvh_snippets(
+    hits: DataFrame,
+    offsets: DataFrame,
+    text_df: DataFrame,
+    terms,
+    width: int = 80,
+    margin: int = 20,
+    bold_all: bool = True,
+    lowercase: bool = True,
+) -> DataFrame:
+    """FastVectorHighlighter analog: hits + ``snippet`` assembled from the
+    stored offsets relation — NO analysis at query time.
+
+    ≙ highlighter/vectorhighlight/FastVectorHighlighter.java:
+    FieldTermStack (term vector -> match offsets), SimpleFragListBuilder
+    (one fragment of ~``width`` chars anchored ``margin`` chars before the
+    first match; SimpleFragListBuilder.java's MARGIN_DEFAULT), and
+    SimpleFragmentsBuilder's ``<b>..</b>`` wrapping.
+
+    The whole query-time path is JVM expressions: a doc_id join against the
+    (pruned) offsets relation, then one fold (``F.aggregate``) that splices
+    ``<b>..</b>`` around each in-window match — no Python UDF at all.
+    ``bold_all=False`` wraps only the first match (the SQL-twin-reproducible
+    variant).  ``lowercase`` renders from lowered text (offsets are computed
+    on lowered text, which is length-identical for the declared subset).
+    """
+    tset = [t for t in terms]
+    matches = (
+        offsets.filter(F.col("term").isin(tset))
+        .select(
+            "doc_id",
+            F.explode(F.arrays_zip("starts", "ends")).alias("m"),
+        )
+        .select("doc_id", F.col("m.starts").alias("s"), F.col("m.ends").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ms"))
+    )
+    joined = (
+        hits.join(matches, "doc_id", "left")
+        .join(text_df.select("doc_id", "text"), "doc_id", "left")
+    )
+    txt = F.lower(F.col("text")) if lowercase else F.col("text")
+    tlen = F.length(txt)
+    first_s = F.element_at(F.col("ms"), 1)["s"] + 1  # 1-based
+    ws = F.greatest(F.lit(1), first_s - F.lit(margin))
+    we = F.least(tlen + 1, ws + F.lit(width))  # exclusive
+    inwin = F.filter(
+        F.col("ms"), lambda m: ((m["s"] + 1) >= ws) & ((m["e"] + 1) <= we)
+    )
+    if not bold_all:
+        inwin = F.slice(inwin, 1, 1)
+    folded = F.aggregate(
+        inwin,
+        F.struct(ws.cast("int").alias("pos"), F.lit("").alias("acc")),
+        lambda a, m: F.struct(
+            (m["e"] + 1).cast("int").alias("pos"),
+            F.concat(
+                a["acc"],
+                F.substring(txt, a["pos"], (m["s"] + 1 - a["pos"]).cast("int")),
+                F.lit("<b>"),
+                F.substring(txt, m["s"] + 1, (m["e"] - m["s"]).cast("int")),
+                F.lit("</b>"),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.substring(txt, a["pos"], F.greatest(F.lit(0), we - a["pos"]).cast("int")),
+        ),
+    )
+    snippet = F.when(
+        F.col("ms").isNull() | (F.size(F.col("ms")) == 0), F.lit("")
+    ).otherwise(folded)
+    return joined.withColumn("snippet", snippet).drop("text", "ms")
+
+
 def first_match_snippets(
     hits: DataFrame, text_df: DataFrame, term: str, width: int = 60
 ) -> DataFrame:

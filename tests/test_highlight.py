@@ -82,3 +82,81 @@ def test_first_match_snippets_jvm(spark, tiny_index, text_df):
         assert len(r.snippet) <= 40 + len("<b></b>") * (
             r.snippet.count("<b>")
         )
+
+
+# -- FastVectorHighlighter path (offsets relation, no query-time analysis) --
+
+import re as _re
+
+from lucene_spark.analysis.tokenizer import TOKEN_PATTERN as _TP
+from lucene_spark.search.highlight import fvh_snippets, token_offsets_relation
+
+
+def _py_fvh(text, terms, width, margin, bold_all=True):
+    low = text.lower()
+    ms = sorted(
+        (m.start(), m.end())
+        for m in _re.finditer(_TP, low)
+        if m.group(0) in terms
+    )
+    if not ms:
+        return ""
+    ws = max(0, ms[0][0] - margin)
+    we = min(len(low), ws + width)
+    inwin = [(s, e) for s, e in ms if s >= ws and e <= we]
+    if not bold_all:
+        inwin = inwin[:1]
+    out, pos = [], ws
+    for s, e in inwin:
+        out.append(low[pos:s])
+        out.append("<b>" + low[s:e] + "</b>")
+        pos = e
+    out.append(low[pos:we])
+    return "".join(out)
+
+
+def test_token_offsets_relation(spark):
+    df = spark.createDataFrame(
+        [(1, "The Spark engine sparks joy. spark!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in token_offsets_relation(df).collect()}
+    assert set(rows) == {"the", "spark", "engine", "sparks", "joy"}
+    r = rows["spark"]
+    assert r["positions"] == [1, 5]
+    assert r["starts"] == [4, 29]
+    assert r["ends"] == [9, 34]
+    low = "the spark engine sparks joy. spark!"
+    for t, rr in rows.items():
+        for s, e in zip(rr["starts"], rr["ends"]):
+            assert low[s:e] == t
+
+
+@pytest.mark.parametrize("bold_all", [True, False])
+def test_fvh_snippets_vs_python_model(spark, bold_all):
+    texts = [
+        (1, "alpha spark beta spark gamma delta " * 3),
+        (2, "no matches at all in this one"),
+        (3, "spark at the very start of the text and spark again much later on"),
+        (4, "x " * 50 + "spark near the end"),
+        (5, "data spark data " * 10),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    hits = spark.createDataFrame([(i,) for i, _ in texts], "doc_id long")
+    off = token_offsets_relation(df)
+    out = fvh_snippets(
+        hits, off, df, ["spark", "data"], width=48, margin=12, bold_all=bold_all
+    )
+    got = {r["doc_id"]: r["snippet"] for r in out.collect()}
+    for did, text in texts:
+        assert got[did] == _py_fvh(text, {"spark", "data"}, 48, 12, bold_all), did
+
+
+def test_fvh_end_to_end_index(spark, tiny_index, text_df):
+    s = IndexSearcher(tiny_index)
+    hits = s.search(TermQuery("model"), 5)
+    off = token_offsets_relation(text_df)
+    out = fvh_snippets(hits, off, text_df, ["model"], width=60, margin=15).collect()
+    assert len(out) == 5
+    for r in out:
+        assert "<b>model</b>" in r.snippet

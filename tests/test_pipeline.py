@@ -256,3 +256,48 @@ def test_near_duplicates_embedding(spark, emb, con):
             assert r.cos_i == 1_000_000
     want = con.execute(sim.near_duplicates_embedding_sql(rel, 0.95)).fetchall()
     assert sorted((r.vec_a, r.vec_b, r.cos_i) for r in got) == sorted(want)
+
+
+# -- curation: boilerplate removal + repetition signals ---------------------
+
+
+def test_remove_boilerplate_lines(spark):
+    from lucene_spark.pipeline.textstats import remove_boilerplate_lines
+
+    footer = "subscribe now"
+    rows = [
+        (1, "unique one\nSubscribe Now\nbody a"),
+        (2, "unique two\n subscribe now \nbody b"),
+        (3, "unique three\nsubscribe now"),
+        (4, "no footer here\n\nblank line kept"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, min_doc_freq=3).collect()}
+    # normalized footer appears in 3 docs -> removed everywhere, any casing
+    assert out[1]["clean_text"] == "unique one\nbody a"
+    assert out[2]["clean_text"] == "unique two\nbody b"
+    assert out[3]["clean_text"] == "unique three"
+    assert out[1]["n_removed"] == 1 and out[3]["n_removed"] == 1
+    # blank lines survive; unique lines survive
+    assert out[4]["clean_text"] == "no footer here\n\nblank line kept"
+    assert out[4]["n_removed"] == 0
+    assert footer not in out[1]["clean_text"].lower()
+
+
+def test_repetition_scores(spark):
+    from lucene_spark.pipeline.textstats import repetition_scores
+
+    rows = [
+        (1, "a b a b a b"),          # top 2gram 'a b' 3/5, 3gram 'a b a' 2/4
+        (2, "x\nx\ny"),              # dup lines 1/3
+        (3, "all unique words here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert out[1]["top_2gram_frac_i"] == round(10000 * 3 / 5)
+    assert out[1]["top_3gram_frac_i"] == round(10000 * 2 / 4)
+    assert out[2]["dup_line_frac_i"] == round(10000 * 1 / 3)
+    assert out[3]["dup_line_frac_i"] == 0
+    assert out[3]["top_2gram_frac_i"] == round(10000 * 1 / 3)
+    assert out[4]["dup_line_frac_i"] == 0 and out[4]["top_2gram_frac_i"] == 0
