@@ -1767,6 +1767,33 @@ SELECT rank, conv_id, turn_idx, score_i, snippet FROM snip ORDER BY rank"""
     )
 
 
+def _q_parser_field(qstr: str, k: int):
+    """Classic-parser query with a keyword-field clause (``role:de``):
+    text terms score BM25, the field clause filters (constant score 0)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.parser import QueryParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        return _ranked_topk(searcher, QueryParser().parse(qstr), k)
+
+    return run
+
+
+def _parser_field_sql(term: str, role: str, k: int) -> str:
+    where = (
+        f"tf.term = '{term}' AND EXISTS (SELECT 1 FROM tr "
+        "WHERE tr.conv_id = tf.conv_id AND tr.turn_idx = tf.turn_idx "
+        f"AND tr.role = '{role}')"
+    )
+    return (
+        _PRELUDE
+        + ", "
+        + _scored_from(where).lstrip()
+        + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def _q_common_terms(terms, k: int, mtf: float):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search.query import CommonTermsQuery
@@ -2715,6 +2742,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_term": _q_topk(["spark"], 10),
+        "parser_field_topk": _q_parser_field("+spark +role:de", 10),
         "bm25_topk_or": _q_topk(["spark", "query", "data"], 20),
         "bm25_topk_and": _q_topk(["table", "join"], 10, kind="and"),
         "bm25_topk_not": _q_topk(["spark"], 10, exclude=["slow"]),
@@ -2816,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "common_terms_topk": _common_terms_sql(["dup", "the", "data"], 10, 0.5),
         "suggest_prefix": _suggest_prefix_sql("s", 10),
         "highlight_term_topk": _highlight_sql("spark", 10),
+        "parser_field_topk": _parser_field_sql("spark", "de", 10),
         "fvh_snippet_topk": _fvh_sql("spark", 10),
         "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),

@@ -17,8 +17,10 @@ query sets — SearchFiles.java:120, benchmark/conf/query-*.txt):
 * wildcard ``te?m*`` (:691), prefix ``term*`` (:776), fuzzy ``term~``/
   ``term~1`` (:794), regexp ``/re.gex/``, ranges ``[a TO b]`` / ``{a TO b}``
   (:509)
-* optional ``text:`` field prefix (single-field engine: any other field
-  name is rejected)
+* optional ``text:`` field prefix; ``role:``/``tool:`` (configurable
+  ``keyword_fields``) parse to exact-match constant-score FILTER-style
+  clauses over the docvalues columns (boost 0 — never scored), any other
+  field name is rejected
 
 Like the reference, AND/OR do not nest with precedence: clauses accumulate
 into one BooleanQuery where ``a AND b`` promotes both sides to MUST
@@ -33,6 +35,7 @@ from lucene_spark.analysis.tokenizer import tokenize_text
 from lucene_spark.search.query import (
     BooleanQuery,
     BoostQuery,
+    ConstantScoreQuery,
     FuzzyQuery,
     MatchNoDocsQuery,
     Occur,
@@ -76,10 +79,17 @@ class QueryParser:
     phrases keep its position holes."""
 
     def __init__(self, field: str = "text", default_operator: str = "OR",
-                 analyzer=None, synonyms=None):
+                 analyzer=None, synonyms=None,
+                 keyword_fields: tuple = ("role", "tool")):
         if default_operator not in ("OR", "AND"):
             raise QueryParseError("default_operator must be OR or AND")
         self.field = field
+        # non-scored keyword fields (docvalues columns): ``role:user`` parses
+        # to an exact-match constant-score clause with boost 0, i.e. it
+        # constrains matching under its occur but never contributes score —
+        # the filter-field idiom (the engine scores only the text field; a
+        # full per-field scored index is out of the single-field scope).
+        self.keyword_fields = tuple(keyword_fields)
         self.default_occur = Occur.SHOULD if default_operator == "OR" else Occur.MUST
         self.analyzer = analyzer
         # QueryTimeSynonyms: query-side graph expansion (QueryBuilder.java
@@ -243,10 +253,17 @@ class QueryParser:
     def _word_query(self, word: str) -> Query:
         if ":" in word:
             field, word = word.split(":", 1)
-            if field != self.field:
-                raise QueryParseError(f"unknown field {field!r}")
             if not word:
                 raise QueryParseError("empty term after field:")
+            if field in self.keyword_fields:
+                from lucene_spark.search.query import RangePredicate
+
+                return ConstantScoreQuery(
+                    RangePredicate(column=field, lower=word, upper=word),
+                    boost=0.0,
+                )
+            if field != self.field:
+                raise QueryParseError(f"unknown field {field!r}")
         fuzzy = re.fullmatch(r"(?P<base>[^~]+)~(?P<edits>[012])?", word)
         if fuzzy:
             base = self._analyze_word(fuzzy.group("base"))

@@ -281,3 +281,45 @@ def test_synonym_query_searches(spark, tiny_index, tiny_oracle):
         scores[d] = np.float32(np.float32(w - w / (one + np.float32(f) * inv)))
     want = [(c, t, np.float32(sc)) for c, t, sc in o.topk_keys(o._topk(scores, 10))]
     assert got == want
+
+
+# -- keyword (filter) fields ------------------------------------------------
+
+
+def test_keyword_field_parses_to_constant_score_filter():
+    from lucene_spark.search.parser import QueryParser
+    from lucene_spark.search.query import (
+        BooleanQuery, ConstantScoreQuery, Occur, RangePredicate, TermQuery,
+    )
+
+    q = QueryParser().parse("+spark +role:de")
+    assert isinstance(q, BooleanQuery)
+    kinds = {}
+    for c in q.clauses:
+        kinds[type(c.query)] = (c.query, c.occur)
+    cs, occ = kinds[ConstantScoreQuery]
+    assert occ == Occur.MUST and cs.boost == 0.0
+    assert cs.query == RangePredicate(column="role", lower="de", upper="de")
+    tq, occ2 = kinds[TermQuery]
+    assert tq.term == "spark" and occ2 == Occur.MUST
+
+
+def test_keyword_field_negated_and_tool():
+    from lucene_spark.search.parser import QueryParser
+    from lucene_spark.search.query import ConstantScoreQuery, Occur
+
+    q = QueryParser().parse("spark -tool:src3")
+    negs = [(c.query, c.occur) for c in q.clauses if c.occur == Occur.MUST_NOT]
+    assert len(negs) == 1 and isinstance(negs[0][0], ConstantScoreQuery)
+    assert negs[0][0].query.column == "tool"
+
+
+def test_unknown_field_still_rejected():
+    import pytest as _pt
+
+    from lucene_spark.search.parser import QueryParseError, QueryParser
+
+    with _pt.raises(QueryParseError):
+        QueryParser().parse("bogusfield:x")
+    with _pt.raises(QueryParseError):
+        QueryParser(keyword_fields=()).parse("role:de")
