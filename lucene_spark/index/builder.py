@@ -267,6 +267,12 @@ class IndexBuilder:
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
+        # the persist exists only to keep the counts pass and the id-join
+        # pass on the SAME partitioning; build() releases it once the base
+        # relation is materialized (leaving it cached leaks a full tokenized
+        # corpus copy PER BUILD — repeated builds in one JVM then evict each
+        # other's useful blocks and throughput collapses)
+        self._idassign_cache = sorted_df
         counts = (
             sorted_df.groupBy("_pid").count().orderBy("_pid").collect()
         )
@@ -587,6 +593,17 @@ class IndexBuilder:
             "doc_count": int(srow.doc_count or 0),
             "sum_total_term_freq": int(srow.sttf or 0),
         }
+        # release the doc-id-assignment staging cache: the srow action above
+        # materialized the persisted base/docs, so nothing re-reads it on the
+        # arrow/mapside paths.  The shuffle path's postings still derive from
+        # it lazily, so there it is handed to the index for lifecycle release.
+        idc = getattr(self, "_idassign_cache", None)
+        if idc is not None:
+            self._idassign_cache = None
+            if self.invert in ("arrow", "mapside"):
+                idc.unpersist()
+            else:
+                cached = cached + (idc,)
         return InvertedIndex(
             spark=spark,
             docs=docs,
