@@ -217,6 +217,41 @@ def main() -> None:
         ann["recall_lsh_at10"] = round(len(brute & lsh) / max(len(brute), 1), 2)
         emb.unpersist()
 
+    # ---- pipeline ops over the sf-dir documents table (reported outside
+    # the headline value; single rep — these are batch jobs, not latency
+    # paths, and the budget guard sheds them on a bad host window) ----
+    pipeline = {}
+    docs_path = f"{sf_dir}/documents.parquet"
+    if os.path.exists(docs_path) and time.time() - t0 < budget * 1.3:
+        from pyspark.sql import functions as SF
+
+        from lucene_spark.pipeline import textstats as ts
+        from lucene_spark.pipeline.cluster import connected_components
+        from lucene_spark.pipeline.dedup import near_duplicates_minhash
+
+        docs = spark.read.parquet(docs_path).persist()
+        n_pipeline_docs = docs.count()
+        tq = time.time()
+        pairs = near_duplicates_minhash(docs).persist()
+        n_pairs = pairs.count()
+        pipeline["t_minhash_pairs"] = round(time.time() - tq, 3)
+        tq = time.time()
+        n_clustered = connected_components(pairs).count()
+        pipeline["t_connected_components"] = round(time.time() - tq, 3)
+        pairs.unpersist()
+        tq = time.time()
+        ts.remove_boilerplate_lines(
+            docs.select("doc_id", SF.col("text"))
+        ).agg(SF.sum("n_removed")).collect()
+        pipeline["t_boilerplate"] = round(time.time() - tq, 3)
+        tq = time.time()
+        ts.repetition_scores(docs).agg(SF.sum("dup_line_frac_i")).collect()
+        pipeline["t_repetition"] = round(time.time() - tq, 3)
+        pipeline["n_docs"] = n_pipeline_docs
+        pipeline["n_dup_pairs"] = n_pairs
+        pipeline["n_clustered_docs"] = n_clustered
+        docs.unpersist()
+
     total = time.time() - t0
     # headline value = index build + the min-of-reps query latencies (the
     # comparable core work); positions warm-up + ANN section + corpus gen
@@ -247,6 +282,7 @@ def main() -> None:
         # at identical turns x words/turn; these fields make that auditable
         "words_per_turn": [min_w, max_w],
         "ann": ann,
+        "pipeline": pipeline,
     }
     print(json.dumps(out))
     spark.stop()

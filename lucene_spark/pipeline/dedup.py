@@ -318,3 +318,38 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup (stateful dropDuplicates)
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    watermark: tuple | None = None,
+):
+    """First-occurrence-wins exact dedup over a STREAM of documents.
+
+    Structured Streaming's stateful ``dropDuplicates`` keyed on the same
+    normalized 60-bit text digest as :func:`exact_duplicates` — the state
+    store holds one key per unique document, so a continuously ingesting
+    pipeline emits each distinct text exactly once across micro-batches.
+
+    ``watermark=(ts_col, "10 minutes")`` switches to
+    ``dropDuplicatesWithinWatermark``: duplicates are only suppressed within
+    the watermark horizon and state is EVICTED past it — the bounded-state
+    mode for unbounded streams (exact global dedup keeps O(#unique) state;
+    at 100 TB that is a compacted RocksDB state store, or run the batch
+    :func:`exact_duplicates` downstream for the global pass).
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    h = stream_df.withColumn("_text_hash", h60(norm))
+    if watermark is not None:
+        ts_col, delay = watermark
+        return (
+            h.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(["_text_hash"])
+            .drop("_text_hash")
+        )
+    return h.dropDuplicates(["_text_hash"]).drop("_text_hash")

@@ -213,6 +213,60 @@ def main():
         ),
     ]
 
+    # late round-3 surfaces: taxonomy rollup, CC round, FVH fold, curation
+    from lucene_spark.pipeline.cluster import _large_star, _small_star
+    from lucene_spark.pipeline.textstats import remove_boilerplate_lines
+    from lucene_spark.search.facets import taxonomy_counts
+    from lucene_spark.search.highlight import fvh_snippets, token_offsets_relation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    text_df = docs.select("doc_id", "text")
+    # built ONCE at index time in production — persist so the snippet plan
+    # below shows the query-time shape (cache scan, no tokenization)
+    offsets = token_offsets_relation(text_df).persist()
+    offsets.count()
+    hits5 = mem_s.search(TermQuery("data"), 5).join(
+        idx.docs.select("doc_id", "conv_id", "turn_idx"), ["conv_id", "turn_idx"]
+    )
+    sections += [
+        (
+            "Taxonomy facets (single ROLLUP pass)",
+            "ONE Expand + ONE hash aggregate produce every prefix level "
+            "(partial aggregation map-side); no per-level scans, no "
+            "materialized taxonomy tree.",
+            taxonomy_counts(mem_s, TermQuery("data"), ["role", "tool"]),
+        ),
+        (
+            "Connected-components round (large-star -> small-star)",
+            "Each half-round is a window-min over the grouping key plus a "
+            "distinct — two key-partitioned Exchanges per round, no "
+            "broadcast, no driver-side state; lineage is cut per round by "
+            "localCheckpoint so this plan's depth is constant across "
+            "iterations.",
+            _small_star(_large_star(pairs)),
+        ),
+        (
+            "FastVectorHighlighter snippet (JVM splice fold)",
+            "After the offsets-relation join, the <b>..</b> splice is an "
+            "aggregate() fold over the match structs — no Python evaluator "
+            "executes at query time: the only MapInPandas nodes sit INSIDE "
+            "the InMemoryRelation cached-build description (the one-time "
+            "index-time offsets pass; the executed path is the "
+            "InMemoryTableScan above it), so highlighting never re-analyzes "
+            "text.",
+            fvh_snippets(hits5, offsets, text_df, ["data"]),
+        ),
+        (
+            "Boilerplate-line removal (corpus-level line DF)",
+            "explode -> hash agg (count_distinct doc_id per line) -> plain "
+            "shuffle join back (boilerplate relation is corpus-sized: NOT "
+            "broadcast-hinted) -> one per-doc re-assembly aggregate.",
+            remove_boilerplate_lines(docs),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")

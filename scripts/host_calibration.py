@@ -11,10 +11,14 @@ This script measures the hardware ceiling with Spark removed: K
 concurrent *pure-Python* processes each do a fixed amount of work, and we
 report per-process slowdown vs solo.  Two workloads:
 
-* ``spin``  — arithmetic loop, no memory traffic (pure ALU ceiling)
-* ``churn`` — dict/list build over random token strings (the allocation
-  pattern of the tokenize+invert stage; sensitive to shared memory
-  bandwidth and kernel zone-lock contention)
+* ``spin``   — arithmetic loop, no memory traffic (pure ALU ceiling)
+* ``churn``  — dict/list build over one small string (the allocation
+  pattern of the tokenize+invert inner loop; working set fits in L1/L2,
+  so it does NOT exercise shared memory bandwidth)
+* ``stream`` — byte-buffer copy over a 256 MiB rotating window (DRAM
+  bandwidth ceiling — the resource the Arrow tokenize+invert workers
+  actually share: each streams Arrow batches + pandas string blocks far
+  larger than cache)
 
 Efficiency(K) = t_solo / t_K per process.  If spin efficiency at K=8 is
 ~1.0 but a Spark 4x2-JVM run measures 0.2, the host is fine and the
@@ -45,6 +49,20 @@ def spin(n):
         acc = (acc * 1103515245 + 12345) & 0x7FFFFFFF
     return acc
 
+def stream(n):
+    # memory-bandwidth bound: copy slices across a >LLC-sized buffer
+    import array
+    buf = bytearray(256 * 1024 * 1024)
+    mv = memoryview(buf)
+    chunk = 8 * 1024 * 1024
+    out = 0
+    for i in range(n):
+        a = (i * chunk) % (len(buf) - chunk)
+        b = ((i + 7) * chunk) % (len(buf) - chunk)
+        mv[a:a+chunk] = mv[b:b+chunk]
+        out += buf[a]
+    return out
+
 def churn(n):
     # mimic tokenize+invert: split strings, build per-doc dict of lists
     words = ["tok%d" % (i % 97) for i in range(40)]
@@ -63,11 +81,11 @@ def churn(n):
     return out
 
 t0 = time.time()
-(spin if mode == "spin" else churn)(scale)
+{"spin": spin, "churn": churn, "stream": stream}[mode](scale)
 print(json.dumps({"sec": time.time() - t0}))
 """
 
-SCALES = {"spin": 60_000_000, "churn": 300_000}
+SCALES = {"spin": 60_000_000, "churn": 300_000, "stream": 400}
 
 
 def run(mode: str, k: int) -> float:
@@ -94,7 +112,7 @@ def main() -> None:
     args = ap.parse_args()
 
     result: dict = {"procs": args.procs}
-    for mode in ("spin", "churn"):
+    for mode in ("spin", "churn", "stream"):
         solo = min(run(mode, 1) for _ in range(args.reps))
         many = min(run(mode, args.procs) for _ in range(args.reps))
         eff = solo / many

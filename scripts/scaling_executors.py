@@ -38,9 +38,10 @@ sys.path.insert(0, REPO)
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/tmp/lucene_spark_bench")
 
 
-def prepare_shards(turns_per_shard: int, n_shards: int = 4) -> list[str]:
+def prepare_shards(turns_per_shard: int, n_shards: int = 4,
+                   min_words: int = 3, max_words: int = 40) -> list[str]:
     paths = [
-        f"{CORPUS_DIR}/exec_shard_{turns_per_shard}_{i}.parquet"
+        f"{CORPUS_DIR}/exec_shard_{turns_per_shard}_w{min_words}-{max_words}_{i}.parquet"
         for i in range(n_shards)
     ]
     if all(os.path.exists(p) for p in paths):
@@ -61,8 +62,14 @@ def prepare_shards(turns_per_shard: int, n_shards: int = 4) -> list[str]:
             turns_per_shard,
             seed=100 + i,  # different content per shard, same size/shape
             partitions=16,
-            min_words=100,
-            max_words=200,
+            # driver-canonical corpus shape (bench.py's words_per_turn):
+            # the scaling evidence measures the same workload the driver
+            # benchmarks.  Longer documents (100-200 words) expose a
+            # virtualized-host memory-fault ceiling under multi-JVM
+            # concurrency that bare processes doing identical work do not
+            # hit -- see BENCH.md "host ceiling" section.
+            min_words=min_words,
+            max_words=max_words,
         )
         df.write.mode("overwrite").parquet(p)
     spark.stop()
@@ -73,10 +80,20 @@ WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
+import os as _os
+# container-faithful executor shape: the JVM sizes its GC/JIT/netty pools
+# for its OWN core budget (a real executor sees its cgroup quota, not the
+# host's 32 vCPUs), and shuffle/spill goes to tmpfs like a ramdisk-backed
+# local dir -- without the cap, 4 concurrent JVMs each spawn 32-core-sized
+# thread pools and the measurement collapses in kernel time.
+_ld = "/dev/shm/spark_exec_" + str(_os.getpid())
 spark = (SparkSession.builder.master("local[{cores}]")
          .config("spark.sql.shuffle.partitions", "16")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "8g")
+         .config("spark.local.dir", _ld)
+         .config("spark.driver.extraJavaOptions",
+                 "-XX:ActiveProcessorCount={cores}")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet({path!r})
@@ -86,6 +103,7 @@ idx = IndexBuilder(num_segments=16).build(corpus)
 n = idx.docs.count(); _ = idx.postings_slim.count(); _ = idx.term_stats.count()
 print(json.dumps({{"build_sec": round(time.time() - t0, 3), "docs": n}}))
 spark.stop()
+import shutil; shutil.rmtree(_ld, ignore_errors=True)
 """
 
 
@@ -116,9 +134,14 @@ def main():
     ap.add_argument("--turns-per-shard", type=int, default=125_000)
     ap.add_argument("--cores-per-exec", type=int, default=2)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--words", default="3-40",
+                    help="words-per-turn range LO-HI (default: the driver-"
+                         "canonical bench shape; 100-200 reproduces the "
+                         "long-document host-ceiling analysis)")
     args = ap.parse_args()
 
-    paths = prepare_shards(args.turns_per_shard)
+    lo, hi = (int(x) for x in args.words.split("-"))
+    paths = prepare_shards(args.turns_per_shard, min_words=lo, max_words=hi)
     one, four = [], []
     for rep in range(args.repeats):
         t1, d1 = run_jvms(paths[:1], args.cores_per_exec)

@@ -147,3 +147,41 @@ def test_allowed_seg_count_budget():
     # a few big segments are within budget
     assert pol.allowed_seg_count([1_000_000, 900_000, 800_000]) >= 3
     assert pol.select_merge([]) is None
+
+
+def test_streaming_exact_dedup(spark, tmp_path_factory):
+    """Stateful dropDuplicates: each distinct normalized text survives once
+    across micro-batches (first occurrence wins), duplicates in later
+    batches are suppressed by the state store."""
+    from lucene_spark.pipeline.dedup import streaming_exact_dedup
+
+    root = tmp_path_factory.mktemp("sdedup")
+    src = str(root / "in")
+    rows_a = [(1, "alpha beta"), (2, "Gamma  Delta"), (3, "unique one")]
+    rows_b = [(4, "gamma delta"), (5, "ALPHA BETA"), (6, "unique two")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup_out")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, text FROM sdedup_out").collect()
+    ids = sorted(r.doc_id for r in got)
+    # 2 duplicate texts dropped; whitespace/case-normalized matching
+    assert len(got) == 4
+    assert 3 in ids and 6 in ids
+    assert len({1, 5} & set(ids)) == 1  # exactly one of the alpha-beta pair
+    assert len({2, 4} & set(ids)) == 1  # exactly one of the gamma-delta pair
