@@ -147,6 +147,10 @@ def main() -> None:
     # scripts) plus the spread so round-over-round comparisons are not
     # single-run dice
     n_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
+    # untimed warm-up query: pays searcher init (term-cache collect, weight
+    # broadcast, plan compilation) once, so the FIRST timed query measures
+    # the query, not session warm-up
+    searcher.search(TermQuery("data"), 10).collect()
     qtimes: dict[str, float] = {}
     qspread: dict[str, list[float]] = {}
     topk_rows = 0

@@ -89,11 +89,32 @@ def _signature(edges: DataFrame):
     return row["n"], row["h"]
 
 
+def _driver_union_find(spark, rows):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = sorted((x, find(x)) for x in parent)
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
     the smallest node id in its connected component.
@@ -102,6 +123,15 @@ def connected_components(
     point (star graphs centered on component minima), bounded by
     ``max_iter`` rounds — the algorithm converges in O(log n) rounds, so
     25 covers any graph this side of 2^25 nodes-deep adversarial chains.
+
+    Small-graph fast path: when the distinct edge count is at most
+    ``driver_threshold`` (known from the convergence fingerprint that runs
+    anyway), the edges collect to the driver and a union-find resolves them
+    in O(E α) — iterative Spark rounds are all fixed job overhead at that
+    size.  Dedup candidate-pair relations are usually a tiny fraction of
+    the corpus, so in practice the distributed rounds only engage at the
+    scale that actually needs them; pass ``driver_threshold=0`` to force
+    the distributed path.
     """
     edges = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
@@ -114,6 +144,11 @@ def connected_components(
         empty = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
         edges.unpersist()
         return empty
+    if sig[0] <= driver_threshold:
+        rows = [(r["u"], r["v"]) for r in edges.collect()]
+        spark = pairs.sparkSession
+        edges.unpersist()
+        return _driver_union_find(spark, rows)
 
     for _ in range(max_iter):
         # localCheckpoint truncates lineage so the iterated plan stays flat;

@@ -24,9 +24,9 @@ def _uf_components(edges):
     return sorted((x, find(x)) for x in parent)
 
 
-def _run(spark, edges):
+def _run(spark, edges, driver_threshold=200_000):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = connected_components(df)
+    got = connected_components(df, driver_threshold=driver_threshold)
     return sorted((r["node"], r["component"]) for r in got.collect())
 
 
@@ -44,13 +44,15 @@ def test_self_loop_only(spark):
     assert connected_components(df).collect() == []
 
 
-def test_long_chain(spark):
+@pytest.mark.parametrize("thr", [0, 200_000])
+def test_long_chain(spark, thr):
     # path graph: worst case for naive label propagation (diameter = n),
-    # large-star/small-star must still converge within the round bound
+    # large-star/small-star must still converge within the round bound;
+    # thr=0 forces the distributed rounds, default takes driver union-find
     n = 64
     edges = [(i, i + 1) for i in range(n)]
     random.Random(7).shuffle(edges)
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_threshold=thr)
     assert got == [(i, 0) for i in range(n + 1)]
 
 
@@ -62,8 +64,8 @@ def test_two_cliques_and_bridge(spark):
     assert got == sorted(expect)
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3])
-def test_random_graphs_vs_union_find(spark, seed):
+@pytest.mark.parametrize("seed,thr", [(1, 0), (2, 0), (3, 0), (1, 200_000)])
+def test_random_graphs_vs_union_find(spark, seed, thr):
     rng = random.Random(seed)
     n = 200
     edges = [
@@ -71,4 +73,4 @@ def test_random_graphs_vs_union_find(spark, seed):
         for _ in range(150)
     ]
     edges = [(u, v) for u, v in edges if u != v]
-    assert _run(spark, edges) == _uf_components(edges)
+    assert _run(spark, edges, driver_threshold=thr) == _uf_components(edges)
