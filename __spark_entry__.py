@@ -1920,6 +1920,18 @@ def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxonomy_counts(searcher, TermQuery("spark"), ["tool", "role"])
 
 
+def _q_taxonomy_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaxonomyFacets.getTopChildren: top-5 tool values among docs matching
+    'spark' (count desc, child asc tie-break)."""
+    from lucene_spark.search import TermQuery
+    from lucene_spark.search.facets import taxonomy_top_children
+
+    idx, searcher = _searcher(spark, sf_dir)
+    return taxonomy_top_children(
+        searcher, TermQuery("spark"), ["tool", "role"], prefix=(), top_n=5
+    )
+
+
 def _q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ToParentBlockJoinQuery analog: turn hits rolled up to conversations,
     parent score = max over child turns (ScoreMode.Max)."""
@@ -2814,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "taxonomy_facets": _q_taxonomy_facets,
+        "taxonomy_children": _q_taxonomy_children,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_count": _q_text_token_count,
         "boilerplate_removal": _q_boilerplate,
@@ -2973,6 +2986,16 @@ SELECT * FROM (
          concat_ws('/', tool, role) AS path, count(*) AS n
   FROM m GROUP BY ROLLUP(tool, role))
 WHERE level >= 1""",
+        "taxonomy_children": _PRELUDE
+        + """, m AS (
+  SELECT tool, role FROM tr
+  WHERE EXISTS (SELECT 1 FROM toks
+                WHERE toks.term = 'spark'
+                  AND toks.conv_id = tr.conv_id
+                  AND toks.turn_idx = tr.turn_idx)
+    AND tool IS NOT NULL AND role IS NOT NULL)
+SELECT tool AS child, count(*) AS n FROM m
+GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "dedup_simhash": _pl_dedup.near_duplicates_simhash_sql(_DOCS_REL),
         "text_token_count": _pl_text.token_counts_sql(_DOCS_REL),
         "boilerplate_removal": _pl_text.remove_boilerplate_lines_sql(_BOILER_REL),
