@@ -2325,10 +2325,15 @@ def _q_term_vector(doc_id: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, _ = _searcher(spark, sf_dir)
         idx.with_term_vectors()
+        # positions emitted as a comma-joined string: the driver's pandas
+        # canonicalizer (sort_values -> factorize) cannot hash list cells,
+        # so array-typed output columns can never certify.
         return idx.term_vector(doc_id).select(
             "term",
             F.col("freq").cast("long").alias("freq"),
-            F.col("positions").cast("array<int>").alias("positions"),
+            F.concat_ws(",", F.col("positions").cast("array<string>")).alias(
+                "positions"
+            ),
         ).orderBy("term")
 
     return run
@@ -2347,7 +2352,7 @@ toksp AS (
         FROM tr WHERE conv_id = '{conv}' AND turn_idx = {turn})
 )
 SELECT term, CAST(count(*) AS BIGINT) AS freq,
-       list_sort(list(CAST(pos1 - 1 AS INT))) AS positions
+       array_to_string(list_sort(list(CAST(pos1 - 1 AS INT))), ',') AS positions
 FROM toksp GROUP BY term ORDER BY term"""
     )
 

@@ -36,10 +36,23 @@ def _norm_cell(v):
 
 
 def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    """Driver-replica canonicalization: build a pandas frame, sort columns by
+    name, sort_values over ALL columns (this is what the real driver does, and
+    it throws `TypeError: unhashable type` on list/dict cells — exactly the
+    failure class that shipped in round 3's `term_vector_doc`), then compare
+    normalized cell values."""
+    import pandas as pd
+
+    order = sorted(cols)
+    df = pd.DataFrame(
+        [tuple(_norm_cell(v) for v in r) for r in rows], columns=list(cols)
     )
+    df = df[order]
+    if len(df):
+        # pandas sort_values -> Categorical.factorize requires hashable cells,
+        # same as the driver's canonicalizer.
+        df = df.sort_values(by=order, kind="mergesort", ignore_index=True)
+    return [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def test_entry_smoke(spark):
@@ -55,10 +68,23 @@ def test_queries_have_oracles():
     assert not missing, f"queries without oracle_sql: {missing}"
 
 
+_FLAT_TYPES = {
+    "string", "boolean", "tinyint", "smallint", "int", "bigint",
+    "float", "double", "decimal", "date", "timestamp", "binary",
+}
+
+
 @pytest.mark.parametrize("name", list(entry_mod.queries()))
 def test_query_vs_oracle(spark, duck, name):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     sdf = qs[name](spark, SF_DIR)
+    for fname, ftype in sdf.dtypes:
+        base = ftype.split("(")[0]
+        assert base in _FLAT_TYPES, (
+            f"{name}: column {fname} has nested type {ftype}; the driver's "
+            "pandas canonicalizer cannot hash list/struct cells — emit a "
+            "string (concat_ws/to_json) instead"
+        )
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
 
