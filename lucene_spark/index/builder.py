@@ -269,7 +269,7 @@ class IndexBuilder:
         )
         # the persist exists only to keep the counts pass and the id-join
         # pass on the SAME partitioning; build() releases it once the base
-        # relation is materialized (leaving it cached leaks a full tokenized
+        # relation is checkpointed (leaving it cached leaks a full tokenized
         # corpus copy PER BUILD — repeated builds in one JVM then evict each
         # other's useful blocks and throughput collapses)
         self._idassign_cache = sorted_df
@@ -478,8 +478,17 @@ class IndexBuilder:
             toks = with_ids.withColumn("_te", te)
 
         if self.invert in ("arrow", "mapside"):
+            # base is localCheckpoint'ed (eager), not merely persisted:
+            # doc_id derives from monotonically_increasing_id over the
+            # staged sort, so a lineage recompute after the staging cache
+            # is released could silently re-derive different ids.  The
+            # checkpoint freezes the id-bearing blocks (lineage truncated;
+            # loss of a block is a loud failure, never a silent desync).
+            # On a real cluster the durable path is CheckpointedIndexBuilder,
+            # which writes doc_ids to parquet.  ≙ Lucene's docIDs being
+            # fixed at flush time (index/DocumentsWriterPerThread.java).
             if self.invert == "arrow":
-                base = self._arrow_base(with_ids).persist()
+                base = self._arrow_base(with_ids).localCheckpoint(eager=True)
             else:
                 tcol = F.col("_te")
                 entries = F.transform(
@@ -504,8 +513,14 @@ class IndexBuilder:
                         ),
                     )
                     .drop("_te", self.text_col)
-                    .persist()
+                    .localCheckpoint(eager=True)
                 )
+            # the eager checkpoint above materialized base, so the doc-id
+            # staging cache (a full corpus copy) can be released right away
+            idc = getattr(self, "_idassign_cache", None)
+            if idc is not None:
+                self._idassign_cache = None
+                idc.unpersist()
             docs = base.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",
@@ -593,17 +608,14 @@ class IndexBuilder:
             "doc_count": int(srow.doc_count or 0),
             "sum_total_term_freq": int(srow.sttf or 0),
         }
-        # release the doc-id-assignment staging cache: the srow action above
-        # materialized the persisted base/docs, so nothing re-reads it on the
-        # arrow/mapside paths.  The shuffle path's postings still derive from
-        # it lazily, so there it is handed to the index for lifecycle release.
+        # shuffle path: postings derive lazily from the staged sort, so the
+        # staging cache is handed to the index for lifecycle release (keeping
+        # it pinned also pins the doc-id values against recompute).  The
+        # arrow/mapside paths released it right after the base checkpoint.
         idc = getattr(self, "_idassign_cache", None)
         if idc is not None:
             self._idassign_cache = None
-            if self.invert in ("arrow", "mapside"):
-                idc.unpersist()
-            else:
-                cached = cached + (idc,)
+            cached = cached + (idc,)
         return InvertedIndex(
             spark=spark,
             docs=docs,

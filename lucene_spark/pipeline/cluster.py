@@ -37,15 +37,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _sym(edges: DataFrame) -> DataFrame:
-    """Both orientations of every edge, self-loops dropped."""
-    return (
-        edges.filter(F.col("u") != F.col("v"))
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
-
-
 def _large_star(edges: DataFrame) -> DataFrame:
     """(v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

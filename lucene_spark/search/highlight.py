@@ -241,7 +241,13 @@ def fvh_snippets(
         F.col("ms"), lambda m: ((m["s"] + 1) >= ws) & ((m["e"] + 1) <= we)
     )
     if not bold_all:
-        inwin = F.slice(inwin, 1, 1)
+        # if the first match does not fit entirely inside the window (long
+        # term relative to width/margin), still bold it — the fold's final
+        # substring is already clamped to >= 0 chars, so the snippet simply
+        # ends at the match.  Matches the SQL twin's always-bold-first-match.
+        inwin = F.slice(
+            F.when(F.size(inwin) > 0, inwin).otherwise(F.col("ms")), 1, 1
+        )
     folded = F.aggregate(
         inwin,
         F.struct(ws.cast("int").alias("pos"), F.lit("").alias("acc")),

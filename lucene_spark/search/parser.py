@@ -256,6 +256,14 @@ class QueryParser:
             if not word:
                 raise QueryParseError("empty term after field:")
             if field in self.keyword_fields:
+                # keyword fields are exact-match filters; wildcard/fuzzy/
+                # range syntax is not supported on them, so reject it loudly
+                # instead of silently matching the literal string 'de*'
+                if any(c in word for c in "*?~[{"):
+                    raise QueryParseError(
+                        f"keyword field {field!r} only supports exact values; "
+                        f"got {word!r}"
+                    )
                 from lucene_spark.search.query import RangePredicate
 
                 return ConstantScoreQuery(
