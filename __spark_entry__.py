@@ -1738,6 +1738,15 @@ def _fvh_sql(term: str, k: int, width: int = 80, margin: int = 20) -> str:
     # first TOKEN-boundary occurrence via a length-preserving normalization:
     # every non-[a-z0-9] char becomes one space, so char offsets are stable
     # and ' term ' in the padded string marks a whole-token match.
+    #
+    # Declared-subset assumption (same class as _PRELUDE's '[a-z0-9]+'
+    # simplification): the engine's offsets relation uses the compound
+    # tokenizer (apostrophe/decimal joins — "spark's" is ONE token), while
+    # this twin treats every non-alnum as a boundary.  A doc containing a
+    # compound occurrence ("spark's") BEFORE a bare occurrence of the term
+    # would therefore snippet differently.  The fixture corpus contains no
+    # apostrophe/decimal compounds, so the gate compares the common subset;
+    # this is intentional and documented, not an engine bug.
     L = len(term)
     return (
         _PRELUDE
@@ -2357,6 +2366,167 @@ FROM toksp GROUP BY term ORDER BY term"""
     )
 
 
+def _vec_searcher(spark: SparkSession, sf_dir: str):
+    """The f64 searcher with the per-doc embedding relation registered:
+    embeddings.vec_id maps to (conv_id, turn_idx) by the same div/mod as
+    documents.doc_id, then joins the docs relation for the engine doc_id."""
+    idx, searcher = _searcher(spark, sf_dir)
+    if searcher._vectors is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        keyed = emb.select(
+            F.concat(
+                F.lit("conv"),
+                F.lpad(
+                    (F.col("vec_id") / TURNS_PER_CONV).cast("long").cast("string"),
+                    6, "0",
+                ),
+            ).alias("conv_id"),
+            (F.col("vec_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+            "embedding",
+        )
+        vecs = keyed.join(
+            idx.docs.select("doc_id", "conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+        ).select("doc_id", "embedding")
+        searcher.with_vectors(vecs)
+    return idx, searcher
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    key = ("qvec", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .collect()[0]
+        )
+        _CACHE[key] = [float(x) for x in row.embedding]
+    return _CACHE[key]
+
+
+def _q_knn(k: int, filter_term: str | None = None):
+    """KnnFloatVectorQuery as a search-tree node
+    (core/search/KnnFloatVectorQuery.java:45): the k nearest vectors by
+    cosine — pre-filtered to docs containing ``filter_term`` when set, the
+    reference's filter-then-topk semantics — scored (1 + cos) / 2."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import KnnVectorQuery, TermQuery
+
+        _, searcher = _vec_searcher(spark, sf_dir)
+        f = TermQuery(filter_term) if filter_term else None
+        q = KnnVectorQuery(_query_vec(spark, sf_dir), k, filter=f)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+# the vector-similarity CTEs shared by the knn oracles: q = embedding of
+# vec_id 0, cos_i = integer-quantized cosine (identical arithmetic to
+# pipeline.similarity.cosine_topk / the engine's _scored_knn)
+_KNN_Q = 1_000_000
+
+
+def _knn_vk_cte() -> str:
+    return f"""
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(round(x * {_KNN_Q}) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+vk AS (
+  SELECT concat('conv', lpad(CAST(vec_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(vec_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         CAST(round({float(_KNN_Q)} *
+           list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(round(embedding[i] * {_KNN_Q}) AS BIGINT) * q[i]))::DOUBLE
+           / sqrt(list_sum(list_transform(embedding,
+             x -> CAST(round(x * {_KNN_Q}) AS BIGINT) * CAST(round(x * {_KNN_Q}) AS BIGINT)))::DOUBLE)
+           / sqrt(list_sum(list_transform(q, v -> v * v))::DOUBLE)) AS BIGINT) AS cos_i
+  FROM embeddings e, qv
+)"""
+
+
+def _knn_sql(k: int, filter_term: str | None = None) -> str:
+    flt = (
+        f"""JOIN (SELECT DISTINCT conv_id, turn_idx FROM tf
+         WHERE term = '{filter_term}') fd USING (conv_id, turn_idx)"""
+        if filter_term
+        else ""
+    )
+    return (
+        _PRELUDE
+        + ","
+        + _knn_vk_cte()
+        + f""",
+kn AS (
+  SELECT conv_id, turn_idx,
+         CAST(round((1.0 + cos_i / {float(_KNN_Q)}) / 2.0 * 10000) AS BIGINT) AS score_i
+  FROM vk {flt}
+  ORDER BY cos_i DESC, conv_id, turn_idx LIMIT {k}
+)
+SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+       conv_id, turn_idx, score_i
+FROM kn ORDER BY rank"""
+    )
+
+
+def _q_hybrid(term: str, knn_k: int, k: int):
+    """Hybrid retrieval: BooleanQuery(SHOULD=[TermQuery, KnnVectorQuery]) —
+    BM25 and vector-similarity scores SUM for docs matching both, per
+    BooleanQuery SHOULD semantics over the knn rewrite
+    (KnnFloatVectorQuery.java:45 rewrite → DocAndScoreQuery)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import (
+            BooleanQuery, KnnVectorQuery, Occur, TermQuery,
+        )
+
+        _, searcher = _vec_searcher(spark, sf_dir)
+        q = BooleanQuery.of(
+            (TermQuery(term), Occur.SHOULD),
+            (KnnVectorQuery(_query_vec(spark, sf_dir), knn_k), Occur.SHOULD),
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _hybrid_sql(term: str, knn_k: int, k: int) -> str:
+    return (
+        _PRELUDE
+        + ","
+        + _knn_vk_cte()
+        + f""",
+kn AS (
+  SELECT conv_id, turn_idx, (1.0 + cos_i / {float(_KNN_Q)}) / 2.0 AS kscore
+  FROM vk ORDER BY cos_i DESC, conv_id, turn_idx LIMIT {knn_k}
+),
+bs AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}'
+  GROUP BY 1, 2
+),
+comb AS (
+  SELECT coalesce(bs.conv_id, kn.conv_id) AS conv_id,
+         coalesce(bs.turn_idx, kn.turn_idx) AS turn_idx,
+         coalesce(bs.score, 0) + coalesce(kn.kscore, 0) AS score
+  FROM bs FULL OUTER JOIN kn
+    ON bs.conv_id = kn.conv_id AND bs.turn_idx = kn.turn_idx
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM comb)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_suggest_fuzzy(prefix: str, k: int, max_edits: int = 1):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search.suggest import suggest_fuzzy
@@ -2790,6 +2960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_in_set_match": _q_term_in_set(["spark", "data", "model"]),
         "field_exists_count": _q_field_exists("tool"),
         "term_vector_doc": _q_term_vector(123),
+        "knn_topk": _q_knn(10),
+        "knn_filtered_topk": _q_knn(10, filter_term="data"),
+        "hybrid_bm25_knn_topk": _q_hybrid("spark", 50, 10),
         "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
         "search_after_page2": _q_search_after("data", 10),
         "join_util_convs": _q_join_util("data", 10),
@@ -2881,6 +3054,9 @@ def oracle_sql() -> dict[str, str]:
         "term_in_set_match": _match_set_sql("term IN ('spark', 'data', 'model')"),
         "field_exists_count": _PRELUDE + "SELECT count(*) AS n FROM tr WHERE tool IS NOT NULL",
         "term_vector_doc": _term_vector_sql(123),
+        "knn_topk": _knn_sql(10),
+        "knn_filtered_topk": _knn_sql(10, filter_term="data"),
+        "hybrid_bm25_knn_topk": _hybrid_sql("spark", 50, 10),
         "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
         "search_after_page2": _search_after_sql("data", 10),
         "join_util_convs": _join_util_sql("data", 10),

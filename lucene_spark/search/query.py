@@ -341,3 +341,35 @@ class RangePredicate(Query):
     upper: object = None
     include_lower: bool = True
     include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class KnnVectorQuery(Query):
+    """KnnFloatVectorQuery analog (core/search/KnnFloatVectorQuery.java:45):
+    the k nearest vectors to ``query_vec`` among docs accepted by ``filter``
+    (pre-filter semantics — the filter restricts the candidate set BEFORE
+    top-k, so exactly k docs match when k candidates pass).  Score is
+    Lucene's cosine similarity mapping (1 + cos) / 2
+    (index/VectorSimilarityFunction.java COSINE), times ``boost``.
+
+    Like the reference's rewrite to a DocAndScoreQuery, only the k nearest
+    docs MATCH this query, so it composes under BooleanQuery as any occur:
+    SHOULD adds its similarity score to BM25 clauses (hybrid retrieval),
+    MUST/FILTER constrains to the k-doc set, MUST_NOT excludes it.
+
+    Vectors come from ``IndexSearcher.with_vectors``; when an IVF index
+    path was registered and there is no filter, candidates are read from
+    the probed partitions only (partition-pruned scan), otherwise the scan
+    is exact brute-force over the (filtered) vector relation."""
+
+    query_vec: tuple
+    k: int = 10
+    filter: Query | None = None
+    boost: float = 1.0
+
+    def __init__(self, query_vec, k: int = 10, filter: Query | None = None,
+                 boost: float = 1.0):
+        object.__setattr__(self, "query_vec", tuple(float(x) for x in query_vec))
+        object.__setattr__(self, "k", int(k))
+        object.__setattr__(self, "filter", filter)
+        object.__setattr__(self, "boost", float(boost))

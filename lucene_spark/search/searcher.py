@@ -40,6 +40,7 @@ from lucene_spark.search.query import (
     DisjunctionMaxQuery,
     FieldExistsQuery,
     FuzzyQuery,
+    KnnVectorQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiPhraseQuery,
@@ -135,6 +136,81 @@ class IndexSearcher:
         self.b = np.float32(index.b)
         self.term_cache_max = (
             term_cache_max if term_cache_max is not None else self.TERM_CACHE_MAX
+        )
+        self._vectors = None
+        self._vectors_ivf_path = None
+
+    # ------------------------------------------------------------------
+    # vector search surface (KnnFloatVectorQuery.java:45)
+    def with_vectors(self, vectors: "DataFrame", id_col: str = "doc_id",
+                     ivf_path: str | None = None) -> "IndexSearcher":
+        """Register the per-doc embedding relation (doc_id, embedding) that
+        KnnVectorQuery scans.  ``ivf_path`` optionally points at a prebuilt
+        ``pipeline.similarity.ivf_build`` index over the SAME ids; when set
+        and a KnnVectorQuery has no filter, candidates come from the probed
+        cid partitions only (partition-pruned FileScan) instead of the full
+        relation — the reference's HNSW graph walk re-expressed as coarse
+        quantization + partition pruning (SURVEY.md §9 scope note)."""
+        self._vectors = vectors.select(
+            F.col(id_col).alias("doc_id"), "embedding"
+        )
+        self._vectors_ivf_path = ivf_path
+        return self
+
+    def _scored_knn(self, q) -> DataFrame:
+        """k nearest (pre-filtered) vectors; score = boost * (1 + cos) / 2
+        (VectorSimilarityFunction.java COSINE), with cos derived from the
+        pipeline's integer-quantized dot product so both engines agree
+        bit-for-bit.  The result is a k-row relation — under BooleanQuery
+        it joins/unions as a tiny (broadcastable) side."""
+        from lucene_spark.pipeline.similarity import (
+            QUANT, _dot, _norm2, _probe_list, _quant, _round_away, ivf_open,
+        )
+
+        if self._vectors is None and self._vectors_ivf_path is None:
+            raise ValueError(
+                "KnnVectorQuery requires IndexSearcher.with_vectors(...)"
+            )
+        qv = [_round_away(float(x) * QUANT) for x in q.query_vec]
+        qlit = F.array(*[F.lit(v).cast("long") for v in qv])
+        qn = float(np.sqrt(float(sum(v * v for v in qv))))
+        cand = self._vectors
+        if self._vectors_ivf_path is not None and q.filter is None:
+            cents, vectors = ivf_open(
+                self.index.spark, self._vectors_ivf_path
+            )
+            probes = _probe_list(cents, list(q.query_vec), nprobe=2)
+            cand = (
+                vectors.filter(F.col("cid").isin(probes))
+                .select(F.col("doc_id"), "embedding")
+            )
+        if q.filter is not None:
+            # pre-filter semantics: restrict candidates BEFORE top-k, so
+            # the result is the k nearest docs that pass the filter
+            cand = cand.join(self._matches(q.filter), "doc_id", "left_semi")
+        vq = _quant(F.col("embedding"))
+        cos_i = (
+            F.round(
+                F.lit(float(QUANT)) * _dot(vq, qlit).cast("double")
+                / F.sqrt(_norm2(vq).cast("double")) / F.lit(qn)
+            ).cast("long")
+        )
+        top = (
+            cand.select("doc_id", cos_i.alias("_cos_i"))
+            .orderBy(F.desc("_cos_i"), F.asc("doc_id"))
+            .limit(q.k)
+        )
+        st = self.score_type
+        boost = _f32(q.boost) if st == "float" else float(q.boost)
+        return top.select(
+            "doc_id",
+            (
+                F.lit(boost).cast(st)
+                * (
+                    (F.lit(1.0) + F.col("_cos_i") / F.lit(float(QUANT)))
+                    / F.lit(2.0)
+                ).cast(st)
+            ).cast(st).alias("score"),
         )
 
     # ------------------------------------------------------------------
@@ -690,6 +766,8 @@ class IndexSearcher:
             return self._range_cost(q)
         if isinstance(q, MatchNoDocsQuery):
             return 0.0
+        if isinstance(q, KnnVectorQuery):
+            return float(q.k)  # rewrites to a k-doc set
         if isinstance(q, BooleanQuery):
             musts = [
                 c.query for c in q.clauses
@@ -865,6 +943,8 @@ class IndexSearcher:
             return self._const_scored(self._matches(q.query), q.boost)
         if isinstance(q, DisjunctionMaxQuery):
             return self._scored_dismax(q)
+        if isinstance(q, KnnVectorQuery):
+            return self._scored_knn(q)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
 
     def _scored_synonym(self, q: SynonymQuery) -> DataFrame:
