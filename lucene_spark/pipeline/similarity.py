@@ -292,7 +292,7 @@ def ivf_topk(
     column and prune at the FileScan."""
     cents = _centroids(emb, n_centroids, id_col)
     probes = _probe_list(cents, query_vec, nprobe)
-    cand = emb.withColumn("_ivf_cid", _assignment_expr(cents)).filter(
+    cand = assign_centroids(emb, cents, "_ivf_cid").filter(
         F.col("_ivf_cid").isin(probes)
     ).drop("_ivf_cid")
     return cosine_topk(cand, query_vec, k, id_col)
@@ -367,6 +367,67 @@ def _assignment_expr(cents):
     return F.lit(_PRIORITY_BASE - 1) - (best % F.lit(_PRIORITY_BASE))
 
 
+# above this K the single-expression assignment stops being viable: a
+# K-branch greatest(...) chain is a codegen bomb (and falls back to
+# interpreted eval), so assignment switches to the Arrow-batched numpy
+# matmul — same integer arithmetic, cost O(batch x K) BLAS instead of a
+# K-term expression tree.  The expr path stays the small-K oracle twin.
+IVF_EXPR_MAX_K = 64
+
+
+def assign_centroids(
+    df: DataFrame, cents, out_col: str = "cid", strategy: str | None = None
+) -> DataFrame:
+    """``df`` + an ``out_col`` int column holding the nearest-centroid cid
+    (max integer-quantized cosine, ties to the smallest cid — identical
+    semantics on both paths):
+
+    * ``expr`` (default for K <= IVF_EXPR_MAX_K): one JVM expression,
+      SQL-twin derivable (``_assignment_expr``).
+    * ``matmul`` (default above): mapInPandas numpy (batch x dim) @
+      (dim x K) per Arrow batch — the 100 TB path, where K ~ sqrt(N) runs
+      to thousands-to-millions of centroids.
+    """
+    if strategy is None:
+        strategy = "expr" if len(cents) <= IVF_EXPR_MAX_K else "matmul"
+    if strategy == "expr":
+        return df.withColumn(out_col, _assignment_expr(cents))
+    if strategy != "matmul":
+        raise ValueError(f"unknown assignment strategy {strategy!r}")
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # cents is sorted by cid, so np.argmax's first-max rule == ties to the
+    # smallest cid, matching the expr path's priority encoding
+    cmat = np.array([cvec for _, cvec, _ in cents], dtype=np.int64)
+    cnorm = np.array([cn for _, _, cn in cents], dtype=np.float64)
+    cids = np.array([cid for cid, _, _ in cents], dtype=np.int64)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, IntegerType())]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            mat = _np_round_away(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            dots = mat @ cmat.T  # exact int64
+            vnorm = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1))
+            # same op order as _cos_i_to_centroid: QUANT * dot / vnorm / cnorm
+            cos_i = _np_round_away(
+                float(QUANT) * dots.astype(np.float64)
+                / vnorm[:, None] / cnorm[None, :]
+            ).astype(np.int64)
+            pdf[out_col] = cids[np.argmax(cos_i, axis=1)].astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(part, schema=out_schema)
+
+
 def _probe_list(cents, query_vec: list[float], nprobe: int) -> list[int]:
     """nprobe nearest centroids to the query — driver-side over the tiny
     centroid list, same integer-quantized math as the SQL oracle."""
@@ -402,7 +463,7 @@ def ivf_build(
     cents = _centroids(emb, n_centroids, id_col)
     spark = emb.sparkSession
     (
-        emb.withColumn("cid", _assignment_expr(cents))
+        assign_centroids(emb, cents, "cid")
         .write.mode("overwrite").partitionBy("cid")
         .parquet(f"{index_path}/vectors")
     )
@@ -488,8 +549,8 @@ def near_duplicates_embedding(
     round(threshold * 1e6).  Join degree is bounded by cell size, not
     corpus size; at 100 TB raise n_centroids ~ sqrt(N)."""
     cents = _centroids(emb, n_centroids, id_col)
-    tagged = emb.select(
-        F.col(id_col).alias("vid"), "embedding", _assignment_expr(cents).alias("cid")
+    tagged = assign_centroids(
+        emb.select(F.col(id_col).alias("vid"), "embedding"), cents
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     thr = _round_away(threshold * QUANT)

@@ -182,6 +182,34 @@ def test_ivf_centroid_cap_guard(emb, qvec):
         sim.ivf_topk(emb, qvec, 10, n_centroids=2000)
 
 
+def test_assignment_matmul_parity(emb):
+    """The Arrow-batched matmul assignment (the K > IVF_EXPR_MAX_K scale
+    path) must agree cell-for-cell with the single-expression path, ties
+    included (max cos_i, smallest cid)."""
+    from lucene_spark.pipeline import similarity as sim
+
+    cents = sim._centroids(emb, 16)
+    a = sim.assign_centroids(emb, cents, strategy="expr")
+    b = sim.assign_centroids(emb, cents, strategy="matmul")
+    ra = sorted((int(r.vec_id), int(r.cid)) for r in a.select("vec_id", "cid").collect())
+    rb = sorted((int(r.vec_id), int(r.cid)) for r in b.select("vec_id", "cid").collect())
+    assert ra == rb
+
+
+def test_assignment_autoswitch_plan(emb):
+    """K above the threshold must route to mapInPandas (no K-branch
+    greatest() chain in the plan); K below keeps the expr path."""
+    from lucene_spark.pipeline import similarity as sim
+
+    cents = sim._centroids(emb, 16)
+    big = cents * 5  # 80 synthetic centroid entries > IVF_EXPR_MAX_K
+    big = [(i, c[1], c[2]) for i, c in enumerate(big)]
+    plan_big = sim.assign_centroids(emb, big)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan_big or "mapInPandas" in plan_big
+    plan_small = sim.assign_centroids(emb, cents)._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan_small and "mapInPandas" not in plan_small
+
+
 def test_batch_topk_equals_declarative(emb, qvec):
     from lucene_spark.pipeline import similarity as sim
 
