@@ -428,6 +428,146 @@ FROM ordered WHERE rank <= {k} ORDER BY rank"""
     )
 
 
+def _searcher_en(spark: SparkSession, sf_dir: str):
+    """EnglishAnalyzer-preset searcher (EnglishAnalyzer.java:37-52:
+    possessive + ENGLISH_STOP_WORDS + full Porter)."""
+    key = ("en", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        idx = IndexBuilder(num_segments=8, analyzer=Analyzer.english()).build(
+            _transcripts_df(spark, sf_dir)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_topk_english(query_text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher_en(spark, sf_dir)
+        terms = searcher.parse_terms(query_text)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+_EN_PRELUDE_CACHE: dict[str, str] = {}
+
+
+def _prelude_en() -> str:
+    """Analyzed prelude for the EnglishAnalyzer gate.  DuckDB has no Porter
+    built-in in this sandbox, so the (term -> stem) pairs the full Porter
+    stemmer CHANGES are inlined as a VALUES map derived once from the
+    fixture vocabulary at every contract scale (the fixture vocabulary is
+    a few dozen terms; unseen terms COALESCE to themselves, which matches
+    Porter only because the map covers the whole corpus vocabulary — a
+    declared-subset assumption like _PRELUDE's '[a-z0-9]+' tokenizer)."""
+    if "sql" not in _EN_PRELUDE_CACHE:
+        import duckdb
+
+        from lucene_spark.analysis.porter import porter_stem
+
+        con = duckdb.connect()
+        vocab: set[str] = set()
+        for sf in ("0.001", "0.01", "0.1"):
+            path = f"/root/testdata/sf{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            vocab |= {
+                r[0]
+                for r in con.execute(
+                    "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                    f" '[a-z0-9]+')) FROM read_parquet('{path}')"
+                ).fetchall()
+            }
+        pairs = sorted(
+            (t, porter_stem(t)) for t in vocab if porter_stem(t) != t
+        )
+        vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
+        _EN_PRELUDE_CACHE["sql"] = f"""
+WITH pmap(tok, stem) AS (VALUES {vals}),
+tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx, text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+eent AS (
+  SELECT t.conv_id, t.turn_idx, COALESCE(pm.stem, t.tok) AS term, t.pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr) t
+  LEFT JOIN pmap pm ON pm.tok = t.tok
+  WHERE t.tok NOT IN ({_AN_STOPLIST})
+),
+edl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM eent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+edlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM edl
+),
+estats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM edl
+),
+etf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM eent GROUP BY 1, 2, 3
+),
+edfreq AS (
+  SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
+)
+"""
+    return _EN_PRELUDE_CACHE["sql"]
+
+
+_EN_SCORE = (
+    "ln(1 + (estats.doc_count - edfreq.doc_freq + 0.5) / (edfreq.doc_freq + 0.5))"
+    " * etf.freq / (etf.freq + 1.2 * (0.25 + 0.75 * edlq.dlq"
+    " / (CAST(estats.sttf AS DOUBLE) / estats.doc_count)))"
+)
+
+
+def _english_topk_sql(stemmed_terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in stemmed_terms)
+    return (
+        _prelude_en()
+        + f""",
+scored AS (
+  SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
+  FROM etf
+  JOIN edfreq USING (term)
+  JOIN edlq USING (conv_id, turn_idx)
+  CROSS JOIN estats
+  WHERE etf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_topk_stemmed(query_text: str, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import BooleanQuery, Occur, TermQuery
@@ -2936,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_phrase(["the", "customer"], 10),
         "bm25_phrase_slop": _q_phrase_slop(["customer", "join"], 2, 10),
         "bm25_topk_stemmed": _q_topk_stemmed("queries joins tables", 20),
+        "bm25_topk_english": _q_topk_english("the queries and joins of tables", 20),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
         "topk_by_ts_then_score": _q_topk_by_ts_then_score("data", 10),
@@ -3029,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase": _phrase_sql(["the", "customer"], 10),
         "bm25_phrase_slop": _sloppy_phrase_sql("customer", "join", 2, 10),
         "bm25_topk_stemmed": _an_topk_sql(["query", "join", "table"], 20),
+        "bm25_topk_english": _english_topk_sql(["queri", "join", "tabl"], 20),
         "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
         "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),
         "topk_by_ts_then_score": _topk_by_ts_sql("data", 10),

@@ -132,6 +132,10 @@ class Analyzer:
     # ASCIIFoldingFilter (1:1 subset) as a pre-tokenize char filter —
     # composes with every other stage
     ascii_folding: bool = False
+    # EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:33): strip a
+    # trailing 's right after tokenization (the compound tokenizer keeps
+    # "spark's" as one token), BEFORE stop/stem — the EnglishAnalyzer slot
+    possessive: bool = False
 
     def __post_init__(self):
         if self.stemmer not in (None, "s", "porter"):
@@ -158,6 +162,15 @@ class Analyzer:
             if self.stemmer is not None or self.synonyms:
                 raise ValueError("ngram composes only with stopwords")
 
+    @classmethod
+    def english(cls) -> "Analyzer":
+        """The EnglishAnalyzer preset (analysis/common/src/java/org/apache/
+        lucene/analysis/en/EnglishAnalyzer.java:37-52): possessive filter +
+        ENGLISH_STOP_WORDS (with position holes) + PorterStemFilter."""
+        return cls(
+            stopwords=ENGLISH_STOP_WORDS, stemmer="porter", possessive=True
+        )
+
     @property
     def syn_map(self) -> dict[str, list[str]]:
         m: dict[str, list[str]] = {}
@@ -173,6 +186,7 @@ class Analyzer:
             and not self.shingle_size
             and self.ngram is None
             and not self.ascii_folding
+            and not self.possessive
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -186,6 +200,7 @@ class Analyzer:
             "shingle_size": self.shingle_size,
             "ngram": list(self.ngram) if self.ngram else None,
             "ascii_folding": self.ascii_folding,
+            "possessive": self.possessive,
         }
 
     @classmethod
@@ -200,6 +215,7 @@ class Analyzer:
             shingle_size=d.get("shingle_size", 0),
             ngram=tuple(ng) if ng else None,
             ascii_folding=d.get("ascii_folding", False),
+            possessive=d.get("possessive", False),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -209,6 +225,8 @@ class Analyzer:
         if self.ascii_folding and text is not None:
             text = ascii_fold(text)
         toks = tokenize_text(text)
+        if self.possessive:
+            toks = [t[:-2] if t.endswith("'s") else t for t in toks]
         out: list[tuple[str, int]] = []
         syn = self.syn_map
         for pos, t in enumerate(toks):
@@ -242,6 +260,8 @@ class Analyzer:
             text = ascii_fold(text)
         out: list[tuple[str, int]] = []
         for pos, t in enumerate(tokenize_text(text)):
+            if self.possessive and t.endswith("'s"):
+                t = t[:-2]
             if t in self.stopwords:
                 continue
             if self.stemmer == "s":
@@ -268,6 +288,8 @@ class Analyzer:
         if self.ascii_folding:
             col = F.translate(col, _FOLD_FROM, _FOLD_TO)
         toks = tokens_expr(col)
+        if self.possessive:
+            toks = F.transform(toks, lambda t: F.regexp_replace(t, "'s$", ""))
         entries = F.transform(
             toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
         )

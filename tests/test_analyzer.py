@@ -237,6 +237,8 @@ def test_shingle_ngram_constraints():
         dict(shingle_size=3, stopwords=frozenset({"the", "a"})),
         dict(ngram=(2, 3)),
         dict(ngram=(1, 2), stopwords=frozenset({"of"})),
+        dict(possessive=True),
+        dict(possessive=True, stopwords=frozenset({"the"}), stemmer="s"),
     ],
 )
 def test_entries_expr_matches_python_chain(spark, an_kwargs):
@@ -305,3 +307,46 @@ def test_ascii_folding_entries_expr_parity(spark, an_kwargs):
         assert got == want, (t, an_kwargs)
     # query side folds the same way
     assert Analyzer(ascii_folding=True).analyze_query("Łódź Café") == ["lodz", "cafe"]
+
+
+def test_english_preset_chain():
+    """EnglishAnalyzer.java:37-52: possessive -> stop (holes) -> Porter."""
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS, Analyzer
+
+    an = Analyzer.english()
+    assert an.stopwords == ENGLISH_STOP_WORDS
+    assert an.stemmer == "porter" and an.possessive
+    # query-side: "the spark's queries" -> possessive strips 's, "the"
+    # leaves a hole, porter stems queries -> queri
+    assert an.analyze_query("the spark's queries") == ["spark", "queri"]
+    assert an.analyze_query_positions("the spark's queries") == [
+        ("spark", 1), ("queri", 2),
+    ]
+    # round-trips through commit.json
+    assert Analyzer.from_json(an.to_json()) == an
+
+
+def test_english_preset_end_to_end(spark):
+    from pyspark.sql import Row
+
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    rows = [
+        ("c0", 0, "u", None, None, "the model's tables are joining"),
+        ("c0", 1, "u", None, None, "no relevant words here"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string,"
+        " ts timestamp, text string",
+    )
+    idx = IndexBuilder(num_segments=2, analyzer=Analyzer.english()).build(df)
+    s = IndexSearcher(idx)
+    # "model's" indexes as porter("model") = "model"; "tables" as "tabl"
+    for qtext in ("model", "tables"):
+        (term,) = s.parse_terms(qtext)
+        hits = s.search(TermQuery(term), 5).collect()
+        assert [(r.conv_id, r.turn_idx) for r in hits] == [("c0", 0)], qtext
+    idx.unpersist_all()
