@@ -37,6 +37,28 @@ from lucene_spark.util.smallfloat import NUM_FREE_VALUES
 DOC_KEY = ("conv_id", "turn_idx")
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block storage behind a ``localCheckpoint``-ed DataFrame.
+
+    ``Dataset.unpersist()`` only releases cacheManager entries (``persist``);
+    a local checkpoint pins its RDD at the block-manager level and is
+    otherwise reclaimed only by the periodic ContextCleaner GC (default every
+    30 min) — repeated builds in one long-lived JVM would accumulate
+    corpus-sized checkpoint blocks in the meantime (the round-3 leak shape).
+    Walk the analyzed plan's leaves and unpersist any LogicalRDD directly.
+    Callers must only do this once nothing will re-evaluate the relation:
+    the lineage is truncated, so a post-release evaluation fails loudly.
+    """
+    try:
+        it = df._jdf.queryExecution().analyzed().collectLeaves().iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: storage reclaim must never fail a release path
+
+
 def _byte4_encode(colname: str):
     """intToByte4(col) as a SQL expression string (integer-exact)."""
     n = NUM_FREE_VALUES
@@ -93,6 +115,7 @@ class InvertedIndex:
     def unpersist_all(self) -> None:
         for df in self.cached:
             df.unpersist()
+            _release_local_checkpoint(df)
         if self.packed is not None:
             self.packed.unpersist()
 
@@ -250,49 +273,100 @@ class IndexBuilder:
     def assign_doc_ids(self, df: DataFrame) -> DataFrame:
         """Dense doc_id = global rank over (conv_id, turn_idx).
 
-        Scalable two-pass: range-partition + sort, take the per-partition
-        local row index from monotonically_increasing_id (which is
-        (partition_id << 33) | local_index), aggregate per-partition counts
-        (tiny), cumulative offsets on the driver, broadcast-join them back.
-        No global window, no single-partition bottleneck; the result does not
-        depend on partition boundaries because (conv_id, turn_idx) is a total
-        order.  ≙ Lucene's deterministic docID remap on merge
-        (core/index/DocIDMerger.java:73-83).
+        Derived as a pure function of the DATA, never of a physical layout:
+        ``doc_id = conv_start(conv_id) + rank(turn_idx within conv)``.  The
+        only pinned artifact is the per-conversation start-offset relation
+        (one row per conv — corpus-small), computed with a scalable two-pass
+        cumulative sum at the CONV level (range-partition convs, per-partition
+        totals to the driver, window cumsum within partitions).  Everything
+        turn-level is deterministic lineage: a recompute of any postings/docs
+        block after cache eviction or executor loss re-derives byte-identical
+        doc_ids — there is no monotonically_increasing_id and no corpus-sized
+        staging cache to keep alive (round-3 ADVICE).  ≙ Lucene's
+        deterministic docID remap on merge (core/index/DocIDMerger.java:73-83).
+
+        ``segment`` becomes ``floor(doc_id * n / total)``: contiguous,
+        balanced doc ranges — the same shape the old range-partition pid
+        produced, but reproducible.
         """
-        n = self.num_segments or df.sparkSession.sparkContext.defaultParallelism
-        sorted_df = (
-            df.repartitionByRange(n, *DOC_KEY)
-            .sortWithinPartitions(*DOC_KEY)
-            .withColumn("_mid", F.monotonically_increasing_id())
+        from pyspark.sql.window import Window
+
+        spark = df.sparkSession
+        n = self.num_segments or spark.sparkContext.defaultParallelism
+        # pass 1: per-conv turn counts (map-side combine; one row per conv)
+        conv_sorted = (
+            df.groupBy("conv_id")
+            .agg(F.count("*").alias("_cn"))
+            .repartitionByRange(n, "conv_id")
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
-        # the persist exists only to keep the counts pass and the id-join
-        # pass on the SAME partitioning; build() releases it once the base
-        # relation is checkpointed (leaving it cached leaks a full tokenized
-        # corpus copy PER BUILD — repeated builds in one JVM then evict each
-        # other's useful blocks and throughput collapses)
-        self._idassign_cache = sorted_df
-        counts = (
-            sorted_df.groupBy("_pid").count().orderBy("_pid").collect()
+        ptot = (
+            conv_sorted.groupBy("_pid")
+            .agg(F.sum("_cn").alias("_docs"), F.count("*").alias("_convs"))
+            .collect()
         )
-        offsets, acc = {}, 0
-        for row in counts:
-            offsets[row._pid] = acc
-            acc += row["count"]
-        offsets_df = F.broadcast(
-            df.sparkSession.createDataFrame(
-                [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        offsets, acc, n_convs = {}, 0, 0
+        for row in sorted(ptot, key=lambda r: r._pid):
+            offsets[int(row._pid)] = acc
+            acc += int(row._docs)
+            n_convs += int(row._convs)
+        total = acc
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                sorted((p, o) for p, o in offsets.items()), "_pid int, _doff long"
             )
         )
+        cum = (
+            Window.partitionBy("_pid")
+            .orderBy("conv_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # eager checkpoint pins the tiny conv->offset map (its own derivation
+        # used spark_partition_id, so IT must be frozen); after this, nothing
+        # in the build depends on a physical layout
+        conv_offsets = (
+            conv_sorted.join(off_df, "_pid")
+            .withColumn(
+                "_start", F.col("_doff") + F.coalesce(F.sum("_cn").over(cum), F.lit(0))
+            )
+            .select("conv_id", "_start")
+            .localCheckpoint(eager=True)
+        )
+        conv_sorted.unpersist()
+        # hand the checkpoint to build() for lifecycle release: its blocks
+        # stay pinned until nothing derives from them un-materialized
+        self._conv_offsets = conv_offsets
+        # pass 2: join offsets back, rank turns within each conv.  The
+        # repartitionByRange(conv_id) both feeds the window (range
+        # partitioning clusters equal conv_ids) and leaves the output in
+        # global doc_id order — contiguous sorted segments, like a Lucene
+        # flush (index sorting, SURVEY §2.5).
+        rank_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        # the offsets relation is one slim row per conv: broadcast it below
+        # ~8M convs (a few hundred MB) so the corpus shuffles exactly once
+        # (the range exchange); above that, fall back to a shuffle join —
+        # the AQE-safe shape for billions of convs at 100 TB.  The explicit
+        # hint matters because the localCheckpoint leaf has no stats for AQE.
+        if n_convs <= 8_000_000:
+            conv_offsets = F.broadcast(conv_offsets)
         out = (
-            sorted_df.join(offsets_df, "_pid")
+            df.join(conv_offsets, "conv_id")
+            .repartitionByRange(n, "conv_id")
             .withColumn(
                 "doc_id",
-                F.col("_offset") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)),
+                (F.col("_start") + F.row_number().over(rank_w) - F.lit(1)).cast(
+                    "long"
+                ),
             )
-            .withColumn("segment", F.col("_pid"))
-            .drop("_mid", "_offset")
+            .withColumn(
+                "segment",
+                F.least(
+                    F.lit(n - 1),
+                    (F.col("doc_id") * n / F.lit(max(total, 1))).cast("int"),
+                ).cast("int"),
+            )
+            .drop("_start")
         )
         return out
 
@@ -478,15 +552,15 @@ class IndexBuilder:
             toks = with_ids.withColumn("_te", te)
 
         if self.invert in ("arrow", "mapside"):
-            # base is localCheckpoint'ed (eager), not merely persisted:
-            # doc_id derives from monotonically_increasing_id over the
-            # staged sort, so a lineage recompute after the staging cache
-            # is released could silently re-derive different ids.  The
-            # checkpoint freezes the id-bearing blocks (lineage truncated;
-            # loss of a block is a loud failure, never a silent desync).
-            # On a real cluster the durable path is CheckpointedIndexBuilder,
-            # which writes doc_ids to parquet.  ≙ Lucene's docIDs being
-            # fixed at flush time (index/DocumentsWriterPerThread.java).
+            # base is localCheckpoint'ed (eager) purely as a MATERIALIZATION
+            # point: docs/postings/term_stats all fan out from it, and without
+            # a cut here each would re-tokenize the corpus.  doc_id itself is
+            # deterministic lineage (assign_doc_ids: rank over the data), so a
+            # lost checkpoint block is only a recompute cost, never an id
+            # desync.  On a real cluster the durable path is
+            # CheckpointedIndexBuilder, which writes the base to parquet.
+            # ≙ Lucene's docIDs being fixed at flush time
+            # (index/DocumentsWriterPerThread.java).
             if self.invert == "arrow":
                 base = self._arrow_base(with_ids).localCheckpoint(eager=True)
             else:
@@ -515,12 +589,12 @@ class IndexBuilder:
                     .drop("_te", self.text_col)
                     .localCheckpoint(eager=True)
                 )
-            # the eager checkpoint above materialized base, so the doc-id
-            # staging cache (a full corpus copy) can be released right away
-            idc = getattr(self, "_idassign_cache", None)
-            if idc is not None:
-                self._idassign_cache = None
-                idc.unpersist()
+            # base's checkpoint truncated lineage, so the conv-offsets
+            # checkpoint behind doc_id is no longer referenced — free it now
+            co = getattr(self, "_conv_offsets", None)
+            if co is not None:
+                self._conv_offsets = None
+                _release_local_checkpoint(co)
             docs = base.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",
@@ -597,6 +671,13 @@ class IndexBuilder:
             .persist()
         )
         cached = cached + (term_stats,)
+        # shuffle path: docs/postings lineage still reaches the conv-offsets
+        # checkpoint (a cache-evicted block recomputes through it), so it is
+        # released with the index, not before
+        co = getattr(self, "_conv_offsets", None)
+        if co is not None:
+            self._conv_offsets = None
+            cached = cached + (co,)
 
         srow = docs.agg(
             F.count("*").alias("max_doc"),
@@ -608,14 +689,6 @@ class IndexBuilder:
             "doc_count": int(srow.doc_count or 0),
             "sum_total_term_freq": int(srow.sttf or 0),
         }
-        # shuffle path: postings derive lazily from the staged sort, so the
-        # staging cache is handed to the index for lifecycle release (keeping
-        # it pinned also pins the doc-id values against recompute).  The
-        # arrow/mapside paths released it right after the base checkpoint.
-        idc = getattr(self, "_idassign_cache", None)
-        if idc is not None:
-            self._idassign_cache = None
-            cached = cached + (idc,)
         return InvertedIndex(
             spark=spark,
             docs=docs,
