@@ -2905,17 +2905,113 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
-def _q_multi_phrase(slots, k: int):
-    """MultiPhraseQuery.java — phrase with per-slot alternatives."""
+def _q_multi_phrase(slots, k: int, slop: int = 0):
+    """MultiPhraseQuery.java — phrase with per-slot alternatives;
+    slop>0 = sloppy matching over the slots' union position lists
+    (MultiPhraseQuery.java:92 setSlop)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search.query import MultiPhraseQuery
 
         _, searcher = _searcher(spark, sf_dir)
-        q = MultiPhraseQuery(tuple(tuple(ts) for ts in slots))
+        q = MultiPhraseQuery(tuple(tuple(ts) for ts in slots), slop=slop)
         return _ranked_topk(searcher, q, k)
 
     return run
+
+
+def _multi_sloppy_phrase_sql(alts0, alts1, slop: int, k: int) -> str:
+    """Sloppy MultiPhrase twin for 2 DISJOINT slots: identical to the
+    2-term sloppy chain (_sloppy_phrase_sql) except each side's element
+    list is the UNION of the slot's alternatives' positions, and the idf
+    weight sums over every alternative (MultiPhraseWeight)."""
+    L = _slop_lcm(slop)
+    flat = list(alts0) + list(alts1)
+    idf_sum = " + ".join(
+        f"ln(1 + (stats.doc_count - COALESCE(d{j}.doc_freq, 0) + 0.5) / (COALESCE(d{j}.doc_freq, 0) + 0.5))"
+        for j in range(len(flat))
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN dfreq d{j} ON d{j}.term = '{t}'" for j, t in enumerate(flat)
+    )
+    in0 = ", ".join(f"'{t}'" for t in alts0)
+    in1 = ", ".join(f"'{t}'" for t in alts1)
+    return (
+        _PRELUDE.replace("WITH tr", "WITH RECURSIVE tr", 1)
+        + f""",
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+el AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] IN ({in0})), i -> i - 1)) AS ppos,
+         0 AS off
+  FROM parr
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] IN ({in1})), i -> i - 2)) AS ppos,
+         1 AS off
+  FROM parr
+),
+wel AS (
+  SELECT e.conv_id, e.turn_idx, e.ppos, e.off,
+         e.ppos - (SELECT max(o.ppos) FROM el o
+                   WHERE o.conv_id = e.conv_id AND o.turn_idx = e.turn_idx
+                     AND o.off = 1 - e.off AND o.ppos <= e.ppos) AS w,
+         (SELECT min(o2.ppos) FROM el o2
+          WHERE o2.conv_id = e.conv_id AND o2.turn_idx = e.turn_idx
+            AND o2.off = 1 - e.off AND o2.ppos > e.ppos) AS nxt
+  FROM el e
+),
+f1 AS (
+  SELECT conv_id, turn_idx, ppos, off, w, nxt FROM (
+    SELECT wel.*,
+           row_number() OVER (PARTITION BY conv_id, turn_idx
+                              ORDER BY ppos, off) AS rn
+    FROM wel
+    WHERE (off = 0 AND EXISTS (SELECT 1 FROM el o
+             WHERE o.conv_id = wel.conv_id AND o.turn_idx = wel.turn_idx
+               AND o.off = 1 AND o.ppos < wel.ppos))
+       OR (off = 1 AND EXISTS (SELECT 1 FROM el o
+             WHERE o.conv_id = wel.conv_id AND o.turn_idx = wel.turn_idx
+               AND o.off = 0 AND o.ppos <= wel.ppos))
+  ) WHERE rn = 1
+),
+chain AS (
+  SELECT conv_id, turn_idx, ppos, off, w, nxt FROM f1
+  UNION ALL
+  SELECT w2.conv_id, w2.turn_idx, w2.ppos, w2.off, w2.w, w2.nxt
+  FROM chain c
+  JOIN wel w2 ON w2.conv_id = c.conv_id AND w2.turn_idx = c.turn_idx
+             AND w2.off = 1 - c.off AND w2.ppos = c.nxt
+),
+fq AS (
+  SELECT conv_id, turn_idx,
+         sum(CASE WHEN w <= {slop} THEN {L} // (1 + w) ELSE 0 END) AS fqq
+  FROM chain GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.conv_id, f.turn_idx,
+         ({idf_sum})
+         * (f.fqq::DOUBLE / {L}) / ((f.fqq::DOUBLE / {L})
+           + 1.2 * (0.25 + 0.75 * dlq.dlq
+             / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM fq f
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  {joins}
+  WHERE f.fqq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
 
 
 def _multi_phrase_sql(slots, k: int) -> str:
@@ -3109,6 +3205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_util_convs": _q_join_util("data", 10),
         "rescore_topk": _q_rescore("data", ["the", "customer"], 20, 10),
         "multi_phrase_topk": _q_multi_phrase([["the"], ["customer", "join"]], 10),
+        "multi_phrase_slop_topk": _q_multi_phrase(
+            [["customer", "order"], ["join"]], 10, slop=2
+        ),
         "monitor_matches_scored": _q_monitor_scored,
         "nrt_bm25_topk": _q_nrt_topk("query", 10),
         "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
@@ -3204,6 +3303,9 @@ def oracle_sql() -> dict[str, str]:
         "join_util_convs": _join_util_sql("data", 10),
         "rescore_topk": _rescore_sql("data", ["the", "customer"], 20, 10),
         "multi_phrase_topk": _multi_phrase_sql([["the"], ["customer", "join"]], 10),
+        "multi_phrase_slop_topk": _multi_sloppy_phrase_sql(
+            ["customer", "order"], ["join"], 2, 10
+        ),
         "monitor_matches_scored": _monitor_scored_sql(),
         "nrt_bm25_topk": _topk_sql(["query"], 10),
         "store_roundtrip_topk": _topk_sql(["merge"], 10),

@@ -467,6 +467,62 @@ class OracleIndex:
                 )
         return self._topk(scores, k)
 
+    def search_multi_phrase(self, slots, k: int, slop: int = 0,
+                            positions: list[int] | None = None):
+        """MultiPhraseQuery: each slot admits alternative terms; slot
+        positions = union of the alternatives' position lists; weight sums
+        idf over every (known) alternative (MultiPhraseWeight).  slop=0
+        counts aligned start positions; slop>0 runs the SloppyPhraseMatcher
+        simulation over the union lists with ``terms_per_pp`` so slots
+        sharing alternatives form multi-term repeat groups
+        (SloppyPhraseMatcher.java:427-460, LUCENE-3821 shipped behavior)."""
+        from lucene_spark.search.sloppy import sloppy_freq
+
+        slots = [tuple(dict.fromkeys(ts)) for ts in slots]
+        if not slots:
+            return []
+        offs = list(positions) if positions else list(range(len(slots)))
+        slot_terms = []
+        for ts in slots:
+            known = [t for t in ts if t in self.postings]
+            if not known:
+                return []
+            slot_terms.append(known)
+        flat = [t for ts in slot_terms for t in ts]
+        idf = np.float32(sum(float(self.idf(t)) for t in flat))
+        cache = self.norm_inverse_cache()
+        one = np.float32(1.0)
+        cands = None
+        for ts in slot_terms:
+            ds = set()
+            for t in ts:
+                ds |= set(self.positions.get(t, {}))
+            cands = ds if cands is None else (cands & ds)
+        scores = {}
+        for d in cands or ():
+            plists = [
+                sorted({p for t in ts for p in self.positions[t].get(d, ())})
+                for ts in slot_terms
+            ]
+            if slop > 0 and len(slot_terms) >= 2:
+                freq = sloppy_freq(
+                    plists, offs, slop, f32=True, terms_per_pp=slot_terms
+                )
+            else:
+                freq = sum(
+                    1
+                    for p in plists[0]
+                    if all(
+                        p + (offs[i] - offs[0]) in plists[i]
+                        for i in range(1, len(plists))
+                    )
+                )
+            if freq > 0:
+                scores[d] = np.float32(
+                    idf - idf / (one + np.float32(freq) * cache[self.docs[d].norm])
+                )
+        return self._topk(scores, k)
+
     def _topk(self, scores: dict[int, np.float32], k: int):
         items = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return [(d, s) for d, s in items[:k]]

@@ -130,11 +130,18 @@ class PhraseQuery(Query):
 
 @dataclass(frozen=True)
 class MultiPhraseQuery(Query):
-    """core/search/MultiPhraseQuery.java — exact phrase where each position
-    admits alternative terms: terms_per_pos = ((t1a, t1b), (t2a,), ...)."""
+    """core/search/MultiPhraseQuery.java — phrase where each position
+    admits alternative terms: terms_per_pos = ((t1a, t1b), (t2a,), ...).
+    ``slop`` > 0 = sloppy matching over the slots' unioned position lists
+    (MultiPhraseQuery.java:92 setSlop; SloppyPhraseMatcher's multi-term
+    repeat groups handle slots sharing alternatives).  ``positions`` gives
+    explicit query positions per slot (Builder.add(Term[], position) —
+    stopword holes); None = consecutive 0..n-1."""
 
     terms_per_pos: tuple  # tuple of tuples of alternative terms
+    slop: int = 0
     boost: float = 1.0
+    positions: tuple | None = None
 
 
 @dataclass(frozen=True)

@@ -1363,9 +1363,15 @@ class IndexSearcher:
             l = l * d // math.gcd(l, d)
         return l
 
-    def _sloppy_chain_scored(self, terms, offs, slop: int, weight: float) -> DataFrame:
-        """JVM chain-fold lowering of the 2-distinct-term sloppy matcher."""
-        base = self._gather_positions(terms)
+    def _sloppy_chain_scored(
+        self, terms, offs, slop: int, weight: float, base: DataFrame | None = None
+    ) -> DataFrame:
+        """JVM chain-fold lowering of the 2-distinct-term sloppy matcher.
+        ``base`` overrides the position gather — MultiPhraseQuery passes
+        its per-slot UNION position arrays here (2 disjoint slots reduce
+        to the same 2-list matcher)."""
+        if base is None:
+            base = self._gather_positions(terms)
         o0, o1 = offs
         A = F.col("_p0")
         B = F.transform(F.col("_p1"), lambda x: x - F.lit(o1 - o0))
@@ -1453,28 +1459,45 @@ class IndexSearcher:
             ).alias("score"),
         )
 
-    def _sloppy_udf_scored(self, terms, offs, slop: int, weight: float) -> DataFrame:
+    def _sloppy_udf_scored(
+        self,
+        terms,
+        offs,
+        slop: int,
+        weight: float,
+        base: DataFrame | None = None,
+        terms_per_pp=None,
+    ) -> DataFrame:
         """Arrow-batched faithful simulation for n-term / repeated-term
-        sloppy phrases (lucene_spark.search.sloppy.sloppy_freq per doc)."""
+        sloppy phrases (lucene_spark.search.sloppy.sloppy_freq per doc).
+        ``base``/``terms_per_pp`` carry MultiPhraseQuery's per-slot union
+        position arrays and alternative-term sets (multi-term repeat
+        groups, SloppyPhraseMatcher.java:427-460)."""
         import pandas as pd
 
         from lucene_spark.search.sloppy import sloppy_freq as _sf
 
-        base = self._gather_positions(terms)
+        n = len(terms_per_pp) if terms_per_pp is not None else len(terms)
+        if base is None:
+            base = self._gather_positions(terms)
         f32 = self.score_type == "float"
         offsets = list(offs)
         slop_ = int(slop)
+        tpp = (
+            [tuple(ts) for ts in terms_per_pp] if terms_per_pp is not None else None
+        )
 
         @F.pandas_udf("double")
         def fudf(*cols):
             out = []
             for lists in zip(*cols):
                 out.append(
-                    _sf([list(x) for x in lists], offsets, slop_, f32)
+                    _sf([list(x) for x in lists], offsets, slop_, f32,
+                        terms_per_pp=tpp)
                 )
             return pd.Series(out, dtype="float64")
 
-        freq = fudf(*[F.col(f"_p{i}") for i in range(len(terms))])
+        freq = fudf(*[F.col(f"_p{i}") for i in range(n)])
         out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
         return out.select(
             "doc_id",
@@ -1486,10 +1509,14 @@ class IndexSearcher:
     def _scored_multi_phrase(self, q: MultiPhraseQuery) -> DataFrame:
         """MultiPhraseQuery.java — phrase with term alternatives per slot:
         positions(slot i) = union of the alternatives' position arrays;
-        freq = count of start positions p with p+i in positions(slot i).
+        slop=0: freq = count of start positions p with p+Δi in
+        positions(slot i); slop>0: the SloppyPhraseMatcher over the union
+        lists — 2 disjoint slots lower to the pure-JVM chain fold, the
+        generic case (incl. slots sharing alternatives = multi-term repeat
+        groups) runs the faithful simulation in an Arrow-batched UDF.
         Weight sums idf over all matching terms (MultiPhraseWeight uses
         the union of term stats)."""
-        slots = [tuple(ts) for ts in q.terms_per_pos]
+        slots = [tuple(dict.fromkeys(ts)) for ts in q.terms_per_pos]
         if not slots:
             return self._empty_scored()
         all_terms = sorted({t for ts in slots for t in ts})
@@ -1503,6 +1530,11 @@ class IndexSearcher:
             slot_terms.append(known)
         flat = [t for ts in slot_terms for t in ts]
         weight = self._phrase_weight(flat, dfs, q.boost)
+        offs = (
+            list(q.positions)
+            if getattr(q, "positions", None)
+            else list(range(len(slots)))
+        )
 
         # one groupBy gathers every slot's unioned position set (single
         # shuffle instead of a per-slot agg + n-way join)
@@ -1528,6 +1560,18 @@ class IndexSearcher:
                 )
             )
         )
+        # a 1-slot phrase has no window to slacken: freq = |positions|
+        # either way (Lucene rewrites it to a term/synonym scorer)
+        if q.slop > 0 and len(slot_terms) >= 2:
+            if len(slot_terms) == 2 and not (set(slot_terms[0]) & set(slot_terms[1])):
+                # disjoint alternatives: identical to the 2-distinct-term
+                # matcher over the union lists -> pure-JVM chain fold
+                return self._sloppy_chain_scored(
+                    None, offs, q.slop, weight, base=base
+                )
+            return self._sloppy_udf_scored(
+                None, offs, q.slop, weight, base=base, terms_per_pp=slot_terms
+            )
         if len(slot_terms) == 1:
             freq = F.size("_p0")
         else:
@@ -1536,7 +1580,9 @@ class IndexSearcher:
                     F.col("_p0"),
                     lambda pos: _and_all(
                         [
-                            F.array_contains(F.col(f"_p{i}"), pos + F.lit(i))
+                            F.array_contains(
+                                F.col(f"_p{i}"), pos + F.lit(offs[i] - offs[0])
+                            )
                             for i in range(1, len(slot_terms))
                         ]
                     ),

@@ -17,8 +17,17 @@ Semantics notes (mirroring the reference's own Javadoc):
 * repetitions (same term at several query offsets, e.g. "ho my my"~2) are
   handled by repeat-groups: at init the j-th member of a group is advanced
   j times; collisions after an advance move the lesser of the colliding
-  pair.  Multi-term repeats (MultiPhraseQuery with shared alternatives)
-  are not supported here (engine raises before reaching this module).
+  pair.
+* multi-term repeats (MultiPhraseQuery slots with shared alternatives,
+  e.g. "(a b) (a)"~6): pass ``terms_per_pp`` — repeat groups become the
+  connected components of slots sharing a repeating term
+  (SloppyPhraseMatcher.java initFirstTime/gatherRptGroups MTP branch:
+  term bit-sets unioned until disjoint), and group init uses the
+  collision-driven advance (advanceRepeatGroups hasMultiTermRpts branch)
+  instead of the fixed j-step schedule.  Note the reference's OWN ignored
+  test (TestMultiPhraseQuery.testMultiSloppyWithRepeats, LUCENE-3821)
+  documents that this traversal misses some wished-for matches; we
+  reproduce the shipped behavior, not the wish.
 
 This module is pure Python over small per-document position lists.  The
 engine uses it inside an Arrow-batched UDF for the generic n-term case;
@@ -40,9 +49,9 @@ class _PP:
     (token position - query offset)."""
 
     __slots__ = ("positions", "offset", "ord", "i", "count", "position",
-                 "rpt_group", "rpt_ind")
+                 "rpt_group", "rpt_ind", "terms")
 
-    def __init__(self, positions, offset: int, ord_: int):
+    def __init__(self, positions, offset: int, ord_: int, terms=()):
         self.positions = positions
         self.offset = offset
         self.ord = ord_
@@ -51,6 +60,7 @@ class _PP:
         self.position = 0
         self.rpt_group = -1
         self.rpt_ind = -1
+        self.terms = tuple(terms)  # slot alternatives (repeat detection)
 
     def first_position(self) -> bool:
         self.count = len(self.positions)
@@ -73,35 +83,86 @@ class _PP:
 class SloppyMatcher:
     """One-document matcher; ``matches()`` then iterate ``next_match()``."""
 
-    def __init__(self, position_lists, offsets, slop: int):
+    def __init__(self, position_lists, offsets, slop: int, terms_per_pp=None):
         self.slop = slop
+        if terms_per_pp is None:
+            terms_per_pp = [()] * len(position_lists)
         self.pps = [
-            _PP(pl, off, i) for i, (pl, off) in enumerate(zip(position_lists, offsets))
+            _PP(pl, off, i, ts)
+            for i, (pl, off, ts) in enumerate(
+                zip(position_lists, offsets, terms_per_pp)
+            )
         ]
-        # repeat groups = same positions-list identity (same term) at
-        # several offsets, sorted by offset (sortRptGroups).  Equivalent to
-        # the reference's first-doc tpPos collision grouping for the
-        # single-term-repeats case.
-        # keyed by position-list content: two distinct terms can never share
-        # an identical position set (one token position holds one term), so
-        # content equality == term equality here
-        by_term: dict[tuple, list[_PP]] = {}
-        for pp in self.pps:
-            by_term.setdefault(tuple(pp.positions), []).append(pp)
-        self.rpt_groups = []
-        for group in by_term.values():
-            if len(group) >= 2:
-                group.sort(key=lambda p: p.offset)
-                g = len(self.rpt_groups)
-                for j, pp in enumerate(group):
-                    pp.rpt_group = g
-                    pp.rpt_ind = j
-                self.rpt_groups.append(group)
-        self.has_rpts = bool(self.rpt_groups)
+        self.has_multi_term_rpts = False
+        if any(pp.terms for pp in self.pps):
+            self._gather_rpt_groups_by_terms()
+        else:
+            # no term identities supplied (plain PhraseQuery path): repeat
+            # groups = same positions-list identity (same term) at several
+            # offsets, sorted by offset (sortRptGroups).  Equivalent to the
+            # reference's first-doc tpPos collision grouping for the
+            # single-term-repeats case: two distinct terms can never share
+            # an identical position set (one token position holds one term),
+            # so content equality == term equality here
+            by_term: dict[tuple, list[_PP]] = {}
+            for pp in self.pps:
+                by_term.setdefault(tuple(pp.positions), []).append(pp)
+            self._finish_groups(
+                [g for g in by_term.values() if len(g) >= 2]
+            )
         self.pq: list[tuple] = []
         self.end = -(1 << 60)
         self.positioned = False
         self.match_length = 1 << 60
+
+    def _gather_rpt_groups_by_terms(self):
+        """repeatingTerms + gatherRptGroups (SloppyPhraseMatcher.java:
+        586-600 repeatingTerms, :523-580 gatherRptGroups).  A repeating
+        term appears in >= 2 slots; with multi-term slots the groups are
+        the connected components of the slots' repeating-term sets
+        (ppTermsBitSets + unionTermGroups: union intersecting bit-sets
+        until disjoint)."""
+        cnt: dict = {}
+        for pp in self.pps:
+            for t in pp.terms:
+                cnt[t] = cnt.get(t, 0) + 1
+        rpt = {t for t, c in cnt.items() if c >= 2}
+        if not rpt:
+            self._finish_groups([])
+            return
+        rpp = [pp for pp in self.pps if any(t in rpt for t in pp.terms)]
+        self.has_multi_term_rpts = any(len(pp.terms) > 1 for pp in rpp)
+        # union intersecting repeating-term sets until disjoint
+        comp: list[set] = []
+        for pp in rpp:
+            s = {t for t in pp.terms if t in rpt}
+            merged = s
+            keep = []
+            for c in comp:
+                if c & merged:
+                    merged = merged | c
+                else:
+                    keep.append(c)
+            keep.append(merged)
+            comp = keep
+        groups: list[list[_PP]] = [[] for _ in comp]
+        for pp in rpp:
+            for gi, c in enumerate(comp):
+                if any(t in c for t in pp.terms):
+                    groups[gi].append(pp)
+                    break
+        self._finish_groups([g for g in groups if len(g) >= 2])
+
+    def _finish_groups(self, groups):
+        self.rpt_groups = []
+        for group in groups:
+            group.sort(key=lambda p: p.offset)
+            g = len(self.rpt_groups)
+            for j, pp in enumerate(group):
+                pp.rpt_group = g
+                pp.rpt_ind = j
+            self.rpt_groups.append(group)
+        self.has_rpts = bool(self.rpt_groups)
 
     # -- queue helpers --------------------------------------------------
     def _pq_add(self, pp: _PP):
@@ -132,14 +193,40 @@ class SloppyMatcher:
         return True
 
     def _advance_repeat_groups(self) -> bool:
-        # advanceRepeatGroups (single-term case): the j-th pp of each group
-        # advances j times so the start state has no collisions
+        # advanceRepeatGroups (SloppyPhraseMatcher.java:427-460)
         for rg in self.rpt_groups:
-            for j in range(1, len(rg)):
-                for _ in range(j):
-                    if not rg[j].next_position():
-                        return False
+            if self.has_multi_term_rpts:
+                # multi-term case: some members may not collide — advance
+                # the lesser of each colliding pair until collision-free;
+                # restart at the same index if an earlier member moved
+                i = 0
+                while i < len(rg):
+                    incr = 1
+                    pp = rg[i]
+                    while True:
+                        k = self._collide(pp)
+                        if k < 0:
+                            break
+                        pp2 = self._lesser(pp, rg[k])
+                        if not self._advance_pp(pp2):
+                            return False
+                        if pp2.rpt_ind < i:  # "should not happen?" (ref)
+                            incr = 0
+                            break
+                    i += incr
+            else:
+                # single-term case: the j-th pp of each group advances j
+                # times so the start state has no collisions
+                for j in range(1, len(rg)):
+                    for _ in range(j):
+                        if not rg[j].next_position():
+                            return False
         return True
+
+    @staticmethod
+    def _lesser(pp: _PP, pp2: _PP) -> _PP:
+        # SloppyPhraseMatcher.lesser: by (position, offset) only
+        return pp if (pp.position, pp.offset) < (pp2.position, pp2.offset) else pp2
 
     # -- advance --------------------------------------------------------
     def _advance_pp(self, pp: _PP) -> bool:
@@ -210,13 +297,18 @@ class SloppyMatcher:
         return self.match_length <= self.slop
 
 
-def sloppy_freq(position_lists, offsets, slop: int, f32: bool = True) -> float:
+def sloppy_freq(
+    position_lists, offsets, slop: int, f32: bool = True, terms_per_pp=None
+) -> float:
     """Sloppy phrase freq of one document: Σ 1/(1+matchLength) over the
     matcher's matches (PhraseScorer.score accumulation; float32 when
-    ``f32``).  0.0 = no match."""
+    ``f32``).  0.0 = no match.  ``terms_per_pp`` carries each slot's
+    alternative terms for MultiPhraseQuery repeat-group detection (slots
+    sharing a term); without it repeats are detected by identical
+    position-list content (single-term PhraseQuery semantics)."""
     if any(len(pl) == 0 for pl in position_lists):
         return 0.0
-    m = SloppyMatcher(position_lists, offsets, slop)
+    m = SloppyMatcher(position_lists, offsets, slop, terms_per_pp=terms_per_pp)
     if not m.reset():
         return 0.0
     if not m.next_match():

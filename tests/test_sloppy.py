@@ -207,3 +207,108 @@ def test_sloppy_hole_phrase_with_position_ties(spark, tiny_index, tiny_oracle, s
         np.array([r.score for r in engine], dtype=np.float32),
         np.array([s for _, _, s in oracle], dtype=np.float32),
     )
+
+
+# -- MultiPhraseQuery with slop (multi-term repeat groups) -------------------
+# SloppyPhraseMatcher.java:427-460 (advanceRepeatGroups MTP branch),
+# :523-580 (gatherRptGroups bit-set union), MultiPhraseQuery.java:92 setSlop.
+
+
+def _union_plists(doc: str, slots):
+    toks = doc.lower().split()
+    return [
+        sorted({i for i, t in enumerate(toks) if t in set(ts)}) for ts in slots
+    ]
+
+
+def _mfreq(doc: str, slots, slop: int) -> float:
+    return sloppy_freq(
+        _union_plists(doc, slots), list(range(len(slots))), slop,
+        terms_per_pp=[tuple(ts) for ts in slots],
+    )
+
+
+def test_multi_sloppy_with_repeats_shipped_behavior():
+    """TestMultiPhraseQuery.testMultiSloppyWithRepeats (@Ignore, LUCENE-3821):
+    the SHIPPED matcher does not match "(a b) (a)"~6 on "a b c ..." — the
+    repeat-group init advances the colliding lesser pp out of its only
+    position.  We reproduce the shipped traversal, not the ignored wish."""
+    assert _mfreq("a b c d e f g h i k", [("a", "b"), ("a",)], 6) == 0.0
+
+
+def test_multi_term_repeat_group_matches_when_positions_allow():
+    # "(a|b) a": slot0 takes pos 0 ('a'), slot1 takes pos 2 ('a') -> width 1
+    assert _mfreq("a x a", [("a", "b"), ("a",)], 6) == pytest.approx(0.5)
+    # both alternatives present: slot0 'b'@1 pairs with slot1 'a'@2 width 0
+    assert _mfreq("a b a", [("a", "b"), ("a",)], 2) >= 1.0
+
+
+def test_multi_phrase_disjoint_slots_reduce_to_two_list_matcher():
+    """No shared alternatives => no repeat groups => the matcher over the
+    union lists IS the plain 2-list matcher (randomized)."""
+    rng = random.Random(20260818)
+    for _ in range(2000):
+        n, m = rng.randint(1, 6), rng.randint(1, 6)
+        allpos = rng.sample(range(0, 24), n + m)
+        A, B = sorted(allpos[:n]), sorted(allpos[n:])
+        slop = rng.randint(0, 6)
+        via_multi = sloppy_freq(
+            [A, B], [0, 1], slop, terms_per_pp=[("x", "y"), ("z",)]
+        )
+        via_plain = sloppy_freq([A, B], [0, 1], slop)
+        assert via_multi == via_plain, (A, B, slop)
+
+
+def test_single_term_repeats_agree_between_term_and_content_grouping():
+    """Passing terms_per_pp for a plain repeated-term phrase must not change
+    the result vs the content-identity grouping (randomized)."""
+    rng = random.Random(4821)
+    for _ in range(2000):
+        positions = sorted(rng.sample(range(0, 20), rng.randint(1, 8)))
+        other = sorted(rng.sample(range(0, 20), rng.randint(1, 8)))
+        slop = rng.randint(0, 6)
+        # query "t u t": slots 0 and 2 repeat term t
+        pls = [positions, other, positions]
+        a = sloppy_freq(pls, [0, 1, 2], slop)
+        b = sloppy_freq(pls, [0, 1, 2], slop,
+                        terms_per_pp=[("t",), ("u",), ("t",)])
+        assert a == b, (positions, other, slop)
+
+
+@pytest.mark.parametrize(
+    "slots,slop,path",
+    [
+        ((("model", "customer"), ("training",)), 2, "chain"),
+        ((("the", "model"), ("the",)), 2, "udf-repeats"),
+        ((("the", "data"), ("model", "training"), ("a",)), 3, "udf-3slot"),
+    ],
+    ids=lambda v: str(v)[:40],
+)
+def test_engine_multi_phrase_slop_matches_oracle(
+    spark, tiny_index, tiny_oracle, slots, slop, path
+):
+    from lucene_spark.search.query import MultiPhraseQuery
+
+    q = MultiPhraseQuery(tuple(tuple(ts) for ts in slots), slop=slop)
+    engine = IndexSearcher(tiny_index).search(q, 10).collect()
+    oracle = tiny_oracle.topk_keys(
+        tiny_oracle.search_multi_phrase([list(ts) for ts in slots], 10, slop=slop)
+    )
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [
+        (c, t) for c, t, _ in oracle
+    ], (slots, slop)
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([s for _, _, s in oracle], dtype=np.float32),
+    )
+
+
+def test_engine_multi_phrase_slop0_oracle_unchanged(spark, tiny_index, tiny_oracle):
+    from lucene_spark.search.query import MultiPhraseQuery
+
+    q = MultiPhraseQuery((("the", "data"), ("model",)))
+    engine = IndexSearcher(tiny_index).search(q, 10).collect()
+    oracle = tiny_oracle.topk_keys(
+        tiny_oracle.search_multi_phrase([["the", "data"], ["model"]], 10)
+    )
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [(c, t) for c, t, _ in oracle]
