@@ -568,6 +568,131 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+_GRAPH_RULE = ("spark", "query engine")  # index-time graph synonym: src -> dst
+
+
+def _searcher_graph(spark: SparkSession, sf_dir: str):
+    """Index built with an index-time multi-word synonym graph
+    (SynonymGraphFilter.java:78 + FlattenGraphFilter flattening, see
+    analysis/analyzer.py module docstring): every 'spark' token also emits
+    'query'@p and 'engine'@p+1, so a phrase over the OUTPUT matches
+    documents containing only the input."""
+    key = ("graphsyn", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        idx = IndexBuilder(
+            num_segments=8, analyzer=Analyzer(graph_synonyms=(_GRAPH_RULE,))
+        ).build(_transcripts_df(spark, sf_dir))
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_graph_synonym_phrase(k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import PhraseQuery
+
+        _, searcher = _searcher_graph(spark, sf_dir)
+        phrase = tuple(_GRAPH_RULE[1].split())
+        return _ranked_topk(searcher, PhraseQuery(phrase), k)
+
+    return run
+
+
+def _graph_synonym_phrase_sql(k: int) -> str:
+    """Twin for the index-time synonym-graph gate: replays the flattened
+    graph positions in SQL.  For a single-word-input rule (src -> o1..om)
+    every token's flattened position is its index plus (m-1) per preceding
+    src match, src additionally emits oj at pos+j, dl counts every emission
+    (norms contract), and the 2-term output phrase is counted over distinct
+    start positions — exactly the engine's PhraseQuery over the graph index."""
+    src, dst = _GRAPH_RULE
+    out = dst.split()
+    m = len(out)
+    assert len(src.split()) == 1 and m == 2, "twin models the registered rule"
+    p0, p1 = out
+    idf = (
+        "ln(1 + (gstats.doc_count - COALESCE({d}.doc_freq, 0) + 0.5)"
+        " / (COALESCE({d}.doc_freq, 0) + 0.5))"
+    )
+    idf_sum = " + ".join(idf.format(d=f"d{i}") for i in range(2))
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx, text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+gtoks AS (
+  SELECT conv_id, turn_idx, tok,
+         (i - 1) + {m - 1} * count(*) FILTER (WHERE tok = '{src}') OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS i FROM parr) t
+),
+gent AS (
+  SELECT conv_id, turn_idx, tok AS term, pos FROM gtoks
+  UNION ALL
+  SELECT conv_id, turn_idx, '{p0}' AS term, pos FROM gtoks WHERE tok = '{src}'
+  UNION ALL
+  SELECT conv_id, turn_idx, '{p1}' AS term, pos + 1 FROM gtoks WHERE tok = '{src}'
+),
+gdl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM gent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+gdlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM gdl
+),
+gstats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM gdl
+),
+gdfreq AS (
+  SELECT term, count(DISTINCT (conv_id, turn_idx)) AS doc_freq
+  FROM gent WHERE term IN ('{p0}', '{p1}') GROUP BY 1
+),
+pfreq AS (
+  SELECT a.conv_id, a.turn_idx, count(DISTINCT a.pos) AS freq
+  FROM gent a
+  JOIN gent b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+             AND b.pos = a.pos + 1
+  WHERE a.term = '{p0}' AND b.term = '{p1}'
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT pf.conv_id, pf.turn_idx,
+         ({idf_sum})
+         * pf.freq / (pf.freq + 1.2 * (0.25 + 0.75 * gdlq.dlq
+           / (CAST(gstats.sttf AS DOUBLE) / gstats.doc_count))) AS score
+  FROM pfreq pf
+  JOIN gdlq USING (conv_id, turn_idx)
+  CROSS JOIN gstats
+  LEFT JOIN gdfreq d0 ON d0.term = '{p0}'
+  LEFT JOIN gdfreq d1 ON d1.term = '{p1}'
+  WHERE pf.freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_topk_stemmed(query_text: str, k: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import BooleanQuery, Occur, TermQuery
@@ -3173,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": _q_phrase_slop(["customer", "join"], 2, 10),
         "bm25_topk_stemmed": _q_topk_stemmed("queries joins tables", 20),
         "bm25_topk_english": _q_topk_english("the queries and joins of tables", 20),
+        "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
         "topk_by_ts_then_score": _q_topk_by_ts_then_score("data", 10),
@@ -3270,6 +3396,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": _sloppy_phrase_sql("customer", "join", 2, 10),
         "bm25_topk_stemmed": _an_topk_sql(["query", "join", "table"], 20),
         "bm25_topk_english": _english_topk_sql(["queri", "join", "tabl"], 20),
+        "synonym_index_time_topk": _graph_synonym_phrase_sql(10),
         "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
         "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),
         "topk_by_ts_then_score": _topk_by_ts_sql("data", 10),

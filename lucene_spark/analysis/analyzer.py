@@ -13,8 +13,20 @@
   JVM CASE expressions — the cross-engine-checkable option.
 * Synonyms — ``analysis/common/.../synonym/SynonymGraphFilter.java``
   subset: single-token, index-time additive synonyms; each mapped term also
-  emits its synonyms at the SAME position (posIncrement 0).  Multi-word
-  synonyms are out of scope.
+  emits its synonyms at the SAME position (posIncrement 0).
+* Multi-word synonym graphs — ``SynonymGraphFilter.java:78`` +
+  ``core/analysis/FlattenGraphFilter.java`` (the mandatory index-time
+  flattening, since the index stores no positionLength): greedy
+  longest-match scan over the token stream; a rule (w1..wn -> o1..om)
+  emits input token wi at p+i and output token oj at p+j, and the stream
+  resumes at p+max(n,m).  This reproduces the FLATTENED positions that
+  actually land in a Lucene index — including the documented lossiness
+  (e.g. an exact phrase across an n>m rule's tail can miss), and the
+  headline win: a phrase over the multi-word OUTPUT matches documents
+  containing only the input (["wifi" -> "wireless fidelity"]: doc
+  "wifi router" indexes wifi@0 wireless@0 fidelity@1 router@2, so
+  "wireless fidelity" matches).  Runs right after tokenization (before
+  stop/stem), the filter's canonical chain slot.
 * Document length (norms): every EMITTED token counts
   (``FieldInvertState.length``): stopped tokens don't count, synonym
   emissions do — dl = #survivors + #synonym-emissions.
@@ -127,6 +139,12 @@ class Analyzer:
     stopwords: frozenset = frozenset()
     stemmer: str | None = None
     synonyms: tuple = ()  # tuple of (term, extra_term) pairs
+    # index-time multi-word synonym graph rules: (input_phrase, output_phrase)
+    # space-separated strings; additive (originals kept), greedy longest
+    # input match, flattened positions (module docstring).  Applied on the
+    # raw token stream BEFORE stop/stem (so porter composes, unlike the
+    # post-stem single-token ``synonyms``).
+    graph_synonyms: tuple = ()
     shingle_size: int = 0
     ngram: tuple | None = None  # (min_gram, max_gram)
     # ASCIIFoldingFilter (1:1 subset) as a pre-tokenize char filter —
@@ -145,6 +163,17 @@ class Analyzer:
             # stage ordered after it would need a second dictionary pass —
             # out of scope (use stemmer='s' with synonyms instead)
             raise ValueError("synonyms are not supported with stemmer='porter'")
+        if self.graph_synonyms:
+            for rule in self.graph_synonyms:
+                inp, out = rule
+                if not str(inp).split() or not str(out).split():
+                    raise ValueError(f"empty side in graph synonym rule {rule!r}")
+            if self.shingle_size or self.ngram:
+                # shingles/ngrams read the raw stream; a position-shifting
+                # graph stage would desynchronize them
+                raise ValueError(
+                    "graph_synonyms compose with stopwords/stemmer only"
+                )
         if self.shingle_size:
             if self.shingle_size < 2:
                 raise ValueError("shingle_size must be >= 2 (or 0 to disable)")
@@ -178,11 +207,23 @@ class Analyzer:
             m.setdefault(t, []).append(extra)
         return m
 
+    @property
+    def graph_rules(self) -> list[tuple[tuple[str, ...], tuple[str, ...]]]:
+        """Parsed graph rules, longest input first (greedy longest match,
+        ties by declaration order — SynonymMap's matching contract)."""
+        rules = [
+            (tuple(str(i).split()), tuple(str(o).split()))
+            for i, o in self.graph_synonyms
+        ]
+        order = sorted(range(len(rules)), key=lambda j: (-len(rules[j][0]), j))
+        return [rules[j] for j in order]
+
     def is_noop(self) -> bool:
         return (
             not self.stopwords
             and self.stemmer is None
             and not self.synonyms
+            and not self.graph_synonyms
             and not self.shingle_size
             and self.ngram is None
             and not self.ascii_folding
@@ -197,6 +238,7 @@ class Analyzer:
             "stopwords": sorted(self.stopwords),
             "stemmer": self.stemmer,
             "synonyms": [list(p) for p in self.synonyms],
+            "graph_synonyms": [list(p) for p in self.graph_synonyms],
             "shingle_size": self.shingle_size,
             "ngram": list(self.ngram) if self.ngram else None,
             "ascii_folding": self.ascii_folding,
@@ -212,6 +254,9 @@ class Analyzer:
             stopwords=frozenset(d.get("stopwords", ())),
             stemmer=d.get("stemmer"),
             synonyms=tuple((s, e) for s, e in d.get("synonyms", ())),
+            graph_synonyms=tuple(
+                (s, e) for s, e in d.get("graph_synonyms", ())
+            ),
             shingle_size=d.get("shingle_size", 0),
             ngram=tuple(ng) if ng else None,
             ascii_folding=d.get("ascii_folding", False),
@@ -219,6 +264,33 @@ class Analyzer:
         )
 
     # -- python reference (oracle path) ---------------------------------
+    def _graph_scan(self, toks: list[str]) -> list[tuple[str, int]]:
+        """Greedy longest-match graph-synonym pass over the raw token
+        stream; returns (term, flattened position) pairs (module
+        docstring: FlattenGraphFilter output shape)."""
+        rules = self.graph_rules
+        out: list[tuple[str, int]] = []
+        i, pos = 0, 0
+        while i < len(toks):
+            hit = None
+            for inp, outp in rules:
+                if tuple(toks[i : i + len(inp)]) == inp:
+                    hit = (inp, outp)
+                    break
+            if hit is None:
+                out.append((toks[i], pos))
+                i += 1
+                pos += 1
+                continue
+            inp, outp = hit
+            for j, w in enumerate(inp):
+                out.append((w, pos + j))
+            for j, o in enumerate(outp):
+                out.append((o, pos + j))
+            i += len(inp)
+            pos += max(len(inp), len(outp))
+        return out
+
     def analyze_text(self, text: str | None) -> list[tuple[str, int]]:
         """[(term, position)] after the full chain.  Positions carry stop
         holes; synonym emissions share their source's position."""
@@ -227,9 +299,13 @@ class Analyzer:
         toks = tokenize_text(text)
         if self.possessive:
             toks = [t[:-2] if t.endswith("'s") else t for t in toks]
+        if self.graph_synonyms:
+            pairs = self._graph_scan(toks)
+        else:
+            pairs = list(zip(toks, range(len(toks))))
         out: list[tuple[str, int]] = []
         syn = self.syn_map
-        for pos, t in enumerate(toks):
+        for t, pos in pairs:
             if t in self.stopwords:
                 continue
             if self.ngram is not None:
@@ -275,6 +351,80 @@ class Analyzer:
         return [t for t, _ in self.analyze_query_positions(text)]
 
     # -- JVM lowering ----------------------------------------------------
+    def _graph_entries_expr(self, toks):
+        """JVM fold of the greedy graph-synonym scan (_graph_scan): an
+        F.aggregate over the token indices with a (skip, pos, acc) state —
+        ``skip`` swallows the tail of a consumed multi-token input, ``pos``
+        is the flattened position counter.  Rule tables are tiny literals,
+        lowered as a longest-first WHEN cascade per index."""
+        from pyspark.sql import functions as F
+
+        entry_t = "array<struct<term:string,pos:int>>"
+        rules = self.graph_rules
+
+        idxs = F.when(
+            F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        init = F.struct(
+            F.lit(0).alias("skip"),
+            F.lit(0).alias("pos"),
+            F.array().cast(entry_t).alias("acc"),
+        )
+
+        def step(a, i):
+            tok = F.try_element_at(toks, i + 1)
+            no_match = F.struct(
+                F.lit(0).alias("skip"),
+                (a["pos"] + 1).alias("pos"),
+                F.concat(
+                    a["acc"],
+                    F.array(
+                        F.struct(
+                            tok.alias("term"), a["pos"].cast("int").alias("pos")
+                        )
+                    ),
+                ).alias("acc"),
+            )
+            branch = no_match
+            for inp, outp in reversed(rules):  # WHEN cascade: longest last-built = first-checked
+                n, m = len(inp), len(outp)
+                cond = None
+                for j, w in enumerate(inp):
+                    c = F.try_element_at(toks, i + 1 + j) == F.lit(w)
+                    cond = c if cond is None else (cond & c)
+                emit = F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("term"),
+                            (a["pos"] + j).cast("int").alias("pos"),
+                        )
+                        for j, w in enumerate(inp)
+                    ],
+                    *[
+                        F.struct(
+                            F.lit(o).alias("term"),
+                            (a["pos"] + j).cast("int").alias("pos"),
+                        )
+                        for j, o in enumerate(outp)
+                    ],
+                )
+                matched = F.struct(
+                    F.lit(n - 1).alias("skip"),
+                    (a["pos"] + max(n, m)).alias("pos"),
+                    F.concat(a["acc"], emit).alias("acc"),
+                )
+                branch = F.when(cond, matched).otherwise(branch)
+            return F.when(
+                a["skip"] > 0,
+                F.struct(
+                    (a["skip"] - 1).alias("skip"),
+                    a["pos"].alias("pos"),
+                    a["acc"].alias("acc"),
+                ),
+            ).otherwise(branch)
+
+        return F.aggregate(idxs, init, step, lambda a: a["acc"])
+
     def entries_expr(self, col):
         """Column(string) -> Column(array<struct<term string, pos int>>)
         applying tokenize → stop → s-stem → synonyms, all JVM.  For
@@ -290,9 +440,13 @@ class Analyzer:
         toks = tokens_expr(col)
         if self.possessive:
             toks = F.transform(toks, lambda t: F.regexp_replace(t, "'s$", ""))
-        entries = F.transform(
-            toks, lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos"))
-        )
+        if self.graph_synonyms:
+            entries = self._graph_entries_expr(toks)
+        else:
+            entries = F.transform(
+                toks,
+                lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos")),
+            )
         if self.stopwords:
             stop_lit = F.array(*[F.lit(s) for s in sorted(self.stopwords)])
             entries = F.filter(

@@ -350,3 +350,134 @@ def test_english_preset_end_to_end(spark):
         hits = s.search(TermQuery(term), 5).collect()
         assert [(r.conv_id, r.turn_idx) for r in hits] == [("c0", 0)], qtext
     idx.unpersist_all()
+
+
+# -- index-time multi-word synonym graphs ------------------------------------
+# SynonymGraphFilter.java:78 + FlattenGraphFilter (index-time flattening).
+
+GRAPH_RULES = (
+    ("wifi", "wireless fidelity"),       # 1 -> 2 (expanding)
+    ("machine learning", "ml"),          # 2 -> 1 (contracting)
+    ("machine", "device"),               # shadowed by the longer rule
+)
+
+
+def test_graph_scan_flattened_positions():
+    an = Analyzer(graph_synonyms=GRAPH_RULES)
+    got = an.analyze_text("the machine learning wifi machine")
+    assert got == [
+        ("the", 0),
+        ("machine", 1), ("learning", 2), ("ml", 1),
+        ("wifi", 3), ("wireless", 3), ("fidelity", 4),
+        ("machine", 5), ("device", 5),
+    ]
+
+
+def test_graph_longest_match_wins_and_no_overlap():
+    an = Analyzer(graph_synonyms=GRAPH_RULES)
+    # "machine machine learning": first token takes the 1-word rule, the
+    # remaining two take the 2-word rule (no overlapping rematch)
+    got = an.analyze_text("machine machine learning")
+    assert got == [
+        ("machine", 0), ("device", 0),
+        ("machine", 1), ("learning", 2), ("ml", 1),
+    ]
+
+
+def test_graph_composes_with_stop_and_stem():
+    an = Analyzer(
+        graph_synonyms=(("wifi", "the wireless fidelities"),),
+        stopwords=frozenset({"the"}),
+        stemmer="s",
+    )
+    # output tokens pass through stop (hole) and stem like any token:
+    # 'the'@1 stopped (hole), 'fidelities'@2 s-stemmed ies->y, 'wireless'
+    # kept (ss exception)
+    assert an.analyze_text("wifi") == [
+        ("wifi", 0), ("wireless", 1), ("fidelity", 2),
+    ]
+
+
+def test_graph_rejects_shingle_and_ngram():
+    with pytest.raises(ValueError):
+        Analyzer(graph_synonyms=GRAPH_RULES, shingle_size=2)
+    with pytest.raises(ValueError):
+        Analyzer(graph_synonyms=GRAPH_RULES, ngram=(2, 3))
+    with pytest.raises(ValueError):
+        Analyzer(graph_synonyms=(("", "x"),))
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(graph_synonyms=GRAPH_RULES),
+        dict(graph_synonyms=GRAPH_RULES, stopwords=frozenset({"the"}),
+             stemmer="s"),
+        dict(graph_synonyms=(("repeat", "again and again"),),
+             possessive=True),
+    ],
+)
+def test_graph_entries_expr_matches_python_chain(spark, an_kwargs):
+    from pyspark.sql import functions as F
+
+    an = Analyzer(**an_kwargs)
+    texts = [
+        "the machine learning wifi machine",
+        "wifi wifi wifi",
+        "machine learning machine learning",
+        "repeat repeat repeat",
+        "no rules fire here",
+        "machine",           # 1-word rule at end of stream
+        "machine learning",  # 2-word rule consumes the whole stream
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs)
+
+
+def test_graph_index_phrase_across_multiword_synonym(spark):
+    """The headline behavior: a PhraseQuery over the multi-word OUTPUT
+    matches documents that contain only the input token, with shifted
+    positions for following tokens — engine == oracle (f32)."""
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import PhraseQuery
+
+    from datetime import datetime
+
+    an = Analyzer(graph_synonyms=(("wifi", "wireless fidelity"),))
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        dict(conv_id="c0", turn_idx=0, role="user", tool=None, ts=t0,
+             text="wifi router setup"),
+        dict(conv_id="c0", turn_idx=1, role="user", tool=None, ts=t0,
+             text="wireless fidelity standard"),
+        dict(conv_id="c1", turn_idx=0, role="user", tool=None, ts=t0,
+             text="router without the keyword"),
+        dict(conv_id="c1", turn_idx=1, role="user", tool=None, ts=t0,
+             text="wifi wifi"),
+    ]
+    df = transcripts_df(spark, rows=rows)
+    idx = IndexBuilder(num_segments=2, analyzer=an).build(df)
+    orc = OracleIndex.build(rows, analyzer=an)
+    s = IndexSearcher(idx)
+    # "wireless fidelity" must match the wifi-only docs too
+    _check(
+        s.search(PhraseQuery(("wireless", "fidelity")), 10).collect(),
+        orc.search_phrase(["wireless", "fidelity"], 10),
+        orc,
+    )
+    # following-token positions shifted: "fidelity router" is now adjacent
+    _check(
+        s.search(PhraseQuery(("fidelity", "router")), 10).collect(),
+        orc.search_phrase(["fidelity", "router"], 10),
+        orc,
+    )
+    hits = s.search(PhraseQuery(("wireless", "fidelity")), 10).collect()
+    assert len(hits) == 3
+    idx.unpersist_all()
