@@ -2823,6 +2823,67 @@ SELECT rank, term, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
     )
 
 
+def _q_suggest_analyzed(prefix: str, k: int):
+    """Analyzer-aware completion (AnalyzingSuggester.java:100): entries are
+    the corpus turns' first-3-word surfaces weighted by occurrence count;
+    the typed prefix folds through the same stopword analyzer before the
+    key prefix-match, and the ORIGINAL surface is returned."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.search.suggest import (
+            analyzing_lookup,
+            build_analyzing_suggester,
+        )
+
+        an = Analyzer(stopwords=_EN_STOPS)
+        tr = _transcripts_df(spark, sf_dir)
+        entries = (
+            tr.select(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 3)
+                ).alias("surface")
+            )
+            .groupBy("surface")
+            .agg(F.count("*").cast("long").alias("weight"))
+        )
+        return analyzing_lookup(build_analyzing_suggester(entries, an), an, prefix, k)
+
+    return run
+
+
+def _suggest_analyzed_sql(prefix: str, k: int) -> str:
+    from lucene_spark.analysis import Analyzer
+
+    qkey = " ".join(Analyzer(stopwords=_EN_STOPS).analyze_query(prefix))
+    return f"""
+WITH tr AS (
+  SELECT text FROM documents
+),
+surf AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS surface,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM tr GROUP BY 1
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(regexp_extract_all(lower(surface), '[a-z0-9]+'),
+                       t -> t NOT IN ({_AN_STOPLIST})), ' ') AS key,
+         surface, weight
+  FROM surf
+),
+cands AS (
+  SELECT surface, weight FROM keyed
+  WHERE length(key) > 0 AND starts_with(key, '{qkey}')
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY weight DESC, surface) AS INT) AS rank,
+         surface, weight
+  FROM cands
+)
+SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_search_after(term: str, k: int):
     """searchAfter paging (TopFieldCollector.searchAfter): page 2 of the
     (ts desc, score desc, doc asc) sort — the cursor is page 1's last
@@ -3327,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_topk": _q_knn(10, filter_term="data"),
         "hybrid_bm25_knn_topk": _q_hybrid("spark", 50, 10),
         "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
+        "suggest_analyzed": _q_suggest_analyzed("the spark", 10),
         "search_after_page2": _q_search_after("data", 10),
         "join_util_convs": _q_join_util("data", 10),
         "rescore_topk": _q_rescore("data", ["the", "customer"], 20, 10),
@@ -3426,6 +3488,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered_topk": _knn_sql(10, filter_term="data"),
         "hybrid_bm25_knn_topk": _hybrid_sql("spark", 50, 10),
         "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
+        "suggest_analyzed": _suggest_analyzed_sql("the spark", 10),
         "search_after_page2": _search_after_sql("data", 10),
         "join_util_convs": _join_util_sql("data", 10),
         "rescore_topk": _rescore_sql("data", ["the", "customer"], 20, 10),

@@ -55,6 +55,58 @@ def suggest_terms(
     return _ranked(cands, k)
 
 
+def build_analyzing_suggester(entries: DataFrame, analyzer) -> DataFrame:
+    """(surface, weight) -> (key, surface, weight) — the relation analog of
+    ``AnalyzingSuggester.build`` (suggest/.../analyzing/AnalyzingSuggester.java:100):
+    each surface form is analyzed and its token stream re-joined into a
+    single ``key`` string, the FST's analyzed-form arc; lookups prefix-match
+    the key and return the ORIGINAL surface.  Duplicate surfaces collapse to
+    their max weight (the reference keeps the most-weighted entry per
+    surface form).  Surfaces that analyze to nothing (all stopwords) are
+    dropped, like entries whose token stream is empty.
+
+    Scale shape: build once, write sorted by ``key`` — parquet row-group
+    min/max stats then prune every prefix lookup to the matching key range;
+    no FST is materialized and no driver state is held.
+    """
+    keyed = entries.groupBy("surface").agg(
+        F.max(F.col("weight").cast("long")).alias("weight")
+    )
+    key = F.concat_ws(
+        " ",
+        F.transform(analyzer.entries_expr(F.col("surface")), lambda e: e["term"]),
+    )
+    return keyed.select(key.alias("key"), "surface", "weight").filter(
+        F.length("key") > 0
+    )
+
+
+def analyzing_lookup(
+    suggester: DataFrame, analyzer, prefix: str, k: int = 10
+) -> DataFrame:
+    """(rank, surface, weight): analyzed completion lookup
+    (AnalyzingSuggester.lookup) — the typed prefix runs through the SAME
+    analyzer (so ``The Customer jo`` folds to ``customer jo``), candidates
+    are entries whose analyzed key extends it, ranked weight desc / surface
+    asc.  Like the reference, the FINAL token of the prefix is matched as a
+    partial token (string-prefix over the space-joined key), and the whole
+    prefix is analyzed — so a stemming analyzer would also stem the partial
+    token, the reference's documented quirk; pair this with non-stemming
+    chains."""
+    from pyspark.sql import Window
+
+    qkey = " ".join(analyzer.analyze_query(prefix))
+    top = (
+        suggester.filter(F.col("key").startswith(qkey))
+        .orderBy(F.desc("weight"), F.asc("surface"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("weight"), F.asc("surface"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "surface", "weight"
+    ).orderBy("rank")
+
+
 def suggest_fuzzy(
     index: InvertedIndex,
     prefix: str,

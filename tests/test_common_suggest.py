@@ -108,3 +108,48 @@ def test_suggest_custom_weights(spark, tiny_index):
     )
     got = suggest_terms(tiny_index, "m", 10, weights=w).collect()
     assert [r.term for r in got] == ["merge", "model"]
+
+
+def test_analyzing_suggester_folds_prefix_and_keeps_surface(spark):
+    """AnalyzingSuggester.java:100 analog: the typed prefix runs through
+    the analyzer (stopwords dropped, case folded), matching is over the
+    analyzed key, and the ORIGINAL surface form is returned weight-desc."""
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS, Analyzer
+    from lucene_spark.search.suggest import analyzing_lookup, build_analyzing_suggester
+
+    an = Analyzer(stopwords=ENGLISH_STOP_WORDS)
+    entries = spark.createDataFrame(
+        [
+            ("The Spark Query", 7),
+            ("spark query plan", 9),
+            ("a spark quarrel", 3),
+            ("spark quantum", 9),       # tie with plan -> surface asc
+            ("the the a", 5),           # analyzes to nothing: dropped
+            ("sparkling water", 4),     # 'sparkling' extends the partial token? no: 'spark qu' required
+        ],
+        "surface string, weight int",
+    )
+    sugg = build_analyzing_suggester(entries, an)
+    got = analyzing_lookup(sugg, an, "the spark qu", 10).collect()
+    assert [(r.rank, r.surface, r.weight) for r in got] == [
+        (1, "spark quantum", 9),
+        (2, "spark query plan", 9),
+        (3, "The Spark Query", 7),
+        (4, "a spark quarrel", 3),
+    ]
+
+
+def test_analyzing_suggester_dedups_surface_max_weight(spark):
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.search.suggest import analyzing_lookup, build_analyzing_suggester
+
+    an = Analyzer()
+    entries = spark.createDataFrame(
+        [("spark sql", 2), ("spark sql", 8), ("spark shell", 5)],
+        "surface string, weight int",
+    )
+    got = analyzing_lookup(build_analyzing_suggester(entries, an), an, "spark s", 10).collect()
+    assert [(r.surface, r.weight) for r in got] == [
+        ("spark sql", 8),
+        ("spark shell", 5),
+    ]
