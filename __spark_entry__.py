@@ -2884,6 +2884,108 @@ ranked AS (
 SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+def _q_explain_bm25(terms: tuple):
+    """Explanation oracle (CheckHits.checkExplanations analog): explain()
+    must decompose the top-1 doc's BM25 score into idf/tf/clause components
+    that a twin recomputes from corpus statistics, and the BooleanQuery
+    total must equal the sum of its matched SHOULD clauses."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        idx, searcher = _searcher(spark, sf_dir)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        top = (
+            searcher.scored(q)
+            .join(keys, "doc_id")
+            .withColumn("score_i", F.round(F.col("score") * 10000).cast("long"))
+            .orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(1)
+            .collect()[0]
+        )
+
+        def r4(v: float) -> int:  # HALF_UP like F.round / DuckDB round
+            return int(math.floor(v * 10000 + 0.5))
+
+        rows = [
+            ("doc_conv", int(top.conv_id[4:])),
+            ("doc_turn", int(top.turn_idx)),
+            ("total", r4(searcher.explain(q, top.doc_id)["value"])),
+        ]
+        for t in terms:
+            ex = searcher.explain(TermQuery(t), top.doc_id)
+            if not ex["matched"]:
+                continue
+            rows += [
+                (f"{t}.idf", r4(ex["details"][1]["value"])),
+                (f"{t}.tf", r4(ex["details"][2]["value"])),
+                (f"{t}.clause", r4(ex["value"])),
+            ]
+        return spark.createDataFrame(
+            rows, "component string, value_i long"
+        ).orderBy("component")
+
+    return run
+
+
+def _explain_bm25_sql(terms: tuple) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    idf = (
+        "ln(1 + (stats.doc_count - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))"
+    )
+    tfc = (
+        "tf.freq / (tf.freq + 1.2 * (0.25 + 0.75 * dlq.dlq"
+        " / (CAST(stats.sttf AS DOUBLE) / stats.doc_count)))"
+    )
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+target AS (
+  SELECT conv_id, turn_idx
+  FROM (SELECT conv_id, turn_idx,
+               CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+  ORDER BY score_i DESC, conv_id, turn_idx LIMIT 1
+),
+comp AS (
+  SELECT 'doc_conv' AS component, CAST(substr(conv_id, 5) AS BIGINT) AS value_i
+  FROM target
+  UNION ALL
+  SELECT 'doc_turn', CAST(turn_idx AS BIGINT) FROM target
+  UNION ALL
+  SELECT 'total', CAST(round(score * 10000) AS BIGINT)
+  FROM scored JOIN target USING (conv_id, turn_idx)
+  UNION ALL
+  SELECT tf.term || '.idf', CAST(round(({idf}) * 10000) AS BIGINT)
+  FROM tf JOIN target USING (conv_id, turn_idx)
+  JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  UNION ALL
+  SELECT tf.term || '.tf', CAST(round(({tfc}) * 10000) AS BIGINT)
+  FROM tf JOIN target USING (conv_id, turn_idx)
+  JOIN dlq USING (conv_id, turn_idx) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  UNION ALL
+  SELECT tf.term || '.clause', CAST(round(({_SCORE}) * 10000) AS BIGINT)
+  FROM tf JOIN target USING (conv_id, turn_idx)
+  JOIN dfreq USING (term) JOIN dlq USING (conv_id, turn_idx) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+)
+SELECT component, value_i FROM comp ORDER BY component"""
+    )
+
+
 def _q_search_after(term: str, k: int):
     """searchAfter paging (TopFieldCollector.searchAfter): page 2 of the
     (ts desc, score desc, doc asc) sort — the cursor is page 1's last
@@ -3389,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bm25_knn_topk": _q_hybrid("spark", 50, 10),
         "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
         "suggest_analyzed": _q_suggest_analyzed("the spark", 10),
+        "explain_bm25_doc": _q_explain_bm25(("spark", "customer")),
         "search_after_page2": _q_search_after("data", 10),
         "join_util_convs": _q_join_util("data", 10),
         "rescore_topk": _q_rescore("data", ["the", "customer"], 20, 10),
@@ -3489,6 +3592,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_bm25_knn_topk": _hybrid_sql("spark", 50, 10),
         "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
         "suggest_analyzed": _suggest_analyzed_sql("the spark", 10),
+        "explain_bm25_doc": _explain_bm25_sql(("spark", "customer")),
         "search_after_page2": _search_after_sql("data", 10),
         "join_util_convs": _join_util_sql("data", 10),
         "rescore_topk": _rescore_sql("data", ["the", "customer"], 20, 10),
