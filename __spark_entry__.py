@@ -2007,6 +2007,15 @@ def _fvh_sql(term: str, k: int, width: int = 80, margin: int = 20) -> str:
     # Declared-subset assumption (same class as _PRELUDE's '[a-z0-9]+'
     # simplification): the engine's offsets relation uses the compound
     # tokenizer (apostrophe/decimal joins — "spark's" is ONE token), while
+    # this twin whole-token-splits on every non-alnum char.  A doc where a
+    # compound form of the term precedes a bare occurrence would therefore
+    # pick different first matches.  The synthetic transcript vocabulary
+    # contains no apostrophes/decimals adjacent to gate terms, so the
+    # subset holds on the gate corpus by construction.
+    #
+    # Declared-subset assumption (same class as _PRELUDE's '[a-z0-9]+'
+    # simplification): the engine's offsets relation uses the compound
+    # tokenizer (apostrophe/decimal joins — "spark's" is ONE token), while
     # this twin treats every non-alnum as a boundary.  A doc containing a
     # compound occurrence ("spark's") BEFORE a bare occurrence of the term
     # would therefore snippet differently.  The fixture corpus contains no

@@ -219,6 +219,33 @@ def main() -> None:
         )
         ann["recall_ivf_at10"] = round(len(brute & ivf) / max(len(brute), 1), 2)
         ann["recall_lsh_at10"] = round(len(brute & lsh) / max(len(brute), 1), 2)
+
+        # assignment-strategy A/B at K=1024 (the 100 TB sizing, K ~ sqrt(N)):
+        # the matmul path's physical plan must stay FLAT as K grows (one
+        # mapInPandas node; centroids ride inside the UDF), while the expr
+        # path's plan grows with K (a K-branch greatest() tree) — that
+        # growth is why assign_centroids switches strategy above
+        # IVF_EXPR_MAX_K.  plan_chars_* records the explain-string size
+        # (maxToStringFields raised so Spark's "... N more fields" plan
+        # truncation can't hide the expr-tree growth).
+        spark.conf.set("spark.sql.debug.maxToStringFields", "1000000")
+
+        def _plan_chars(df) -> int:
+            return len(df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            ))
+
+        for kc in (64, 1024):
+            cents_k = sim._centroids(emb, kc)
+            a = sim.assign_centroids(emb, cents_k, strategy="matmul")
+            tq = time.time()
+            a.select("cid").groupBy().max("cid").collect()
+            ann[f"t_assign_matmul_k{kc}"] = round(time.time() - tq, 4)
+            ann[f"plan_chars_matmul_k{kc}"] = _plan_chars(a)
+            ann[f"plan_chars_expr_k{kc}"] = _plan_chars(
+                sim.assign_centroids(emb, cents_k, strategy="expr")
+            )
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
         emb.unpersist()
 
     # ---- pipeline ops over the sf-dir documents table (reported outside
