@@ -2401,6 +2401,15 @@ def _q_dedup_simhash(spark, sf_dir):
     return dd.near_duplicates_simhash(_docs(spark, sf_dir))
 
 
+def _q_dedup_ngram(spark, sf_dir):
+    """EXACT word-3-gram Jaccard self-join (no LSH approximation) via
+    AllPairs/PPJoin prefix filtering — rarest-first shingle order, prefix
+    index, length filter, then exact verification."""
+    from lucene_spark.pipeline import dedup as dd
+
+    return dd.near_duplicates_ngram(_docs(spark, sf_dir))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """MinHash pairs -> connected components (large-star/small-star) ->
     (doc_id, cluster_id, is_canonical); keep-one-per-cluster dedup."""
@@ -3546,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_facets": _q_taxonomy_facets,
         "taxonomy_children": _q_taxonomy_children,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
         "text_token_count": _q_text_token_count,
         "boilerplate_removal": _q_boilerplate,
         "text_repetition": _q_text_repetition,
@@ -3700,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_topk": _GROUPING_SQL,
         "dedup_exact": _pl_dedup.exact_duplicates_sql(_DUP_REL),
         "dedup_minhash_lsh": _pl_dedup.near_duplicates_minhash_sql(_DOCS_REL),
+        "dedup_ngram_jaccard": _pl_dedup.near_duplicates_ngram_sql(_DOCS_REL),
         "dedup_clusters": _pl_cluster.dedup_clusters_sql(_DOCS_REL),
         "taxonomy_facets": _PRELUDE
         + """, m AS (

@@ -133,15 +133,12 @@ def lsh_candidate_pairs(sig: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFra
     )
 
 
-def near_duplicates_minhash(
-    docs: DataFrame, text_col: str = "text", threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """(doc_a, doc_b, jaccard_i): LSH candidates verified by EXACT shingle
-    Jaccard >= threshold; jaccard_i = round(10000 * j) for portable compare."""
-    sh = shingle_sets(docs, text_col).persist()
+def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """EXACT shingle-Jaccard verification of candidate pairs: (doc_a, doc_b,
+    jaccard_i) with jaccard_i = round(10000 * |A∩B| / |A∪B|) >= threshold.
+    The intersection is a key-partitioned join on (doc, shingle) whose degree
+    is bounded by the candidate count, never the corpus size."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cands = lsh_candidate_pairs(minhash_signatures(docs, text_col))
-    # exact |A ∩ B| per candidate pair via the shingle join
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
@@ -151,7 +148,7 @@ def near_duplicates_minhash(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
-    out = (
+    return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn(
@@ -165,7 +162,16 @@ def near_duplicates_minhash(
         .filter(F.col("jaccard_i") >= round(threshold * 10000))
         .select("doc_a", "doc_b", "jaccard_i")
     )
-    return out
+
+
+def near_duplicates_minhash(
+    docs: DataFrame, text_col: str = "text", threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_i): LSH candidates verified by EXACT shingle
+    Jaccard >= threshold; jaccard_i = round(10000 * j) for portable compare."""
+    sh = shingle_sets(docs, text_col).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(docs, text_col))
+    return _verify_jaccard(cands, sh, threshold)
 
 
 def near_duplicates_minhash_sql(
@@ -214,6 +220,121 @@ SELECT doc_a, doc_b,
        CAST(round(10000.0 * i / (za.n + zb.n - i)) AS BIGINT) AS jaccard_i
 FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
 WHERE CAST(round(10000.0 * i / (za.n + zb.n - i)) AS BIGINT) >= {round(threshold * 10000)}"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (prefix-filtered set-similarity self-join)
+
+
+def near_duplicates_ngram(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    max_doc_freq: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_i): ALL pairs with exact word-3-gram Jaccard >=
+    threshold — no hashing approximation anywhere (contrast
+    :func:`near_duplicates_minhash`, which can miss pairs the LSH bands skip).
+
+    Scale design — AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08): order each doc's shingles by ascending corpus
+    document-frequency (rarest first, ties by shingle text), and index only
+    the first ``n - ceil(t*n) + 1`` of them.  Two sets with Jaccard >= t MUST
+    share at least one prefix shingle under any common total order, so the
+    candidate join touches only prefix rows — the join fan-out per shingle is
+    its document frequency among prefixes, concentrated on the RAREST
+    shingles by construction.  A ``min >= ceil(t * max)`` length filter
+    prunes size-incompatible pairs before verification, and
+    :func:`_verify_jaccard` computes the exact intersection on survivors.
+
+    ``max_doc_freq`` drops shingles whose corpus frequency exceeds the cap
+    from candidate generation (same rationale and default as MAX_BUCKET: a
+    boilerplate shingle shared by c docs would emit O(c^2) candidates; docs
+    whose whole prefix is such boilerplate are near-exact duplicates handled
+    by :func:`exact_duplicates`).  Every stage is a key-partitioned shuffle
+    (shingle freq agg, per-doc rank window, prefix self-join, verify join);
+    nothing is collected or broadcast, so the plan is corpus-size-free.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_sets(docs, text_col).persist()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id",
+        "shingle",
+        "df",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "shingle"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        (F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        & (F.col("df") <= max_doc_freq)
+    ).select("doc_id", "shingle", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= F.ceil(F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n")))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cands, sh, threshold)
+
+
+def near_duplicates_ngram_sql(
+    doc_rel: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_doc_freq: int = MAX_BUCKET,
+) -> str:
+    """DuckDB twin of :func:`near_duplicates_ngram`: the identical prefix
+    pipeline (not a brute-force all-pairs), so borderline rounding behaves
+    the same in both engines."""
+    t10k = round(threshold * 10000)
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RX}') AS toks FROM {doc_rel}
+), sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K - 2}, 1)),
+           i -> array_to_string(list_slice(toks, i, i + {SHINGLE_K - 1}), ' ')))) AS sh
+  FROM t
+), freq AS (
+  SELECT sh, count(*) AS df FROM sh0 GROUP BY 1
+), ranked AS (
+  SELECT s.doc_id, s.sh, f.df,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh) AS r,
+         count(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM sh0 s JOIN freq f USING (sh)
+), prefix AS (
+  SELECT doc_id, sh, n FROM ranked
+  WHERE r <= n - CAST(ceil({threshold} * n) AS BIGINT) + 1 AND df <= {max_doc_freq}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) >= CAST(ceil({threshold} * greatest(a.n, b.n)) AS BIGINT)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh0 sa ON sa.doc_id = c.doc_a
+  JOIN sh0 sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(10000.0 * i / (za.n + zb.n - i)) AS BIGINT) AS jaccard_i
+FROM inter JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+WHERE CAST(round(10000.0 * i / (za.n + zb.n - i)) AS BIGINT) >= {t10k}"""
 
 
 # ---------------------------------------------------------------------------

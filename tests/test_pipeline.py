@@ -128,6 +128,44 @@ def test_simhash_near_duplicates(docs, con):
     )
 
 
+def test_ngram_jaccard_near_duplicates(docs, con):
+    from lucene_spark.pipeline import dedup as dd
+
+    n = assert_match(
+        dd.near_duplicates_ngram(docs), con, dd.near_duplicates_ngram_sql(DOCS_REL)
+    )
+    assert n > 0, "the corpus contains planted near-duplicates"
+
+
+def test_ngram_jaccard_is_exact(docs, con):
+    """Prefix filtering must be LOSSLESS above the threshold: the output is
+    exactly the brute-force all-pairs 3-gram Jaccard >= 0.5 set (per the
+    AllPairs theorem — two sets with J >= t share a prefix shingle under any
+    common total order), modulo the documented max_doc_freq boilerplate cap
+    (disabled here by raising the cap beyond the corpus size)."""
+    from lucene_spark.pipeline import dedup as dd
+
+    truth = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM {DOCS_REL}),
+s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+       i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS sh FROM t),
+sizes AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM s a JOIN s b ON a.sh=b.sh AND a.doc_id<b.doc_id GROUP BY 1,2)
+SELECT da, db, CAST(round(10000.0 * i / (za.n + zb.n - i)) AS BIGINT) AS j
+FROM i JOIN sizes za ON za.doc_id=da JOIN sizes zb ON zb.doc_id=db
+WHERE CAST(round(10000.0 * i / (za.n + zb.n - i)) AS BIGINT) >= 5000"""
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dd.near_duplicates_ngram(docs, max_doc_freq=10**9).collect()
+    )
+    assert got == truth
+
+
 # -- similarity ---------------------------------------------------------
 @pytest.fixture(scope="module")
 def qvec(con):
