@@ -568,6 +568,254 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+# ---------------------------------------------------------------------------
+# per-language analyzer gates (fr/de/es): the documents table carries a
+# ``lang`` column; each gate builds a LANGUAGE-FILTERED index with the
+# matching Analyzer preset (FrenchAnalyzer/GermanAnalyzer/SpanishAnalyzer
+# chains — analysis/lang.py).  The synthetic corpus vocabulary is English,
+# so a deterministic language tail per doc (doc_id % 3) plants accented,
+# suffixed, elided words for the stemmer/elision/stop rules to fire on —
+# mirrored exactly in the DuckDB twin, like _TEXT2_SQL.
+
+_LANG_GATES = {
+    "fr": dict(
+        preset="french",
+        tails=(
+            " les requêtes optimisées pour l'analyse",
+            " des tables jointes et données",
+        ),
+        query="requêtes données analyse",
+    ),
+    "de": dict(
+        preset="german",
+        tails=(
+            " die größten tabellen der häuser",
+            " schlüssel und tabellen prüfen",
+        ),
+        query="tabellen häuser schlüssel",
+    ),
+    "es": dict(
+        preset="spanish",
+        tails=(
+            " las consultas rápidas sobre tablas únicas",
+            " consultas y tablas combinadas",
+        ),
+        query="consultas tablas únicas",
+    ),
+    # it/pt are not planted in the corpus's lang column: these two gates
+    # run their analyzers over the WHOLE documents table (filter=None) —
+    # analyzers are language-blind rule chains, the tail plants the words
+    "it": dict(
+        preset="italian",
+        filter=None,
+        tails=(
+            " le tabelle ottimizzate per l'analisi",
+            " delle interrogazioni veloci",
+        ),
+        query="tabelle analisi interrogazioni",
+    ),
+    "pt": dict(
+        preset="portuguese",
+        filter=None,
+        tails=(
+            " as consultas rápidas e otimizadas",
+            " tabelas e consultas combinadas",
+        ),
+        query="consultas tabelas otimizadas",
+    ),
+}
+
+# joiner-free Latin-1 token class (declared-subset simplification of
+# tokenizer.TOKEN_PATTERN_LATIN1, same as _PRELUDE's '[a-z0-9]+')
+_L1_CLASS = "[a-zà-öø-ÿß0-9]+"
+
+
+def _transcripts_lang_df(spark: SparkSession, sf_dir: str, lang: str) -> DataFrame:
+    """Language-filtered transcripts view with the deterministic tail."""
+    cfg = _LANG_GATES[lang]
+    t0, t1 = cfg["tails"]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if cfg.get("filter", lang) is not None:
+        d = d.filter(F.col("lang") == lang)
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(t0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(t1))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        F.concat(
+            F.lit("conv"),
+            F.lpad((F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"), 6, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        text2.alias("text"),
+        F.col("source").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _searcher_lang(spark: SparkSession, sf_dir: str, lang: str):
+    key = ("lang", lang, os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        an = getattr(Analyzer, _LANG_GATES[lang]["preset"])()
+        idx = IndexBuilder(num_segments=4, analyzer=an).build(
+            _transcripts_lang_df(spark, sf_dir, lang)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_topk_lang(lang: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher_lang(spark, sf_dir, lang)
+        terms = searcher.parse_terms(_LANG_GATES[lang]["query"])
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+_LANG_PRELUDE_CACHE: dict[str, str] = {}
+
+
+def _prelude_lang(lang: str) -> str:
+    """Analyzed prelude for a per-language gate: elision (fr) as a
+    pre-tokenize regexp_replace, Latin-1 token class, language stoplist,
+    and a vocabulary-derived (tok -> stem) VALUES map for the light
+    stemmer — same declared-subset contract as _prelude_en."""
+    if lang not in _LANG_PRELUDE_CACHE:
+        import duckdb
+
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.analysis.analyzer import DICT_STEMMERS
+        from lucene_spark.analysis.lang import ELISION_PATTERN
+
+        an = getattr(Analyzer, _LANG_GATES[lang]["preset"])()
+        stem = DICT_STEMMERS[an.stemmer]
+        pat = ELISION_PATTERN.replace("'", "''")
+        elide = f", '{pat}', ' ', 'gi'" if an.elision else None
+
+        def _tok_sql(expr: str) -> str:
+            inner = f"regexp_replace({expr}{elide})" if elide else expr
+            return f"regexp_extract_all(lower({inner}), '{_L1_CLASS}')"
+
+        con = duckdb.connect()
+        vocab: set[str] = set()
+        for sf in ("0.001", "0.01", "0.1"):
+            path = f"/root/testdata/sf{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            vocab |= {
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT unnest({_tok_sql('text')})"
+                    f" FROM read_parquet('{path}')"
+                ).fetchall()
+            }
+        # tail words: PRE-stem surface forms (what the twin's tokenizer
+        # emits), via the same chain minus stop/stem
+        surface = Analyzer(elision=an.elision, latin1=True)
+        for tail in _LANG_GATES[lang]["tails"]:
+            vocab |= {t for t, _ in surface.analyze_text(tail)}
+        pairs = sorted((t, stem(t)) for t in vocab if stem(t) != t)
+        esc = lambda s: s.replace("'", "''")  # noqa: E731
+        vals = ", ".join(f"('{esc(t)}', '{esc(s)}')" for t, s in pairs) or "('', '')"
+        stoplist = ", ".join(f"'{esc(w)}'" for w in sorted(an.stopwords))
+        t0, t1 = (t.replace("'", "''") for t in _LANG_GATES[lang]["tails"])
+        text2 = (
+            f"text || CASE doc_id % 3 WHEN 0 THEN '{t0}' "
+            f"WHEN 1 THEN '{t1}' ELSE '' END"
+        )
+        where = (
+            f"WHERE lang = '{lang}'"
+            if _LANG_GATES[lang].get("filter", lang) is not None
+            else ""
+        )
+        _LANG_PRELUDE_CACHE[lang] = f"""
+WITH pmap(tok, stem) AS (VALUES {vals}),
+tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         {text2} AS text
+  FROM documents {where}
+),
+parr AS (
+  SELECT conv_id, turn_idx, {_tok_sql('text')} AS arr
+  FROM tr
+),
+eent AS (
+  SELECT t.conv_id, t.turn_idx, COALESCE(pm.stem, t.tok) AS term, t.pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr) t
+  LEFT JOIN pmap pm ON pm.tok = t.tok
+  WHERE t.tok NOT IN ({stoplist})
+),
+edl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM eent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+edlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM edl
+),
+estats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM edl
+),
+etf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM eent GROUP BY 1, 2, 3
+),
+edfreq AS (
+  SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
+)
+"""
+    return _LANG_PRELUDE_CACHE[lang]
+
+
+def _lang_topk_sql(lang: str, k: int) -> str:
+    from lucene_spark.analysis import Analyzer
+
+    an = getattr(Analyzer, _LANG_GATES[lang]["preset"])()
+    stemmed_terms = an.analyze_query(_LANG_GATES[lang]["query"])
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in stemmed_terms)
+    return (
+        _prelude_lang(lang)
+        + f""",
+scored AS (
+  SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
+  FROM etf
+  JOIN edfreq USING (term)
+  JOIN edlq USING (conv_id, turn_idx)
+  CROSS JOIN estats
+  WHERE etf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 _GRAPH_RULE = ("spark", "query engine")  # index-time graph synonym: src -> dst
 
 
@@ -3479,6 +3727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": _q_phrase_slop(["customer", "join"], 2, 10),
         "bm25_topk_stemmed": _q_topk_stemmed("queries joins tables", 20),
         "bm25_topk_english": _q_topk_english("the queries and joins of tables", 20),
+        "bm25_topk_french": _q_topk_lang("fr", 20),
+        "bm25_topk_german": _q_topk_lang("de", 20),
+        "bm25_topk_spanish": _q_topk_lang("es", 20),
+        "bm25_topk_italian": _q_topk_lang("it", 20),
+        "bm25_topk_portuguese": _q_topk_lang("pt", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -3580,6 +3833,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": _sloppy_phrase_sql("customer", "join", 2, 10),
         "bm25_topk_stemmed": _an_topk_sql(["query", "join", "table"], 20),
         "bm25_topk_english": _english_topk_sql(["queri", "join", "tabl"], 20),
+        "bm25_topk_french": _lang_topk_sql("fr", 20),
+        "bm25_topk_german": _lang_topk_sql("de", 20),
+        "bm25_topk_spanish": _lang_topk_sql("es", 20),
+        "bm25_topk_italian": _lang_topk_sql("it", 20),
+        "bm25_topk_portuguese": _lang_topk_sql("pt", 20),
         "synonym_index_time_topk": _graph_synonym_phrase_sql(10),
         "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
         "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),

@@ -5,9 +5,28 @@ from lucene_spark.analysis.tokenizer import (  # noqa: F401
     tokens_expr,
 )
 from lucene_spark.analysis.analyzer import (  # noqa: F401
+    DICT_STEMMERS,
     ENGLISH_STOP_WORDS,
     Analyzer,
     s_stem,
     s_stem_sql,
+)
+from lucene_spark.analysis.lang import (  # noqa: F401
+    ELISION_PATTERN,
+    ELISION_PATTERNS,
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    ITALIAN_STOP_WORDS,
+    PORTUGUESE_STOP_WORDS,
+    SPANISH_STOP_WORDS,
+    elide,
+    elide_french,
+    french_light_stem,
+    german_light_stem,
+    german_normalize,
+    german_normalize_and_stem,
+    italian_light_stem,
+    portuguese_light_stem,
+    spanish_light_stem,
 )
 from lucene_spark.analysis.porter import porter_stem  # noqa: F401

@@ -31,17 +31,36 @@
   (``FieldInvertState.length``): stopped tokens don't count, synonym
   emissions do — dl = #survivors + #synonym-emissions.
 
-Engine lowering: the whole chain except Porter runs as JVM column
-expressions over the token array (stopset/synonym maps are tiny literals).
-Porter is applied by the IndexBuilder on the DISTINCT TERM DICTIONARY via
-an Arrow-batched UDF + broadcast join — O(|vocabulary|) Python work, never
-per token (see builder.apply_porter).
+* Per-language presets — ``Analyzer.english/french/german/spanish/italian/
+  portuguese()`` reproduce the analysis-common analyzers' default chains
+  (elision, Snowball stop sets, light stemmers — see analysis/lang.py).
+
+Engine lowering: the whole chain except the dictionary stemmers (Porter +
+the per-language light stemmers) runs as JVM column expressions over the
+token array (stopset/synonym maps are tiny literals).  Dictionary stemmers
+are applied by the IndexBuilder on the DISTINCT TERM DICTIONARY via an
+Arrow-batched UDF + broadcast join — O(|vocabulary|) Python work, never
+per token (see builder.apply_dict_stemmer).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from lucene_spark.analysis.lang import (
+    ELISION_PATTERNS,
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    ITALIAN_STOP_WORDS,
+    PORTUGUESE_STOP_WORDS,
+    SPANISH_STOP_WORDS,
+    elide,
+    french_light_stem,
+    german_normalize_and_stem,
+    italian_light_stem,
+    portuguese_light_stem,
+    spanish_light_stem,
+)
 from lucene_spark.analysis.porter import porter_stem
 from lucene_spark.analysis.tokenizer import tokenize_text
 
@@ -50,6 +69,19 @@ ENGLISH_STOP_WORDS = frozenset(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()
 )
+
+# Dictionary-stage stemmers: pure per-term functions the IndexBuilder
+# applies to the DISTINCT TERM DICTIONARY (builder.apply_dict_stemmer),
+# never per token.  's' stays a JVM expression (s_stem_sql twin); these
+# run as one Arrow batch over the vocabulary.
+DICT_STEMMERS = {
+    "porter": porter_stem,
+    "french_light": french_light_stem,
+    "german_light": german_normalize_and_stem,
+    "spanish_light": spanish_light_stem,
+    "italian_light": italian_light_stem,
+    "portuguese_light": portuguese_light_stem,
+}
 
 
 def s_stem(w: str) -> str:
@@ -154,15 +186,27 @@ class Analyzer:
     # trailing 's right after tokenization (the compound tokenizer keeps
     # "spark's" as one token), BEFORE stop/stem — the EnglishAnalyzer slot
     possessive: bool = False
+    # ElisionFilter, lowered as a pre-tokenize char filter (lang.py module
+    # docstring): None | 'fr' (FrenchAnalyzer.DEFAULT_ARTICLES) | 'it'
+    # (ItalianAnalyzer.DEFAULT_ARTICLES)
+    elision: str | None = None
+    # widen the tokenizer alphabet to Latin-1 letters (tokenizer.py
+    # TOKEN_PATTERN_LATIN1) — the per-language presets set this
+    latin1: bool = False
 
     def __post_init__(self):
-        if self.stemmer not in (None, "s", "porter"):
+        if self.stemmer not in (None, "s", *DICT_STEMMERS):
             raise ValueError(f"unknown stemmer {self.stemmer!r}")
-        if self.stemmer == "porter" and self.synonyms:
-            # porter runs on the term dictionary AFTER inversion; a synonym
-            # stage ordered after it would need a second dictionary pass —
-            # out of scope (use stemmer='s' with synonyms instead)
-            raise ValueError("synonyms are not supported with stemmer='porter'")
+        if self.elision not in (None, *ELISION_PATTERNS):
+            raise ValueError(f"unknown elision language {self.elision!r}")
+        if self.stemmer in DICT_STEMMERS and self.synonyms:
+            # dictionary stemmers run on the term dictionary AFTER
+            # inversion; a synonym stage ordered after them would need a
+            # second dictionary pass — out of scope (use stemmer='s' with
+            # synonyms instead)
+            raise ValueError(
+                f"synonyms are not supported with stemmer={self.stemmer!r}"
+            )
         if self.graph_synonyms:
             for rule in self.graph_synonyms:
                 inp, out = rule
@@ -200,6 +244,57 @@ class Analyzer:
             stopwords=ENGLISH_STOP_WORDS, stemmer="porter", possessive=True
         )
 
+    @classmethod
+    def french(cls) -> "Analyzer":
+        """The FrenchAnalyzer preset (fr/FrenchAnalyzer.java:129-137):
+        elision (DEFAULT_ARTICLES) + french_stop.txt (position holes) +
+        FrenchLightStemFilter."""
+        return cls(
+            stopwords=FRENCH_STOP_WORDS,
+            stemmer="french_light",
+            elision="fr",
+            latin1=True,
+        )
+
+    @classmethod
+    def german(cls) -> "Analyzer":
+        """The GermanAnalyzer preset (de/GermanAnalyzer.java:129-137):
+        german_stop.txt + GermanNormalizationFilter + GermanLightStemFilter
+        (both normalization and stem run at the dictionary stage)."""
+        return cls(
+            stopwords=GERMAN_STOP_WORDS, stemmer="german_light", latin1=True
+        )
+
+    @classmethod
+    def spanish(cls) -> "Analyzer":
+        """The SpanishAnalyzer preset (es/SpanishAnalyzer.java:113-119):
+        spanish_stop.txt + SpanishLightStemFilter."""
+        return cls(
+            stopwords=SPANISH_STOP_WORDS, stemmer="spanish_light", latin1=True
+        )
+
+    @classmethod
+    def italian(cls) -> "Analyzer":
+        """The ItalianAnalyzer preset (it/ItalianAnalyzer.java:121-129):
+        elision (DEFAULT_ARTICLES) + italian_stop.txt +
+        ItalianLightStemFilter."""
+        return cls(
+            stopwords=ITALIAN_STOP_WORDS,
+            stemmer="italian_light",
+            elision="it",
+            latin1=True,
+        )
+
+    @classmethod
+    def portuguese(cls) -> "Analyzer":
+        """The PortugueseAnalyzer preset (pt/PortugueseAnalyzer.java:112-119):
+        portuguese_stop.txt + PortugueseLightStemFilter."""
+        return cls(
+            stopwords=PORTUGUESE_STOP_WORDS,
+            stemmer="portuguese_light",
+            latin1=True,
+        )
+
     @property
     def syn_map(self) -> dict[str, list[str]]:
         m: dict[str, list[str]] = {}
@@ -228,6 +323,8 @@ class Analyzer:
             and self.ngram is None
             and not self.ascii_folding
             and not self.possessive
+            and not self.elision
+            and not self.latin1
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -243,6 +340,8 @@ class Analyzer:
             "ngram": list(self.ngram) if self.ngram else None,
             "ascii_folding": self.ascii_folding,
             "possessive": self.possessive,
+            "elision": self.elision,
+            "latin1": self.latin1,
         }
 
     @classmethod
@@ -261,6 +360,8 @@ class Analyzer:
             ngram=tuple(ng) if ng else None,
             ascii_folding=d.get("ascii_folding", False),
             possessive=d.get("possessive", False),
+            elision=d.get("elision") or None,
+            latin1=d.get("latin1", False),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -296,7 +397,9 @@ class Analyzer:
         holes; synonym emissions share their source's position."""
         if self.ascii_folding and text is not None:
             text = ascii_fold(text)
-        toks = tokenize_text(text)
+        if self.elision and text is not None:
+            text = elide(text, self.elision)
+        toks = tokenize_text(text, latin1=self.latin1)
         if self.possessive:
             toks = [t[:-2] if t.endswith("'s") else t for t in toks]
         if self.graph_synonyms:
@@ -316,8 +419,8 @@ class Analyzer:
                 continue
             if self.stemmer == "s":
                 t = s_stem(t)
-            elif self.stemmer == "porter":
-                t = porter_stem(t)
+            elif self.stemmer in DICT_STEMMERS:
+                t = DICT_STEMMERS[self.stemmer](t)
             out.append((t, pos))
             for extra in syn.get(t, ()):
                 out.append((extra, pos))
@@ -334,16 +437,18 @@ class Analyzer:
         that explicitly."""
         if self.ascii_folding and text is not None:
             text = ascii_fold(text)
+        if self.elision and text is not None:
+            text = elide(text, self.elision)
         out: list[tuple[str, int]] = []
-        for pos, t in enumerate(tokenize_text(text)):
+        for pos, t in enumerate(tokenize_text(text, latin1=self.latin1)):
             if self.possessive and t.endswith("'s"):
                 t = t[:-2]
             if t in self.stopwords:
                 continue
             if self.stemmer == "s":
                 t = s_stem(t)
-            elif self.stemmer == "porter":
-                t = porter_stem(t)
+            elif self.stemmer in DICT_STEMMERS:
+                t = DICT_STEMMERS[self.stemmer](t)
             out.append((t, pos))
         return out
 
@@ -437,7 +542,11 @@ class Analyzer:
 
         if self.ascii_folding:
             col = F.translate(col, _FOLD_FROM, _FOLD_TO)
-        toks = tokens_expr(col)
+        if self.elision:
+            col = F.regexp_replace(
+                col, f"(?i){ELISION_PATTERNS[self.elision]}", " "
+            )
+        toks = tokens_expr(col, latin1=self.latin1)
         if self.possessive:
             toks = F.transform(toks, lambda t: F.regexp_replace(t, "'s$", ""))
         if self.graph_synonyms:

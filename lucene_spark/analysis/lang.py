@@ -1,0 +1,473 @@
+"""Per-language light stemmers + analyzer presets (analysis/common zoo).
+
+Algorithm transliterations (like analysis/porter.py): the rule tables and
+traversal order ARE the scoring contract, so each function mirrors its
+reference file step-for-step and is validated against the reference's own
+test-vector archives (fr/frlighttestdata.zip, de/delighttestdata.zip,
+es/eslighttestdata.zip, it/itlighttestdata.zip, pt/ptlighttestdata.zip —
+see tests/test_lang_analyzers.py):
+
+* ``french_light_stem``  ≙ analysis/common/.../fr/FrenchLightStemmer.java:57
+  (Savoy, "Light Stemming Approaches for the French, Portuguese, German and
+  Hungarian Languages", SAC 2006 — the default stemmer of
+  FrenchAnalyzer.java:129-137).
+* ``german_light_stem``  ≙ de/GermanLightStemmer.java:57 (same paper).
+* ``german_normalize``   ≙ de/GermanNormalizationFilter.java:43 (the FSM
+  umlaut/ß normalizer GermanAnalyzer.java:134 runs before the stem).
+* ``spanish_light_stem`` ≙ es/SpanishLightStemmer.java:51 (Savoy's light
+  stemmer for Spanish, the default of SpanishAnalyzer.java:113-119).
+* ``italian_light_stem`` ≙ it/ItalianLightStemmer.java:51 (Savoy's light
+  stemmer for Italian, the default of ItalianAnalyzer.java:121-129).
+* ``portuguese_light_stem`` ≙ pt/PortugueseLightStemmer.java:51 (same SAC
+  2006 paper, the default of PortugueseAnalyzer.java:112-119).
+* ``elide``              ≙ fr/FrenchAnalyzer.java DEFAULT_ARTICLES /
+  it/ItalianAnalyzer.java DEFAULT_ARTICLES +
+  util/ElisionFilter.java:51 (strip article + apostrophe), lowered as a
+  PRE-TOKENIZE char filter: on the declared input subset an elision
+  article+apostrophe only ever precedes a letter run, so replacing it with
+  a space yields the exact token stream ElisionFilter produces (engine,
+  oracle, and DuckDB twins share the one regex — parity by construction).
+
+All stemmers are pure per-term functions, so the IndexBuilder applies them
+on the DISTINCT TERM DICTIONARY (builder.apply_dict_stemmer): O(|vocab|)
+Python once per build, broadcast-joined back — never per token, never per
+row.  At 100 TB the vocabulary is millions of terms; an Arrow batch over
+it is milliseconds of Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    ITALIAN_STOP_WORDS,
+    PORTUGUESE_STOP_WORDS,
+    SPANISH_STOP_WORDS,
+)
+
+# fr/FrenchAnalyzer.java:47-55 DEFAULT_ARTICLES (ElisionFilter set)
+FRENCH_ELISION_ARTICLES = (
+    "l", "m", "t", "qu", "n", "s", "j", "d", "c",
+    "jusqu", "quoiqu", "lorsqu", "puisqu",
+)
+
+# it/ItalianAnalyzer.java:48-56 DEFAULT_ARTICLES
+ITALIAN_ELISION_ARTICLES = (
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d",
+)
+
+# Pre-tokenize elision char filters (module docstring).  Longest-first
+# alternation; \b is ASCII in Java (Spark), RE2 (DuckDB), and Python with
+# re.ASCII — an accented letter abutting the article start is out of the
+# declared subset on all three engines alike.
+ELISION_PATTERNS = {
+    "fr": r"\b(jusqu|quoiqu|lorsqu|puisqu|qu|[lmtnsjdc])'",
+    "it": (
+        r"\b(dagl|degl|negl|sugl|all|dall|dell|nell|sull|coll|pell"
+        r"|agl|gl|un|[clmtsvd])'"
+    ),
+}
+# back-compat alias (the French pattern was first)
+ELISION_PATTERN = ELISION_PATTERNS["fr"]
+
+_ELISION_RES = {
+    k: re.compile(p, re.IGNORECASE | re.ASCII)
+    for k, p in ELISION_PATTERNS.items()
+}
+
+
+def elide(text: str, lang: str) -> str:
+    return _ELISION_RES[lang].sub(" ", text)
+
+
+def elide_french(text: str) -> str:
+    return elide(text, "fr")
+
+
+# ---------------------------------------------------------------------------
+# French (FrenchLightStemmer.java:57-257; helper ``delete`` shifts the
+# buffer left, which Python's ``del`` reproduces)
+
+
+def _fr_norm(s: list, n: int) -> int:
+    """FrenchLightStemmer.norm (java:205-256)."""
+    if n > 4:
+        fold = {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+                "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+        for i in range(n):
+            s[i] = fold.get(s[i], s[i])
+        ch = s[0]
+        i = 1
+        while i < n:
+            if s[i] == ch and ch.isalpha():
+                del s[i]
+                n -= 1
+            else:
+                ch = s[i]
+                i += 1
+    if n > 4 and s[n - 2 : n] == ["i", "e"]:
+        n -= 2
+    if n > 4:
+        if s[n - 1] == "r":
+            n -= 1
+        if s[n - 1] == "e":
+            n -= 1
+        if s[n - 1] == "e":
+            n -= 1
+        if s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+            n -= 1
+    return n
+
+
+def french_light_stem(w: str) -> str:
+    s = list(w)
+    n = len(s)
+
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 5 and s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u" and s[n - 4] != "e":
+            s[n - 2] = "l"
+        n -= 1
+    if n > 3 and s[n - 1] == "x":
+        n -= 1
+    if n > 3 and s[n - 1] == "s":
+        n -= 1
+
+    if n > 9 and ends("issement"):
+        n -= 6
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 8 and ends("issant"):
+        n -= 4
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 6 and ends("ement"):
+        n -= 4
+        if n > 3 and ends("ive"):
+            n -= 1
+            s[n - 1] = "f"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 11 and ends("ficatrice"):
+        n -= 5
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 10 and ends("ficateur"):
+        n -= 4
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 9 and ends("catrice"):
+        n -= 3
+        s[n - 4] = "q"
+        s[n - 3] = "u"
+        s[n - 2] = "e"
+        # s[n-1] already 'r' (java:83 comment)
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 8 and ends("cateur"):
+        n -= 2
+        s[n - 4] = "q"
+        s[n - 3] = "u"
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 8 and ends("atrice"):
+        n -= 4
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 7 and ends("ateur"):
+        n -= 3
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 6 and ends("trice"):
+        # falls through (java:117-122, no return)
+        n -= 1
+        s[n - 3] = "e"
+        s[n - 2] = "u"
+        s[n - 1] = "r"
+    if n > 5 and ends("ième"):
+        return "".join(s[: _fr_norm(s, n - 4)])
+    if n > 7 and ends("teuse"):
+        n -= 2
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 6 and ends("teur"):
+        n -= 1
+        s[n - 1] = "r"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 5 and ends("euse"):
+        return "".join(s[: _fr_norm(s, n - 2)])
+    if n > 8 and ends("ère"):
+        n -= 1
+        s[n - 2] = "e"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 7 and ends("ive"):
+        n -= 1
+        s[n - 1] = "f"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 4 and (ends("folle") or ends("molle")):
+        n -= 2
+        s[n - 1] = "u"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 9 and ends("nnelle"):
+        return "".join(s[: _fr_norm(s, n - 5)])
+    if n > 9 and ends("nnel"):
+        return "".join(s[: _fr_norm(s, n - 3)])
+    if n > 4 and ends("ète"):
+        # falls through (java:143-146, no return)
+        n -= 1
+        s[n - 2] = "e"
+    if n > 8 and ends("ique"):
+        n -= 4  # falls through (java:148)
+    if n > 8 and ends("esse"):
+        return "".join(s[: _fr_norm(s, n - 3)])
+    if n > 7 and ends("inage"):
+        return "".join(s[: _fr_norm(s, n - 3)])
+    if n > 9 and ends("isation"):
+        n -= 7
+        if n > 5 and ends("ual"):
+            s[n - 2] = "e"
+        return "".join(s[: _fr_norm(s, n)])
+    if n > 9 and ends("isateur"):
+        return "".join(s[: _fr_norm(s, n - 7)])
+    if n > 8 and ends("ation"):
+        return "".join(s[: _fr_norm(s, n - 5)])
+    if n > 8 and ends("ition"):
+        return "".join(s[: _fr_norm(s, n - 5)])
+    return "".join(s[: _fr_norm(s, n)])
+
+
+# ---------------------------------------------------------------------------
+# German (GermanLightStemmer.java:57-141)
+
+_DE_FOLD = {
+    "ä": "a", "à": "a", "á": "a", "â": "a",
+    "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+    "ï": "i", "ì": "i", "í": "i", "î": "i",
+    "ü": "u", "ù": "u", "ú": "u", "û": "u",
+}
+
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def german_light_stem(w: str) -> str:
+    s = [_DE_FOLD.get(c, c) for c in w]
+    n = len(s)
+    # step1 (java:90-106)
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "r" and s[n - 1] == "n":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in ("m", "n", "r", "s"):
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST_ENDING:
+        n -= 1
+    # step2 (java:108-116)
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "s" and s[n - 1] == "t":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in ("r", "n"):
+        n -= 2
+    elif n > 4 and s[n - 2] == "s" and s[n - 1] == "t" and s[n - 3] in _DE_ST_ENDING:
+        n -= 2
+    return "".join(s[:n])
+
+
+def german_normalize(w: str) -> str:
+    """GermanNormalizationFilter.java:43-95 — a 3-state FSM: umlauts fold
+    to their base vowel, ß becomes ss, and an 'e' is deleted after the
+    folded-umlaut/'u' state (so 'ue' spellings collapse like 'ü')."""
+    N, V, U = 0, 1, 2
+    state = N
+    buf = list(w)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in ("a", "o"):
+            state = U
+        elif c == "u":
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                del buf[i]
+                i -= 1
+            state = V
+        elif c in ("i", "q", "y"):
+            state = V
+        elif c == "ä":
+            buf[i] = "a"
+            state = V
+        elif c == "ö":
+            buf[i] = "o"
+            state = V
+        elif c == "ü":
+            buf[i] = "u"
+            state = V
+        elif c == "ß":
+            buf[i] = "s"
+            buf.insert(i + 1, "s")
+            i += 1
+            state = N
+        else:
+            state = N
+        i += 1
+    return "".join(buf)
+
+
+def german_normalize_and_stem(w: str) -> str:
+    """GermanAnalyzer.java:129-137 stem slot: normalization filter then
+    light stem (the two dictionary-stage filters composed)."""
+    return german_light_stem(german_normalize(w))
+
+
+# ---------------------------------------------------------------------------
+# Spanish (SpanishLightStemmer.java:51-115)
+
+_ES_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+}
+
+
+def spanish_light_stem(w: str) -> str:
+    n = len(w)
+    if n < 5:
+        return w
+    s = [_ES_FOLD.get(c, c) for c in w]
+    last = s[n - 1]
+    if last in ("o", "a", "e"):
+        return "".join(s[: n - 1])
+    if last == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return "".join(s[: n - 2])
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            s[n - 3] = "z"
+            return "".join(s[: n - 2])
+        if s[n - 2] in ("o", "a", "e"):
+            return "".join(s[: n - 2])
+    return "".join(s[:n])
+
+
+# ---------------------------------------------------------------------------
+# Italian (ItalianLightStemmer.java:51-110; same fold map as Spanish
+# minus ç, applied only at length >= 6)
+
+_IT_FOLD = {k: v for k, v in _ES_FOLD.items()}
+
+
+def italian_light_stem(w: str) -> str:
+    n = len(w)
+    if n < 6:
+        return w
+    s = [_IT_FOLD.get(c, c) for c in w]
+    last = s[n - 1]
+    if last == "e":
+        return "".join(s[: n - 2 if s[n - 2] in ("i", "h") else n - 1])
+    if last == "i":
+        return "".join(s[: n - 2 if s[n - 2] in ("h", "i") else n - 1])
+    if last == "a":
+        return "".join(s[: n - 2 if s[n - 2] == "i" else n - 1])
+    if last == "o":
+        return "".join(s[: n - 2 if s[n - 2] == "i" else n - 1])
+    return "".join(s)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (PortugueseLightStemmer.java:51-208: plural/adverb suffix
+# removal -> feminine normalization -> final-vowel strip -> accent fold)
+
+_PT_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ç": "c",
+}
+
+
+def _pt_remove_suffix(s: list, n: int) -> int:
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 4 and ends("es") and s[n - 3] in ("r", "s", "l", "z"):
+        return n - 2
+    if n > 3 and ends("ns"):
+        s[n - 2] = "m"
+        return n - 1
+    if n > 4 and (ends("eis") or ends("éis")):
+        s[n - 3] = "e"
+        s[n - 2] = "l"
+        return n - 1
+    if n > 4 and ends("ais"):
+        s[n - 2] = "l"
+        return n - 1
+    if n > 4 and ends("óis"):
+        s[n - 3] = "o"
+        s[n - 2] = "l"
+        return n - 1
+    if n > 4 and ends("is"):
+        s[n - 1] = "l"
+        return n
+    if n > 3 and (ends("ões") or ends("ães")):
+        n -= 1
+        s[n - 2] = "ã"
+        s[n - 1] = "o"
+        return n
+    if n > 6 and ends("mente"):
+        return n - 5
+    if n > 3 and s[n - 1] == "s":
+        return n - 1
+    return n
+
+
+def _pt_norm_feminine(s: list, n: int) -> int:
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 7 and (ends("inha") or ends("iaca") or ends("eira")):
+        s[n - 1] = "o"
+        return n
+    if n > 6:
+        if (
+            ends("osa") or ends("ica") or ends("ida") or ends("ada")
+            or ends("iva") or ends("ama")
+        ):
+            s[n - 1] = "o"
+            return n
+        if ends("ona"):
+            s[n - 3] = "ã"
+            s[n - 2] = "o"
+            return n - 1
+        if ends("ora"):
+            return n - 1
+        if ends("esa"):
+            s[n - 3] = "ê"
+            return n - 1
+        if ends("na"):
+            s[n - 1] = "o"
+            return n
+    return n
+
+
+def portuguese_light_stem(w: str) -> str:
+    n = len(w)
+    if n < 4:
+        return w
+    s = list(w)
+    n = _pt_remove_suffix(s, n)
+    if n > 3 and s[n - 1] == "a":
+        n = _pt_norm_feminine(s, n)
+    if n > 4 and s[n - 1] in ("e", "a", "o"):
+        n -= 1
+    return "".join(_PT_FOLD.get(c, c) for c in s[:n])

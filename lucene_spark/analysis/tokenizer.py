@@ -41,15 +41,33 @@ TOKEN_PATTERN = (
     r"|(?<=[0-9])[.,](?=[0-9])[a-z0-9]+)*"
 )
 
+# Latin-1 alphabet extension for the per-language analyzers (fr/de/es):
+# StandardTokenizer accepts all Unicode letters; the declared subset here
+# widens [a-z] to the post-lowercase Latin-1 letters (U+00E0–U+00F6,
+# U+00F8–U+00FF) plus ß.  Same literal class in Java (Spark), RE2 (the
+# DuckDB twins use the joiner-free simplification), and Python.
+_L1_LETTER = "a-zà-öø-ÿß"
+TOKEN_PATTERN_LATIN1 = (
+    rf"[{_L1_LETTER}0-9]+"
+    rf"(?:(?<=[{_L1_LETTER}])'(?=[{_L1_LETTER}])[{_L1_LETTER}0-9]+"
+    rf"|(?<=[0-9])[.,](?=[0-9])[{_L1_LETTER}0-9]+)*"
+)
+
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
+_TOKEN_RE_LATIN1 = re.compile(TOKEN_PATTERN_LATIN1)
 
 
-def tokenize_text(text: str | None, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+def tokenize_text(
+    text: str | None,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+    latin1: bool = False,
+) -> list[str]:
     """Reference tokenizer (oracle path). Returns tokens in order."""
     if not text:
         return []
     out: list[str] = []
-    for run in _TOKEN_RE.findall(text.lower()):
+    rx = _TOKEN_RE_LATIN1 if latin1 else _TOKEN_RE
+    for run in rx.findall(text.lower()):
         if len(run) <= max_token_length:
             out.append(run)
         else:
@@ -60,7 +78,7 @@ def tokenize_text(text: str | None, max_token_length: int = MAX_TOKEN_LENGTH) ->
     return out
 
 
-def tokens_expr(col, max_token_length: int = MAX_TOKEN_LENGTH):
+def tokens_expr(col, max_token_length: int = MAX_TOKEN_LENGTH, latin1: bool = False):
     """JVM-side tokenizer: Column(string) -> Column(array<string>).
 
     Pure built-in expressions (regexp_extract_all + flatten/transform) so the
@@ -69,7 +87,8 @@ def tokens_expr(col, max_token_length: int = MAX_TOKEN_LENGTH):
     """
     from pyspark.sql import functions as F
 
-    runs = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+    pattern = TOKEN_PATTERN_LATIN1 if latin1 else TOKEN_PATTERN
+    runs = F.regexp_extract_all(F.lower(col), F.lit(pattern), 0)
     m = max_token_length
     # chop each run into <=m-char chunks; fast path (no chop) is the common case
     chopped = F.flatten(

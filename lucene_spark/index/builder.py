@@ -30,7 +30,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from lucene_spark.analysis.analyzer import Analyzer
+from lucene_spark.analysis.analyzer import DICT_STEMMERS, Analyzer
 from lucene_spark.analysis.tokenizer import tokens_expr
 from lucene_spark.util.smallfloat import NUM_FREE_VALUES
 
@@ -370,26 +370,29 @@ class IndexBuilder:
         )
         return out
 
-    # -- Porter on the term dictionary ----------------------------------
+    # -- dictionary-stage stemmers (porter + per-language light stems) ---
     @staticmethod
-    def apply_porter(postings: DataFrame) -> DataFrame:
-        """Stem the postings' terms with full Porter.
+    def apply_dict_stemmer(postings: DataFrame, stemmer: str) -> DataFrame:
+        """Stem the postings' terms with a dictionary-stage stemmer
+        (analyzer.DICT_STEMMERS: full Porter or a per-language light
+        stemmer from analysis/lang.py).
 
-        Spark-first shape: Porter runs ONCE PER DISTINCT TERM (Arrow-batched
-        UDF over the vocabulary — O(|V|) Python, never per token), the tiny
-        (term, stem) map broadcast-joins back, and a (stem, doc) re-agg
-        merges postings of terms that collapse to the same stem (summed
-        freq, union-sorted positions) — exactly what the reference's
-        per-token PorterStemFilter yields at the index level.  Cost: one
-        extra (term, doc_id) shuffle at build time."""
+        Spark-first shape: the stemmer runs ONCE PER DISTINCT TERM
+        (Arrow-batched UDF over the vocabulary — O(|V|) Python, never per
+        token), the tiny (term, stem) map broadcast-joins back, and a
+        (stem, doc) re-agg merges postings of terms that collapse to the
+        same stem (summed freq, union-sorted positions) — exactly what the
+        reference's per-token stem filters yield at the index level.
+        Cost: one extra (term, doc_id) shuffle at build time."""
         import pandas as pd
 
-        from lucene_spark.analysis.porter import porter_stem
-
         def stem_part(batches):
+            from lucene_spark.analysis.analyzer import DICT_STEMMERS
+
+            fn = DICT_STEMMERS[stemmer]
             for pdf in batches:
                 yield pd.DataFrame(
-                    {"term": pdf["term"], "stem": [porter_stem(t) for t in pdf["term"]]}
+                    {"term": pdf["term"], "stem": [fn(t) for t in pdf["term"]]}
                 )
 
         vocab = postings.select("term").distinct()
@@ -440,11 +443,12 @@ class IndexBuilder:
         an = self.analyzer
         if an is not None and an.is_noop():
             an = None
-        if an is not None and an.stemmer == "porter":
-            # Porter is deferred to the term dictionary (apply_porter);
-            # the index chain runs everything BUT the stem, exactly like
-            # entries_expr (porter+synonyms is rejected at Analyzer init,
-            # so dropping the stem here changes nothing else).
+        if an is not None and an.stemmer in DICT_STEMMERS:
+            # dictionary stemmers are deferred to the term dictionary
+            # (apply_dict_stemmer); the index chain runs everything BUT the
+            # stem, exactly like entries_expr (dict-stemmer+synonyms is
+            # rejected at Analyzer init, so dropping the stem here changes
+            # nothing else).
             an = dc_replace(an, stemmer=None)
         text_col = self.text_col
         entry_t = ArrayType(
@@ -610,8 +614,10 @@ class IndexBuilder:
                 "segment",
             )
             cached = (base,)
-            if self.analyzer is not None and self.analyzer.stemmer == "porter":
-                postings = self.apply_porter(postings).persist()
+            if self.analyzer is not None and self.analyzer.stemmer in DICT_STEMMERS:
+                postings = self.apply_dict_stemmer(
+                    postings, self.analyzer.stemmer
+                ).persist()
                 cached = cached + (postings,)
             # positions stay cached (re-derived on demand for phrases);
             # scoring scans hit only the slim primitive columns
@@ -654,8 +660,8 @@ class IndexBuilder:
                     F.first("segment").alias("segment"),
                 )
             )
-            if self.analyzer is not None and self.analyzer.stemmer == "porter":
-                postings = self.apply_porter(postings)
+            if self.analyzer is not None and self.analyzer.stemmer in DICT_STEMMERS:
+                postings = self.apply_dict_stemmer(postings, self.analyzer.stemmer)
             postings = postings.persist()
             postings_slim = postings.select("term", "doc_id", "freq", "norm")
             cached = (docs, postings)

