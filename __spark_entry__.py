@@ -623,6 +623,17 @@ _LANG_GATES = {
         ),
         query="consultas tabelas otimizadas",
     ),
+    # zh: CJKAnalyzer (script-run bigrams).  Tails plant Han runs, a lone
+    # char (unigram path), and a run break — the twin replays the bigram
+    # expansion in SQL (no stem map).
+    "zh": dict(
+        preset="cjk",
+        tails=(
+            " 数据库查询优化引擎",
+            " 分布式数据 库 计算引擎",
+        ),
+        query="数据库 引擎",
+    ),
 }
 
 # joiner-free Latin-1 token class (declared-subset simplification of
@@ -786,6 +797,103 @@ edfreq AS (
 )
 """
     return _LANG_PRELUDE_CACHE[lang]
+
+
+def _cjk_topk_sql(k: int) -> str:
+    """Twin for the CJKAnalyzer gate: the bigram expansion replays in SQL
+    (unnest(generate_series) per token; a CJK run of length L emits its
+    L-1 bigrams, everything else passes through), positions dense over the
+    expanded stream, stop filter after — cjk/CJKBigramFilter.java:122-199
+    with outputUnigrams=false."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS
+
+    an = Analyzer.cjk()
+    cfg = _LANG_GATES["zh"]
+    terms = an.analyze_query(cfg["query"])
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    stoplist = ", ".join(f"'{w}'" for w in sorted(an.stopwords))
+    t0, t1 = cfg["tails"]
+    text2 = (
+        f"text || CASE doc_id % 3 WHEN 0 THEN '{t0}' "
+        f"WHEN 1 THEN '{t1}' ELSE '' END"
+    )
+    pat = f"(?:[a-z0-9]+)|[{CJK_RUN_CLASS}]+"
+    isrun = f"regexp_matches(tok, '^[{CJK_RUN_CLASS}]') AND length(tok) > 1"
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         {text2} AS text
+  FROM documents WHERE lang = 'zh'
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '{pat}') AS arr
+  FROM tr
+),
+tk AS (
+  SELECT conv_id, turn_idx, unnest(arr) AS tok,
+         generate_subscripts(arr, 1) - 1 AS tpos
+  FROM parr
+),
+ex AS (
+  SELECT conv_id, turn_idx, tpos, tok, ({isrun}) AS isrun,
+         unnest(generate_series(1,
+           CASE WHEN {isrun} THEN length(tok) - 1 ELSE 1 END)) AS i
+  FROM tk
+),
+em AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN isrun THEN substr(tok, CAST(i AS INT), 2) ELSE tok END AS term,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY tpos, i) - 1 AS pos
+  FROM ex
+),
+eent AS (
+  SELECT conv_id, turn_idx, term, pos FROM em
+  WHERE term NOT IN ({stoplist})
+),
+edl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM eent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+edlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM edl
+),
+estats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM edl
+),
+etf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM eent GROUP BY 1, 2, 3
+),
+edfreq AS (
+  SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
+),
+scored AS (
+  SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
+  FROM etf
+  JOIN edfreq USING (term)
+  JOIN edlq USING (conv_id, turn_idx)
+  CROSS JOIN estats
+  WHERE etf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
 def _lang_topk_sql(lang: str, k: int) -> str:
@@ -3732,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_spanish": _q_topk_lang("es", 20),
         "bm25_topk_italian": _q_topk_lang("it", 20),
         "bm25_topk_portuguese": _q_topk_lang("pt", 20),
+        "bm25_topk_cjk": _q_topk_lang("zh", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -3838,6 +3947,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_spanish": _lang_topk_sql("es", 20),
         "bm25_topk_italian": _lang_topk_sql("it", 20),
         "bm25_topk_portuguese": _lang_topk_sql("pt", 20),
+        "bm25_topk_cjk": _cjk_topk_sql(20),
         "synonym_index_time_topk": _graph_synonym_phrase_sql(10),
         "phrase_with_stopword_hole": _an_hole_phrase_sql("part", "key", 2, 10),
         "bm25_topk_after_delete": _topk_after_delete_sql(["spark", "query"], 10, 3),

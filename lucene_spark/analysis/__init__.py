@@ -12,8 +12,10 @@ from lucene_spark.analysis.analyzer import (  # noqa: F401
     s_stem_sql,
 )
 from lucene_spark.analysis.lang import (  # noqa: F401
+    CJK_STOP_WORDS,
     ELISION_PATTERN,
     ELISION_PATTERNS,
+    cjk_width_fold,
     FRENCH_STOP_WORDS,
     GERMAN_STOP_WORDS,
     ITALIAN_STOP_WORDS,

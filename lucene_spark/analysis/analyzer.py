@@ -48,7 +48,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from lucene_spark.analysis.lang import (
+    CJK_STOP_WORDS,
     ELISION_PATTERNS,
+    WIDTH_FOLD_FROM,
+    WIDTH_FOLD_TO,
+    cjk_bigram_expand,
+    cjk_width_fold,
     FRENCH_STOP_WORDS,
     GERMAN_STOP_WORDS,
     ITALIAN_STOP_WORDS,
@@ -62,7 +67,11 @@ from lucene_spark.analysis.lang import (
     spanish_light_stem,
 )
 from lucene_spark.analysis.porter import porter_stem
-from lucene_spark.analysis.tokenizer import tokenize_text
+from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS, tokenize_text
+
+import re as _re
+
+_CJK_RUN_RE = _re.compile(f"^[{CJK_RUN_CLASS}]")
 
 # EnglishAnalyzer.java:46-50 — the default English stop set
 ENGLISH_STOP_WORDS = frozenset(
@@ -193,12 +202,30 @@ class Analyzer:
     # widen the tokenizer alphabet to Latin-1 letters (tokenizer.py
     # TOKEN_PATTERN_LATIN1) — the per-language presets set this
     latin1: bool = False
+    # CJKBigramFilter (cjk/CJKBigramFilter.java:122-199, outputUnigrams=
+    # false): CJK script runs tokenize as ONE token (tokenizer.py
+    # CJK_RUN_CLASS) and expand to character bigrams (lone char ->
+    # unigram); positions are dense over the EXPANDED stream, then stop
+    # holes apply (the filter's StopFilter-after-bigram slot)
+    cjk_bigrams: bool = False
+    # CJKWidthFilter fullwidth-ASCII subset as a pre-tokenize char filter
+    width_fold: bool = False
 
     def __post_init__(self):
         if self.stemmer not in (None, "s", *DICT_STEMMERS):
             raise ValueError(f"unknown stemmer {self.stemmer!r}")
         if self.elision not in (None, *ELISION_PATTERNS):
             raise ValueError(f"unknown elision language {self.elision!r}")
+        if self.cjk_bigrams and (
+            self.stemmer is not None
+            or self.synonyms
+            or self.graph_synonyms
+            or self.shingle_size
+            or self.ngram
+        ):
+            # bigrams rewrite the raw stream; stem/synonym/shingle/ngram
+            # stages assume word tokens — documented orthogonal subset
+            raise ValueError("cjk_bigrams composes only with stopwords")
         if self.stemmer in DICT_STEMMERS and self.synonyms:
             # dictionary stemmers run on the term dictionary AFTER
             # inversion; a synonym stage ordered after them would need a
@@ -286,6 +313,15 @@ class Analyzer:
         )
 
     @classmethod
+    def cjk(cls) -> "Analyzer":
+        """The CJKAnalyzer preset (cjk/CJKAnalyzer.java:94-101):
+        CJKWidthFilter (fullwidth-ASCII subset) + CJKBigramFilter +
+        the analyzer's default stop set (English words)."""
+        return cls(
+            stopwords=CJK_STOP_WORDS, cjk_bigrams=True, width_fold=True
+        )
+
+    @classmethod
     def portuguese(cls) -> "Analyzer":
         """The PortugueseAnalyzer preset (pt/PortugueseAnalyzer.java:112-119):
         portuguese_stop.txt + PortugueseLightStemFilter."""
@@ -325,6 +361,8 @@ class Analyzer:
             and not self.possessive
             and not self.elision
             and not self.latin1
+            and not self.cjk_bigrams
+            and not self.width_fold
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -342,6 +380,8 @@ class Analyzer:
             "possessive": self.possessive,
             "elision": self.elision,
             "latin1": self.latin1,
+            "cjk_bigrams": self.cjk_bigrams,
+            "width_fold": self.width_fold,
         }
 
     @classmethod
@@ -362,6 +402,8 @@ class Analyzer:
             possessive=d.get("possessive", False),
             elision=d.get("elision") or None,
             latin1=d.get("latin1", False),
+            cjk_bigrams=d.get("cjk_bigrams", False),
+            width_fold=d.get("width_fold", False),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -397,9 +439,13 @@ class Analyzer:
         holes; synonym emissions share their source's position."""
         if self.ascii_folding and text is not None:
             text = ascii_fold(text)
+        if self.width_fold and text is not None:
+            text = cjk_width_fold(text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
-        toks = tokenize_text(text, latin1=self.latin1)
+        toks = tokenize_text(text, latin1=self.latin1, cjk=self.cjk_bigrams)
+        if self.cjk_bigrams:
+            toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
         if self.possessive:
             toks = [t[:-2] if t.endswith("'s") else t for t in toks]
         if self.graph_synonyms:
@@ -437,10 +483,15 @@ class Analyzer:
         that explicitly."""
         if self.ascii_folding and text is not None:
             text = ascii_fold(text)
+        if self.width_fold and text is not None:
+            text = cjk_width_fold(text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
+        toks = tokenize_text(text, latin1=self.latin1, cjk=self.cjk_bigrams)
+        if self.cjk_bigrams:
+            toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
         out: list[tuple[str, int]] = []
-        for pos, t in enumerate(tokenize_text(text, latin1=self.latin1)):
+        for pos, t in enumerate(toks):
             if self.possessive and t.endswith("'s"):
                 t = t[:-2]
             if t in self.stopwords:
@@ -542,11 +593,31 @@ class Analyzer:
 
         if self.ascii_folding:
             col = F.translate(col, _FOLD_FROM, _FOLD_TO)
+        if self.width_fold:
+            col = F.translate(col, WIDTH_FOLD_FROM, WIDTH_FOLD_TO)
         if self.elision:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "
             )
-        toks = tokens_expr(col, latin1=self.latin1)
+        toks = tokens_expr(col, latin1=self.latin1, cjk=self.cjk_bigrams)
+        if self.cjk_bigrams:
+            # run -> bigrams (lone char / non-CJK token pass through), all
+            # JVM: the flatten keeps emission order, positions assigned next
+            is_run = lambda t: t.rlike(f"^[{CJK_RUN_CLASS}]") & (  # noqa: E731
+                F.length(t) > 1
+            )
+            toks = F.flatten(
+                F.transform(
+                    toks,
+                    lambda t: F.when(
+                        is_run(t),
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(t) - 1),
+                            lambda i: F.substring(t, i.cast("int"), F.lit(2)),
+                        ),
+                    ).otherwise(F.array(t)),
+                )
+            )
         if self.possessive:
             toks = F.transform(toks, lambda t: F.regexp_replace(t, "'s$", ""))
         if self.graph_synonyms:

@@ -471,3 +471,38 @@ def portuguese_light_stem(w: str) -> str:
     if n > 4 and s[n - 1] in ("e", "a", "o"):
         n -= 1
     return "".join(_PT_FOLD.get(c, c) for c in s[:n])
+
+
+# ---------------------------------------------------------------------------
+# CJK (cjk/CJKAnalyzer.java:94-101: StandardTokenizer -> CJKWidthFilter ->
+# LowerCase -> CJKBigramFilter -> StopFilter)
+
+# cjk/stopwords.txt — the analyzer's default stop set (an English list:
+# CJK tokens are never stopped, only embedded Latin words)
+CJK_STOP_WORDS = frozenset(
+    "a and are as at be but by for if in into is it no not of on or s such "
+    "t that the their then there these they this to was will with www".split()
+)
+
+# CJKWidthFilter.java:44-48 fullwidth-ASCII branch (ch - 0xFEE0), lowered
+# as a pre-tokenize char filter: a 1:1 translate, so token boundaries are
+# unchanged relative to the reference's post-tokenize slot on the declared
+# subset.  The halfwidth-katakana branch (0xFF65-0xFF9F + voiced-mark
+# combining, java:49-56) is out of the 1:1 subset and documented as such.
+_WIDTH_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+_WIDTH_TO = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+WIDTH_FOLD_FROM, WIDTH_FOLD_TO = _WIDTH_FROM, _WIDTH_TO
+_WIDTH_TABLE = str.maketrans(_WIDTH_FROM, _WIDTH_TO)
+
+
+def cjk_width_fold(text: str) -> str:
+    return text.translate(_WIDTH_TABLE)
+
+
+def cjk_bigram_expand(tok: str, run_class_re) -> list:
+    """Expand one token: a CJK run of length L >= 2 becomes its L-1
+    character bigrams (<DOUBLE>), a lone CJK char or any non-CJK token
+    passes through (CJKBigramFilter.java:122-199, outputUnigrams=false)."""
+    if len(tok) > 1 and run_class_re.match(tok):
+        return [tok[i : i + 2] for i in range(len(tok) - 1)]
+    return [tok]

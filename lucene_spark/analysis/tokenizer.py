@@ -53,20 +53,55 @@ TOKEN_PATTERN_LATIN1 = (
     rf"|(?<=[0-9])[.,](?=[0-9])[{_L1_LETTER}0-9]+)*"
 )
 
+# CJK script runs for the CJKAnalyzer preset: maximal runs of adjacent CJK
+# letters come out as ONE token here and the analyzer's bigram stage
+# splits them (run adjacency ≙ StandardTokenizer's per-char IDEOGRAPHIC/
+# HIRAGANA/KATAKANA/HANGUL tokens + CJKBigramFilter's aligned-offsets
+# check, cjk/CJKBigramFilter.java:205-214).  BMP subset: Han (incl.
+# Ext-A + compatibility), Hiragana, Katakana, Hangul syllables + jamo;
+# supplementary-plane ideographs (surrogates) are out of the declared
+# subset.  Same literal class in Java, RE2, and Python.
+CJK_RUN_CLASS = (
+    "぀-ヿ"   # hiragana + katakana
+    "㐀-䶿"   # han ext-A
+    "一-鿿"   # han
+    "豈-﫿"   # han compatibility
+    "가-힯"   # hangul syllables
+    "ᄀ-ᇿ"   # hangul jamo
+)
+
+
+def _cjk_pattern(base: str) -> str:
+    return rf"(?:{base})|[{CJK_RUN_CLASS}]+"
+
+
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 _TOKEN_RE_LATIN1 = re.compile(TOKEN_PATTERN_LATIN1)
+_TOKEN_RE_CJK = re.compile(_cjk_pattern(TOKEN_PATTERN))
+_TOKEN_RE_CJK_LATIN1 = re.compile(_cjk_pattern(TOKEN_PATTERN_LATIN1))
+
+
+def token_pattern(latin1: bool = False, cjk: bool = False) -> str:
+    base = TOKEN_PATTERN_LATIN1 if latin1 else TOKEN_PATTERN
+    return _cjk_pattern(base) if cjk else base
 
 
 def tokenize_text(
     text: str | None,
     max_token_length: int = MAX_TOKEN_LENGTH,
     latin1: bool = False,
+    cjk: bool = False,
 ) -> list[str]:
     """Reference tokenizer (oracle path). Returns tokens in order."""
     if not text:
         return []
     out: list[str] = []
-    rx = _TOKEN_RE_LATIN1 if latin1 else _TOKEN_RE
+    rx = {
+        (False, False): _TOKEN_RE,
+        (True, False): _TOKEN_RE_LATIN1,
+        (False, True): _TOKEN_RE_CJK,
+        (True, True): _TOKEN_RE_CJK_LATIN1,
+    }[(latin1, cjk)]
     for run in rx.findall(text.lower()):
         if len(run) <= max_token_length:
             out.append(run)
@@ -78,7 +113,12 @@ def tokenize_text(
     return out
 
 
-def tokens_expr(col, max_token_length: int = MAX_TOKEN_LENGTH, latin1: bool = False):
+def tokens_expr(
+    col,
+    max_token_length: int = MAX_TOKEN_LENGTH,
+    latin1: bool = False,
+    cjk: bool = False,
+):
     """JVM-side tokenizer: Column(string) -> Column(array<string>).
 
     Pure built-in expressions (regexp_extract_all + flatten/transform) so the
@@ -87,7 +127,7 @@ def tokens_expr(col, max_token_length: int = MAX_TOKEN_LENGTH, latin1: bool = Fa
     """
     from pyspark.sql import functions as F
 
-    pattern = TOKEN_PATTERN_LATIN1 if latin1 else TOKEN_PATTERN
+    pattern = token_pattern(latin1=latin1, cjk=cjk)
     runs = F.regexp_extract_all(F.lower(col), F.lit(pattern), 0)
     m = max_token_length
     # chop each run into <=m-char chunks; fast path (no chop) is the common case

@@ -314,6 +314,103 @@ def test_preset_search_parity(spark, preset, texts, query):
     idx.unpersist_all()
 
 
+# -- CJK bigrams (cjk/CJKAnalyzer.java chain) --------------------------------
+
+
+def test_cjk_bigram_vectors():
+    """TestCJKAnalyzer.java cases: runs -> bigrams, lone chars -> unigrams,
+    latin passes through, runs break at non-CJK boundaries."""
+    an = Analyzer.cjk()
+
+    def terms(t):
+        return [w for w, _ in an.analyze_text(t)]
+
+    assert terms("一二三四五六七八九十") == [
+        "一二", "二三", "三四", "四五", "五六", "六七", "七八", "八九", "九十",
+    ]
+    assert terms("一 二三四 五六七八九 十") == [
+        "一", "二三", "三四", "五六", "六七", "七八", "八九", "十",
+    ]
+    assert terms("あいうえおabcかきくけこ") == [
+        "あい", "いう", "うえ", "えお", "abc", "かき", "きく", "くけ", "けこ",
+    ]
+    # testMix2: lone CJK between latin emits a unigram
+    assert terms("あいうえおabんcかきくけ こ") == [
+        "あい", "いう", "うえ", "えお", "ab", "ん", "c", "かき", "きく", "くけ", "こ",
+    ]
+    assert terms("test") == ["test"]
+    # stop set applies to embedded latin only
+    assert terms("the 多く") == ["多く"]
+
+
+def test_cjk_width_fold():
+    from lucene_spark.analysis import cjk_width_fold
+
+    assert cjk_width_fold("ＡＢＣ１２３ ｘ") == "ABC123 x"
+    an = Analyzer.cjk()
+    assert [w for w, _ in an.analyze_text("ＤＢ 数据")] == ["db", "数据"]
+
+
+def test_cjk_positions_dense_over_bigrams():
+    an = Analyzer.cjk()
+    # positions advance per emission (bigram stream), stop holes preserved
+    out = an.analyze_text("数据库 the 引擎")
+    assert out == [("数据", 0), ("据库", 1), ("引擎", 3)]
+
+
+def test_cjk_entries_expr_parity(spark):
+    from pyspark.sql import functions as F
+
+    an = Analyzer.cjk()
+    texts = [
+        "あいうえおabんcかきくけ こ",
+        "多くの学生が試験に落ちた。",
+        "the spark ＤＢ 数据库查询",
+        "한국어 텍스트 spark",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, t
+
+
+def test_cjk_search_parity(spark):
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+
+    an = Analyzer.cjk()
+    rows = _mk_rows(
+        [
+            "数据库查询优化 spark engine",
+            "分布式数据 库 计算引擎",
+            "no cjk content here",
+            "查询 引擎 数据",
+        ]
+    )
+    idx = IndexBuilder(num_segments=2, analyzer=an).build(
+        transcripts_df(spark, rows=rows)
+    )
+    orc = OracleIndex.build(rows, analyzer=an)
+    s = IndexSearcher(idx)
+    terms = s.parse_terms("数据库 引擎")
+    assert terms == ["数据", "据库", "引擎"]
+    q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    engine = s.search(q, 10).collect()
+    okeys = orc.topk_keys(orc.search_or(terms, 10))
+    assert [(r.conv_id, r.turn_idx) for r in engine] == [
+        (c, t) for c, t, _ in okeys
+    ]
+    np.testing.assert_array_equal(
+        np.array([r.score for r in engine], dtype=np.float32),
+        np.array([sc for _, _, sc in okeys], dtype=np.float32),
+    )
+    idx.unpersist_all()
+
+
 def test_french_stopword_holes_through_elision(spark):
     """'l'' elides, 'de'/'la' stop out with position holes — phrase
     positions must honor the gaps (oracle check via analyze_text)."""
