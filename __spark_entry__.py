@@ -2799,6 +2799,38 @@ _BOILER_REL = (
     "FROM documents)"
 )
 
+# PII gate: deterministic planted PII per doc (the synthetic corpus has
+# none) — mirrored in engine and twin
+_PII_TAILS = (
+    " contact ops@example.com",
+    " call 555-123-4567 or +44 2079460000",
+    " server 192.168.1.10 card 4111-1111-1111-1111",
+    "",
+)
+
+
+def _q_pii_redaction(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    tail = F.when(F.col("doc_id") % 4 == 0, F.lit(_PII_TAILS[0]))
+    for i in (1, 2):
+        tail = tail.when(F.col("doc_id") % 4 == i, F.lit(_PII_TAILS[i]))
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), tail.otherwise(F.lit(""))).alias("text")
+    )
+    return ts.redact_pii(aug)
+
+
+def _pii_rel() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_PII_TAILS[:3])
+    )
+    return (
+        f"(SELECT doc_id, text || CASE doc_id % 4 {cases} ELSE '' END AS text "
+        "FROM documents)"
+    )
+
 
 def _q_text_repetition(spark, sf_dir):
     from lucene_spark.pipeline import textstats as ts
@@ -3920,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "text_token_count": _q_text_token_count,
         "boilerplate_removal": _q_boilerplate,
+        "pii_redaction": _q_pii_redaction,
         "text_repetition": _q_text_repetition,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -4106,6 +4139,7 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "dedup_simhash": _pl_dedup.near_duplicates_simhash_sql(_DOCS_REL),
         "text_token_count": _pl_text.token_counts_sql(_DOCS_REL),
         "boilerplate_removal": _pl_text.remove_boilerplate_lines_sql(_BOILER_REL),
+        "pii_redaction": _pl_text.redact_pii_sql(_pii_rel()),
         "text_repetition": _pl_text.repetition_scores_sql(_DOCS_REL),
         "text_quality": _pl_text.quality_scores_sql(_DOCS_REL),
         "text_langid": _pl_text.lang_id_sql(_DOCS_REL),

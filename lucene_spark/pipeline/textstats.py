@@ -395,3 +395,58 @@ FROM (SELECT doc_id FROM {doc_rel}) d
 LEFT JOIN dl ON d.doc_id = dl.doc_id
 LEFT JOIN g2 ON d.doc_id = g2.doc_id
 LEFT JOIN g3 ON d.doc_id = g3.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data curation): emails, credit-card-shaped
+# numbers, IPv4 addresses, phone numbers -> typed placeholders.  The
+# patterns are deliberately conservative (no lookarounds, so one literal
+# pattern set runs identically in Java regex, RE2, and Python) and are
+# applied IN ORDER on the progressively redacted text — a credit card is
+# never double-counted as a phone number because the <CC> placeholder has
+# already replaced it.  All JVM expressions; no UDF.
+
+PII_PATTERNS = (
+    # (name, pattern, placeholder) — applied in this order
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b", "<CC>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"\+\d{1,3}[ \-]\d{6,12}\b|\b\d{3}[ \-]\d{3}[ \-]\d{4}\b|\(\d{3}\) ?\d{3}-\d{4}",
+        "<PHONE>",
+    ),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_cc, n_ip, n_phone, redacted_md5) — per-category
+    match counts plus an md5 of the fully redacted text (the md5 makes the
+    redaction output itself cross-engine checkable without hauling text
+    through the compare)."""
+    t = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, repl)
+    return docs.select("doc_id", *counts, F.md5(t).alias("redacted_md5"))
+
+
+def redact_pii_sql(doc_rel: str) -> str:
+    # one CTE per step so each count sees the previous step's redaction
+    ctes, cur_rel, cur_text = [], doc_rel, "text"
+    for (name, pat, repl) in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"s_{name} AS (SELECT *, len(regexp_extract_all({cur_text}, '{p}')) AS n_{name},"
+            f" regexp_replace({cur_text}, '{p}', '{repl}', 'g') AS t_{name}"
+            f" FROM {cur_rel})"
+        )
+        cur_rel, cur_text = f"s_{name}", f"t_{name}"
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {names}, md5({cur_text}) AS redacted_md5 FROM {cur_rel}"
+    )

@@ -367,3 +367,44 @@ def test_repetition_scores(spark):
     assert out[3]["dup_line_frac_i"] == 0
     assert out[3]["top_2gram_frac_i"] == round(10000 * 1 / 3)
     assert out[4]["dup_line_frac_i"] == 0 and out[4]["top_2gram_frac_i"] == 0
+
+
+def test_pii_redaction(docs, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" mail a@b.com or x.y@sub.example.org"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.lit(" call 555-123-4567, +44 2079460000, (212) 555-0101"),
+            )
+            .otherwise(F.lit(" ip 10.0.0.1 card 4111-1111-1111-1111")),
+        ).alias("text"),
+    )
+    rel = (
+        f"(SELECT doc_id, text || CASE doc_id % 3 "
+        f"WHEN 0 THEN ' mail a@b.com or x.y@sub.example.org' "
+        f"WHEN 1 THEN ' call 555-123-4567, +44 2079460000, (212) 555-0101' "
+        f"ELSE ' ip 10.0.0.1 card 4111-1111-1111-1111' END AS text "
+        f"FROM {DOCS_REL})"
+    )
+    n = assert_match(ts.redact_pii(planted), con, ts.redact_pii_sql(rel))
+    assert n > 0
+    # spot semantics: ordered application means the card never counts as
+    # a phone number, and counts are per-category
+    row = (
+        ts.redact_pii(
+            planted.sparkSession.createDataFrame(
+                [(1, "a@b.com 4111-1111-1111-1111 10.0.0.1 555-123-4567")],
+                "doc_id long, text string",
+            )
+        )
+        .collect()[0]
+    )
+    assert (row.n_email, row.n_cc, row.n_ip, row.n_phone) == (1, 1, 1, 1)
