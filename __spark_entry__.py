@@ -2809,6 +2809,19 @@ _PII_TAILS = (
 )
 
 
+def _q_decontamination(spark, sf_dir):
+    """Train/eval n-gram decontamination: every 17th doc plays the
+    benchmark; the corpus's planted duplicate docs guarantee non-trivial
+    8-gram overlap."""
+    from lucene_spark.pipeline import textstats as ts
+
+    d = _docs(spark, sf_dir)
+    return ts.decontaminate(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+    )
+
+
 def _q_pii_redaction(spark, sf_dir):
     from lucene_spark.pipeline import textstats as ts
 
@@ -3953,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_text_token_count,
         "boilerplate_removal": _q_boilerplate,
         "pii_redaction": _q_pii_redaction,
+        "decontamination": _q_decontamination,
         "text_repetition": _q_text_repetition,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -4140,6 +4154,10 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "text_token_count": _pl_text.token_counts_sql(_DOCS_REL),
         "boilerplate_removal": _pl_text.remove_boilerplate_lines_sql(_BOILER_REL),
         "pii_redaction": _pl_text.redact_pii_sql(_pii_rel()),
+        "decontamination": _pl_text.decontaminate_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0)",
+        ),
         "text_repetition": _pl_text.repetition_scores_sql(_DOCS_REL),
         "text_quality": _pl_text.quality_scores_sql(_DOCS_REL),
         "text_langid": _pl_text.lang_id_sql(_DOCS_REL),

@@ -450,3 +450,90 @@ def redact_pii_sql(doc_rel: str) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, {names}, md5({cur_text}) AS redacted_md5 FROM {cur_rel}"
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (training-data curation): flag training docs
+# that share any word n-gram with an evaluation/benchmark corpus — the
+# standard n-gram-overlap decontamination used for LLM training sets
+# (GPT-3 appendix C / Llama eval-decontamination style, 8-gram default).
+
+DECONTAM_N = 8
+
+
+def _ngram_hashes(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, h) — distinct h60 hashes of the doc's word n-grams."""
+    from lucene_spark.pipeline.hashes import h60
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", h60(F.col("gram")).alias("h"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated) over ``docs``: n_hits = how many of
+    the doc's distinct word n-grams appear anywhere in ``benchmark``
+    (doc_id/text relation), contaminated = 1 if any.
+
+    100 TB shape: both sides reduce to (doc_id, h) n-gram-hash relations;
+    the benchmark side is DISTINCT hashes only (eval corpora are tiny next
+    to training corpora — broadcast when small, plain shuffle join
+    otherwise, AQE picks), and the training side never materializes the
+    gram strings past the hash projection."""
+    d = _ngram_hashes(docs, n, text_col)
+    b = _ngram_hashes(benchmark, n, text_col).select("h").distinct()
+    hits = (
+        d.join(b, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.col("n_hits") > 0, 1).otherwise(0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(doc_rel: str, bench_rel: str, n: int = DECONTAM_N) -> str:
+    from lucene_spark.pipeline.hashes import h60_sql
+
+    def grams(rel: str) -> str:
+        return f"""
+  SELECT DISTINCT doc_id,
+         {h60_sql(f"array_to_string(list_slice(toks, i, i + {n - 1}), ' ')")} AS h
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RX}') AS toks
+        FROM {rel}),
+       LATERAL unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS u(i)
+  WHERE len(toks) >= {n}"""
+
+    return f"""
+WITH d AS ({grams(doc_rel)}),
+b AS (SELECT DISTINCT h FROM ({grams(bench_rel)})),
+hits AS (
+  SELECT d.doc_id, count(*) AS n_hits FROM d JOIN b USING (h) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(hits.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM (SELECT doc_id FROM {doc_rel}) t
+LEFT JOIN hits ON t.doc_id = hits.doc_id"""

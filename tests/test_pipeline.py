@@ -408,3 +408,36 @@ def test_pii_redaction(docs, con):
         .collect()[0]
     )
     assert (row.n_email, row.n_cc, row.n_ip, row.n_phone) == (1, 1, 1, 1)
+
+
+def test_decontamination(docs, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    rel_t = f"(SELECT doc_id, text FROM {DOCS_REL} WHERE doc_id % 7 <> 0)"
+    rel_b = f"(SELECT doc_id, text FROM {DOCS_REL} WHERE doc_id % 7 = 0)"
+    n = assert_match(
+        ts.decontaminate(train, bench), con, ts.decontaminate_sql(rel_t, rel_b)
+    )
+    assert n > 0
+
+
+def test_decontamination_flags_planted_overlap(spark, con):
+    from lucene_spark.pipeline import textstats as ts
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix " + words + " suffix"),     # shares a full 8-gram
+            (2, "completely unrelated text that is long enough to have grams"),
+            (3, "short"),                            # < n tokens: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, words)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in ts.decontaminate(train, bench).collect()}
+    assert got[1][1] == 1 and got[1][0] >= 1
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
