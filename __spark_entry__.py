@@ -3303,6 +3303,70 @@ ranked AS (
 SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+def _q_suggest_analyzed_context(prefix: str, k: int, ctxs: tuple):
+    """Context-filtered analyzed completion (suggest/document/
+    ContextQuery.java analog): entries carry the turn's role (= lang) as
+    the context label; the lookup restricts to an allowed context set and
+    collapses surfaces seen under several matching contexts to their max
+    weight."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.search.suggest import (
+            analyzing_lookup,
+            build_analyzing_suggester,
+        )
+
+        an = Analyzer(stopwords=_EN_STOPS)
+        tr = _transcripts_df(spark, sf_dir)
+        entries = (
+            tr.select(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 3)
+                ).alias("surface"),
+                F.col("role"),
+            )
+            .groupBy("surface", "role")
+            .agg(F.count("*").cast("long").alias("weight"))
+        )
+        sug = build_analyzing_suggester(entries, an, context_col="role")
+        return analyzing_lookup(sug, an, prefix, k, contexts=set(ctxs))
+
+    return run
+
+
+def _suggest_analyzed_context_sql(prefix: str, k: int, ctxs: tuple) -> str:
+    from lucene_spark.analysis import Analyzer
+
+    qkey = " ".join(Analyzer(stopwords=_EN_STOPS).analyze_query(prefix))
+    clist = ", ".join(f"'{c}'" for c in sorted(ctxs))
+    return f"""
+WITH surf AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS surface,
+         lang AS context, CAST(count(*) AS BIGINT) AS weight
+  FROM documents GROUP BY 1, 2
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(regexp_extract_all(lower(surface), '[a-z0-9]+'),
+                       t -> t NOT IN ({_AN_STOPLIST})), ' ') AS key,
+         surface, context, weight
+  FROM surf
+),
+cands AS (
+  SELECT surface, max(weight) AS weight FROM keyed
+  WHERE length(key) > 0 AND starts_with(key, '{qkey}')
+    AND context IN ({clist})
+  GROUP BY surface
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY weight DESC, surface) AS INT) AS rank,
+         surface, weight
+  FROM cands
+)
+SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_explain_bm25(terms: tuple):
     """Explanation oracle (CheckHits.checkExplanations analog): explain()
     must decompose the top-1 doc's BM25 score into idf/tf/clause components
@@ -3916,6 +3980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bm25_knn_topk": _q_hybrid("spark", 50, 10),
         "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
         "suggest_analyzed": _q_suggest_analyzed("the spark", 10),
+        "suggest_analyzed_context": _q_suggest_analyzed_context(
+            "the spark", 10, ("fr", "de")
+        ),
         "explain_bm25_doc": _q_explain_bm25(("spark", "customer")),
         "search_after_page2": _q_search_after("data", 10),
         "join_util_convs": _q_join_util("data", 10),
@@ -4026,6 +4093,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_bm25_knn_topk": _hybrid_sql("spark", 50, 10),
         "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
         "suggest_analyzed": _suggest_analyzed_sql("the spark", 10),
+        "suggest_analyzed_context": _suggest_analyzed_context_sql(
+            "the spark", 10, ("fr", "de")
+        ),
         "explain_bm25_doc": _explain_bm25_sql(("spark", "customer")),
         "search_after_page2": _search_after_sql("data", 10),
         "join_util_convs": _join_util_sql("data", 10),

@@ -55,7 +55,9 @@ def suggest_terms(
     return _ranked(cands, k)
 
 
-def build_analyzing_suggester(entries: DataFrame, analyzer) -> DataFrame:
+def build_analyzing_suggester(
+    entries: DataFrame, analyzer, context_col: str | None = None
+) -> DataFrame:
     """(surface, weight) -> (key, surface, weight) — the relation analog of
     ``AnalyzingSuggester.build`` (suggest/.../analyzing/AnalyzingSuggester.java:100):
     each surface form is analyzed and its token stream re-joined into a
@@ -68,21 +70,31 @@ def build_analyzing_suggester(entries: DataFrame, analyzer) -> DataFrame:
     Scale shape: build once, write sorted by ``key`` — parquet row-group
     min/max stats then prune every prefix lookup to the matching key range;
     no FST is materialized and no driver state is held.
+
+    ``context_col`` names an optional label column on ``entries``
+    (suggest/document/ContextQuery.java analog): entries collapse per
+    (surface, context) and lookups can filter to an allowed context set.
     """
-    keyed = entries.groupBy("surface").agg(
+    gb = ["surface"] + ([context_col] if context_col else [])
+    keyed = entries.groupBy(*gb).agg(
         F.max(F.col("weight").cast("long")).alias("weight")
     )
     key = F.concat_ws(
         " ",
         F.transform(analyzer.entries_expr(F.col("surface")), lambda e: e["term"]),
     )
-    return keyed.select(key.alias("key"), "surface", "weight").filter(
-        F.length("key") > 0
+    cols = [key.alias("key"), "surface", "weight"] + (
+        [F.col(context_col).alias("context")] if context_col else []
     )
+    return keyed.select(*cols).filter(F.length("key") > 0)
 
 
 def analyzing_lookup(
-    suggester: DataFrame, analyzer, prefix: str, k: int = 10
+    suggester: DataFrame,
+    analyzer,
+    prefix: str,
+    k: int = 10,
+    contexts: set | None = None,
 ) -> DataFrame:
     """(rank, surface, weight): analyzed completion lookup
     (AnalyzingSuggester.lookup) — the typed prefix runs through the SAME
@@ -92,15 +104,20 @@ def analyzing_lookup(
     partial token (string-prefix over the space-joined key), and the whole
     prefix is analyzed — so a stemming analyzer would also stem the partial
     token, the reference's documented quirk; pair this with non-stemming
-    chains."""
+    chains.  ``contexts`` restricts to entries whose context label is in
+    the set (ContextQuery semantics); entries that matched under several
+    contexts collapse back to one surface at its max weight."""
     from pyspark.sql import Window
 
     qkey = " ".join(analyzer.analyze_query(prefix))
-    top = (
-        suggester.filter(F.col("key").startswith(qkey))
-        .orderBy(F.desc("weight"), F.asc("surface"))
-        .limit(k)
-    )
+    cands = suggester.filter(F.col("key").startswith(qkey))
+    if contexts is not None:
+        cands = (
+            cands.filter(F.col("context").isin(*sorted(contexts)))
+            .groupBy("key", "surface")
+            .agg(F.max("weight").alias("weight"))
+        )
+    top = cands.orderBy(F.desc("weight"), F.asc("surface")).limit(k)
     w = Window.orderBy(F.desc("weight"), F.asc("surface"))
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "surface", "weight"
