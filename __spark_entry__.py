@@ -3928,6 +3928,46 @@ def _q_store_roundtrip_topk(term: str, k: int):
     return run
 
 
+def _q_time_travel_topk(terms, k: int, del_turn: int):
+    """Snapshot time travel (DirectoryReader.open(IndexCommit) over a
+    retained commit point — SnapshotDeletionPolicy.java:48 /
+    SegmentInfos.java:55-106; Iceberg read-at-snapshot-id analog):
+    commit generation 1 = full corpus, physically expunge every turn with
+    turn_idx == del_turn and commit generation 2, then open generation 1
+    by snapshot id.  The time-traveled reader must reproduce the full
+    pre-delete corpus exactly, so the plain one-shot SQL twin applies
+    verbatim — and the gate asserts the latest reader genuinely lost the
+    deleted docs (i.e. time travel is not just reading the pointer)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from lucene_spark.index.deletes import expunge
+        from lucene_spark.index.store import commit_snapshot, load_index
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("time_travel", os.path.abspath(sf_dir), del_turn)
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="lucene_spark_tt_")
+            sid1 = commit_snapshot(idx, d)
+            ts = (
+                idx.docs.filter(F.col("turn_idx") == del_turn)
+                .select("conv_id", "turn_idx")
+            )
+            commit_snapshot(expunge(idx, ts), d)
+            old = load_index(spark, d, snapshot_id=sid1)
+            latest = load_index(spark, d)
+            assert latest.docs.filter(F.col("turn_idx") == del_turn).count() == 0
+            assert old.stats == idx.stats
+            _CACHE[key] = IndexSearcher(old, scoring="plain_f64")
+        searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -3994,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_matches_scored": _q_monitor_scored,
         "nrt_bm25_topk": _q_nrt_topk("query", 10),
         "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
+        "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4107,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
         "monitor_matches_scored": _monitor_scored_sql(),
         "nrt_bm25_topk": _topk_sql(["query"], 10),
         "store_roundtrip_topk": _topk_sql(["merge"], 10),
+        "time_travel_topk": _topk_sql(["spark", "index"], 10),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -45,14 +45,16 @@ def _bucket_col(col, n_buckets: int):
     return F.pmod(F.crc32(F.encode(col, "utf-8")), F.lit(n_buckets)).cast("int")
 
 
-def save_index(
+def _write_families(
     idx: InvertedIndex,
-    path: str,
-    n_buckets: int = DEFAULT_BUCKETS,
-    chunk_bits: int | None = None,
-    term_vectors: bool = False,
-) -> None:
-    """Write the index as a self-contained directory (idempotent overwrite)."""
+    data_path: str,
+    n_buckets: int,
+    chunk_bits: int | None,
+    term_vectors: bool,
+) -> dict:
+    """Write the four parquet families under ``data_path`` and return the
+    commit payload describing them (shared by the single-commit and the
+    snapshot write paths)."""
     from lucene_spark.index.segments import DEFAULT_CHUNK_BITS
 
     chunk_bits = chunk_bits or DEFAULT_CHUNK_BITS
@@ -64,13 +66,13 @@ def save_index(
         .sortWithinPartitions("term", "chunk")
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(os.path.join(data_path, "postings"))
     )
     (
         idx.docs.repartitionByRange(max(idx.docs.rdd.getNumPartitions(), 1), "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "docs"))
+        .parquet(os.path.join(data_path, "docs"))
     )
     (
         idx.term_stats.withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
@@ -78,7 +80,7 @@ def save_index(
         .sortWithinPartitions("term")
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(os.path.join(path, "term_stats"))
+        .parquet(os.path.join(data_path, "term_stats"))
     )
     if term_vectors:
         # doc-major copy of the postings (term/freq/positions), range-
@@ -90,10 +92,9 @@ def save_index(
             .repartitionByRange(n, "doc_id")
             .sortWithinPartitions("doc_id", "term")
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "tvecs"))
+            .parquet(os.path.join(data_path, "tvecs"))
         )
-    commit = {
-        "format_version": 1,
+    return {
         "stats": idx.stats,
         "k1": idx.k1,
         "b": idx.b,
@@ -102,21 +103,147 @@ def save_index(
         "analyzer": idx.analyzer.to_json() if idx.analyzer else None,
         "term_vectors": term_vectors,
     }
+
+
+def save_index(
+    idx: InvertedIndex,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_bits: int | None = None,
+    term_vectors: bool = False,
+) -> None:
+    """Write the index as a self-contained directory (idempotent overwrite)."""
+    commit = {"format_version": 1}
+    commit.update(_write_families(idx, path, n_buckets, chunk_bits, term_vectors))
     with open(os.path.join(path, "commit.json"), "w") as f:
         json.dump(commit, f, indent=2)
 
 
-def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+def commit_snapshot(
+    idx: InvertedIndex,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_bits: int | None = None,
+    term_vectors: bool = False,
+) -> int:
+    """Append a new immutable commit generation and return its snapshot id.
+
+    ≙ ``IndexWriter.commit()`` writing ``segments_N`` while a
+    SnapshotDeletionPolicy retains earlier commit points
+    (core/index/SnapshotDeletionPolicy.java:48, SegmentInfos.java:55-106),
+    and ≙ an Iceberg append snapshot: each generation's data lives under
+    ``gen-N/`` (immutable once written), ``commit-N.json`` is the snapshot
+    manifest, and ``commit.json`` is the table-metadata pointer naming the
+    latest snapshot plus the retained history.  Readers opened on an older
+    snapshot id (``load_index(..., snapshot_id=k)``) see that commit's
+    exact point-in-time state — time travel — because no generation ever
+    rewrites another's files.
+    """
+    meta = _table_meta(path)
+    snapshot_id = int(meta.get("latest", 0)) + 1
+    data_dir = f"gen-{snapshot_id}"
+    payload = {
+        "format_version": 2,
+        "snapshot_id": snapshot_id,
+        "parent": meta.get("latest"),
+        "data": data_dir,
+    }
+    payload.update(
+        _write_families(
+            idx, os.path.join(path, data_dir), n_buckets, chunk_bits, term_vectors
+        )
+    )
+    with open(os.path.join(path, f"commit-{snapshot_id}.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    meta = {
+        "format_version": 2,
+        "latest": snapshot_id,
+        "snapshots": sorted(set(meta.get("snapshots", [])) | {snapshot_id}),
+    }
+    # pointer swap is the commit point: written last, after all data +
+    # manifest files are durable (same ordering as segments_N / Iceberg
+    # metadata.json — a crash before this line leaves the old table intact)
+    with open(os.path.join(path, "commit.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return snapshot_id
+
+
+def _table_meta(path: str) -> dict:
+    p = os.path.join(path, "commit.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        meta = json.load(f)
+    return meta if meta.get("format_version", 1) >= 2 else {}
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """Retained commit points, oldest first (DirectoryReader.listCommits /
+    Iceberg ``table.snapshots()`` analog)."""
+    out = []
+    for sid in _table_meta(path).get("snapshots", []):
+        with open(os.path.join(path, f"commit-{sid}.json")) as f:
+            c = json.load(f)
+        out.append(
+            {
+                "snapshot_id": c["snapshot_id"],
+                "parent": c.get("parent"),
+                "stats": c["stats"],
+            }
+        )
+    return out
+
+
+def expire_snapshots(path: str, keep: int = 1) -> list[int]:
+    """Drop all but the ``keep`` newest snapshots, deleting their data
+    directories (Iceberg ``expire_snapshots`` / KeepOnlyLastCommitDeletionPolicy
+    analog).  Returns the expired ids."""
+    import shutil
+
+    meta = _table_meta(path)
+    snaps = meta.get("snapshots", [])
+    expired = snaps[: max(0, len(snaps) - keep)]
+    for sid in expired:
+        with open(os.path.join(path, f"commit-{sid}.json")) as f:
+            c = json.load(f)
+        shutil.rmtree(os.path.join(path, c["data"]), ignore_errors=True)
+        os.remove(os.path.join(path, f"commit-{sid}.json"))
+    meta["snapshots"] = snaps[len(expired):]
+    with open(os.path.join(path, "commit.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return expired
+
+
+def load_index(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> InvertedIndex:
     """Point-in-time open (≙ DirectoryReader.open over a commit point).
+
+    With ``snapshot_id`` on a snapshot-mode table, opens that retained
+    commit generation instead of the latest — time travel
+    (``DirectoryReader.open(IndexCommit)``, Iceberg read-at-snapshot-id).
 
     The logical ``postings`` view is reconstructed lazily by decoding the
     packed table; term-filtered queries hit the packed table directly with
     bucket pushdown (see LoadedIndex.packed_for_terms)."""
     with open(os.path.join(path, "commit.json")) as f:
         commit = json.load(f)
-    packed = spark.read.parquet(os.path.join(path, "postings"))
-    docs = spark.read.parquet(os.path.join(path, "docs"))
-    term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
+    data = path
+    if commit.get("format_version", 1) >= 2:
+        sid = commit["latest"] if snapshot_id is None else int(snapshot_id)
+        if sid not in commit.get("snapshots", []):
+            raise FileNotFoundError(
+                f"snapshot {sid} not retained in {path} "
+                f"(have {commit.get('snapshots')})"
+            )
+        with open(os.path.join(path, f"commit-{sid}.json")) as f:
+            commit = json.load(f)
+        data = os.path.join(path, commit["data"])
+    elif snapshot_id is not None:
+        raise ValueError("snapshot_id requires a snapshot-mode table (v2)")
+    packed = spark.read.parquet(os.path.join(data, "postings"))
+    docs = spark.read.parquet(os.path.join(data, "docs"))
+    term_stats = spark.read.parquet(os.path.join(data, "term_stats"))
 
     from lucene_spark.index.segments import unpack_postings
 
@@ -137,6 +264,6 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
 
     idx.analyzer = Analyzer.from_json(commit.get("analyzer"))
     if commit.get("term_vectors"):
-        idx.term_vectors = spark.read.parquet(os.path.join(path, "tvecs"))
+        idx.term_vectors = spark.read.parquet(os.path.join(data, "tvecs"))
     idx.prefer_packed = True
     return idx

@@ -178,3 +178,41 @@ def test_with_term_vectors_in_memory(spark, tiny_index):
         for r in tiny_index.postings.filter(F.col("doc_id") == doc).collect()
     }
     assert got == want
+
+
+def test_snapshot_time_travel(spark, tiny_index, tmp_path_factory):
+    """commit_snapshot generations: an old snapshot id reads the exact
+    pre-delete state (DirectoryReader.open(IndexCommit) / Iceberg
+    read-at-snapshot-id), the pointer reads the latest."""
+    from lucene_spark.index.deletes import expunge, tombstones_df
+    from lucene_spark.index.store import (
+        commit_snapshot,
+        expire_snapshots,
+        list_snapshots,
+    )
+
+    path = str(tmp_path_factory.mktemp("idx") / "snap")
+    q = _or("the", "model", "query")
+    sid1 = commit_snapshot(tiny_index, path, n_buckets=8, chunk_bits=5)
+
+    # delete the current top hit so the two snapshots genuinely differ
+    before = _topk(IndexSearcher(tiny_index), q)
+    dead = [(before[0][0], before[0][1])]
+    idx2 = expunge(tiny_index, tombstones_df(spark, dead))
+    sid2 = commit_snapshot(idx2, path, n_buckets=8, chunk_bits=5)
+    assert (sid1, sid2) == (1, 2)
+
+    old = IndexSearcher(load_index(spark, path, snapshot_id=sid1))
+    latest = IndexSearcher(load_index(spark, path))
+    assert _topk(old, q) == before
+    assert _topk(latest, q) == _topk(IndexSearcher(idx2), q)
+    assert _topk(latest, q) != before
+
+    snaps = list_snapshots(path)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+
+    assert expire_snapshots(path, keep=1) == [1]
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, path, snapshot_id=sid1)
+    assert _topk(IndexSearcher(load_index(spark, path)), q) == _topk(latest, q)
