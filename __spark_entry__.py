@@ -3968,6 +3968,64 @@ def _q_time_travel_topk(terms, k: int, del_turn: int):
     return run
 
 
+def _q_function_score(terms, k: int):
+    """FunctionScoreQuery surface (queries/function/FunctionScoreQuery.java:52
+    with an expressions-module-style source): BM25 OR matches rescored by a
+    recency expression over the ts doc column —
+    score = bm25 * (1 + hours_since_2024-01-01 / 97).  The expression runs
+    JVM-side via Catalyst (``F.expr``), the match set is the inner query's."""
+    src = "_score * (1.0 + (unix_timestamp(ts) - 1704067200.0) / 349200.0)"
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import (
+            BooleanQuery,
+            FunctionScoreQuery,
+            Occur,
+            TermQuery,
+        )
+
+        _, searcher = _searcher(spark, sf_dir)
+        inner = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, FunctionScoreQuery(inner, src), k)
+
+    return run
+
+
+def _function_score_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+tsd AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 97) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+scored0 AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.conv_id, s.turn_idx,
+         s.score * (1.0 + (epoch(ts) - 1704067200.0) / 349200.0) AS score
+  FROM scored0 s JOIN tsd USING (conv_id, turn_idx)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4035,6 +4093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nrt_bm25_topk": _q_nrt_topk("query", 10),
         "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
+        "function_score_topk": _q_function_score(["spark", "query"], 10),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4149,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
         "nrt_bm25_topk": _topk_sql(["query"], 10),
         "store_roundtrip_topk": _topk_sql(["merge"], 10),
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
+        "function_score_topk": _function_score_sql(["spark", "query"], 10),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

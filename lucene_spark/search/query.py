@@ -165,6 +165,25 @@ class FeatureQuery(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery(Query):
+    """queries/function/FunctionScoreQuery.java:52 — score every match of
+    the wrapped query with a per-document expression instead of the
+    wrapped score.  ``source`` is a Spark SQL expression over the doc
+    columns (conv_id, turn_idx, role, tool, ts, length, ...) plus the
+    pseudo-column ``_score`` carrying the wrapped query's score — the
+    expressions-module bindings surface (expressions/.../SimpleBindings:
+    ``_score`` ≙ DoubleValuesSource.SCORES, a doc column ≙ fromField),
+    evaluated JVM-side by Catalyst instead of a compiled expression.
+    The match set is exactly the wrapped query's (the function never
+    matches new docs); ``boost`` multiplies the function value (the
+    reference's ``FunctionScoreQuery.boostByValue`` composition)."""
+
+    query: Query
+    source: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BlendedTermQuery(Query):
     """core/search/BlendedTermQuery.java:281-315 — several related terms
     scored as if they shared statistics: every term's docFreq is replaced

@@ -667,6 +667,11 @@ class IndexSearcher:
             )
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return self._matches(q.query)
+        from lucene_spark.search.query import FunctionScoreQuery
+
+        if isinstance(q, FunctionScoreQuery):
+            # the function only rescores — the match set is the inner one
+            return self._matches(q.query)
         if isinstance(q, TermInSetQuery):
             return self._docs_from_terms(
                 self._expand_terms(F.col("term").isin(list(q.terms)))
@@ -945,7 +950,29 @@ class IndexSearcher:
             return self._scored_dismax(q)
         if isinstance(q, KnnVectorQuery):
             return self._scored_knn(q)
+        from lucene_spark.search.query import FunctionScoreQuery
+
+        if isinstance(q, FunctionScoreQuery):
+            return self._scored_function(q)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _scored_function(self, q) -> DataFrame:
+        """FunctionScoreQuery.java:128-160 — each inner match is rescored
+        by the expression; the value is computed in double (DoubleValues
+        semantics) and cast to the session score type at the end, exactly
+        the reference's double-value → float-score boundary.  The doc-
+        column join is Catalyst-pruned to the columns the expression
+        actually references, and at scale it is the same doc_id-range join
+        shape as the final top-k doc fetch (docs are range-partitioned by
+        doc_id — row-group pruning applies)."""
+        sub = self._scored(q.query).withColumnRenamed("score", "_score")
+        joined = sub.join(self.index.docs, "doc_id")
+        expr = F.expr(q.source).cast("double")
+        if q.boost != 1.0:
+            expr = expr * F.lit(float(q.boost))
+        return joined.select(
+            "doc_id", expr.cast(self.score_type).alias("score")
+        )
 
     def _scored_synonym(self, q: SynonymQuery) -> DataFrame:
         """SynonymQuery.java:50 — members scored as ONE pseudo-term:

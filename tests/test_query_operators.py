@@ -283,3 +283,25 @@ def test_clause_cost_ordering(env):
     half = searcher._range_cost(RangePredicate("turn_idx", lower=mid))
     assert 0.0 < half < full
     assert searcher._clause_cost(PrefixQuery("mod")) == n
+
+
+def test_function_score_query(env):
+    """FunctionScoreQuery: match set == inner query's; score = expression
+    over doc columns with _score bound to the inner score; boost
+    multiplies the function value (FunctionScoreQuery.java:52)."""
+    from lucene_spark.search import FunctionScoreQuery
+
+    searcher, by_term, docs = env
+    inner = BooleanQuery.of(
+        (TermQuery("model"), Occur.SHOULD), (TermQuery("data"), Occur.SHOULD)
+    )
+    base = {r.doc_id: r.score for r in searcher._scored(inner).collect()}
+    q = FunctionScoreQuery(inner, "_score * (1.0 + length / 100.0)", boost=2.0)
+    got = {r.doc_id: r.score for r in searcher._scored(q).collect()}
+    assert set(got) == set(base)
+    for d, s in got.items():
+        want = 2.0 * base[d] * (1.0 + docs[d].length / 100.0)
+        assert s == pytest.approx(want, rel=1e-6), d
+    # match-only lowering never computes the function
+    mset = {r.doc_id for r in searcher._matches(q).collect()}
+    assert mset == set(base)
