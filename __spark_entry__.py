@@ -4026,6 +4026,64 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_sessionize(gap_seconds: int):
+    """Gap-based sessionization (pipeline/sessionize.py): per-conversation
+    session stats with a 1-hour gap — pure JVM lag/cumsum window algebra,
+    one shuffle on conv_id.  The fixture ts steps exactly 1 hour per turn
+    and wraps every 97 hours, so sessions break exactly at the backwards
+    jumps — deterministic multi-session conversations."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.sessionize import session_stats
+
+        tr = _transcripts_df(spark, sf_dir)
+        return (
+            session_stats(tr, gap_seconds=gap_seconds)
+            .select(
+                "conv_id",
+                "session_idx",
+                "n_turns",
+                F.col("start_epoch").cast("long").alias("start_epoch"),
+                F.col("end_epoch").cast("long").alias("end_epoch"),
+            )
+            .orderBy("conv_id", "session_idx")
+        )
+
+    return run
+
+
+def _sessionize_sql(gap_seconds: int) -> str:
+    return f"""
+WITH tsd AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                    + (doc_id % 97) * INTERVAL 1 HOUR) AS BIGINT) AS t
+  FROM documents
+),
+lagd AS (
+  SELECT conv_id, turn_idx, t,
+         lag(t) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt
+  FROM tsd
+),
+brk AS (
+  SELECT conv_id, turn_idx, t,
+         CASE WHEN pt IS NULL OR t - pt > {gap_seconds} OR t - pt < 0
+              THEN 1 ELSE 0 END AS b
+  FROM lagd
+),
+sess AS (
+  SELECT conv_id, turn_idx, t,
+         CAST(SUM(b) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+  FROM brk
+)
+SELECT conv_id, session_idx,
+       CAST(count(*) AS INT) AS n_turns,
+       MIN(t) AS start_epoch, MAX(t) AS end_epoch
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4094,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
         "function_score_topk": _q_function_score(["spark", "query"], 10),
+        "sessionize_turns": _q_sessionize(3600),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4209,6 +4268,7 @@ def oracle_sql() -> dict[str, str]:
         "store_roundtrip_topk": _topk_sql(["merge"], 10),
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
+        "sessionize_turns": _sessionize_sql(3600),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -185,3 +185,92 @@ def test_streaming_exact_dedup(spark, tmp_path_factory):
     assert 3 in ids and 6 in ids
     assert len({1, 5} & set(ids)) == 1  # exactly one of the alpha-beta pair
     assert len({2, 4} & set(ids)) == 1  # exactly one of the gamma-delta pair
+
+
+def test_batch_sessionize(spark):
+    """Gap sessionization: boundaries on first turn, gap > threshold, and
+    backwards time; session_idx dense per conversation."""
+    from datetime import datetime
+
+    from lucene_spark.pipeline.sessionize import session_stats, sessionize
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        ("c1", 0, t(0)), ("c1", 1, t(0, 30)),     # session 0
+        ("c1", 2, t(2)), ("c1", 3, t(2, 10)),     # session 1 (gap 90m)
+        ("c1", 4, t(1)),                          # session 2 (backwards)
+        ("c2", 0, t(5)),                          # session 0
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        (r.conv_id, r.turn_idx): r.session_idx
+        for r in sessionize(df, gap_seconds=3600).collect()
+    }
+    assert got == {
+        ("c1", 0): 0, ("c1", 1): 0, ("c1", 2): 1,
+        ("c1", 3): 1, ("c1", 4): 2, ("c2", 0): 0,
+    }
+    stats = {
+        (r.conv_id, r.session_idx): (r.n_turns, r.start_epoch, r.end_epoch)
+        for r in session_stats(df, gap_seconds=3600).collect()
+    }
+    assert stats[("c1", 1)][0] == 2
+    assert stats[("c1", 2)] == (1, int(t(1).timestamp()), int(t(1).timestamp()))
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: sessions closed by a later
+    in-stream arrival match the batch operator's sessions; the still-open
+    session per key is withheld (not yet emitted)."""
+    from datetime import datetime
+
+    from lucene_spark.pipeline.sessionize import session_stats, sessionize_stream
+
+    root = tmp_path_factory.mktemp("ssess")
+    src = str(root / "in")
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows_a = [("c1", 0, t(0)), ("c1", 1, t(0, 20)), ("c2", 0, t(0))]
+    rows_b = [("c1", 2, t(3)), ("c2", 1, t(0, 40)), ("c3", 0, t(1))]
+    rows_c = [("c1", 3, t(3, 5)), ("c2", 2, t(6))]
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    for name, rows in [("a", rows_a), ("b", rows_b), ("c", rows_c)]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/{name}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = sessionize_stream(stream, gap_seconds=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssess_out")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.session_start): (r.session_end, r.n_turns)
+        for r in spark.sql("SELECT * FROM ssess_out").collect()
+    }
+    batch = spark.createDataFrame(rows_a + rows_b + rows_c, schema)
+    full = {
+        (r.conv_id, r.start_epoch): (r.end_epoch, r.n_turns)
+        for r in session_stats(batch, gap_seconds=3600).collect()
+    }
+    # every emitted session must agree with the batch operator exactly
+    for key, val in got.items():
+        assert full[key] == val, key
+    # closed in-stream: c1 session 0 (by the t(3) turn), c2 session 0 (by t(6))
+    assert ("c1", int(t(0).timestamp())) in got
+    assert ("c2", int(t(0).timestamp())) in got
+    # c2's t(6) session horizon is past the final watermark -> still open,
+    # withheld (c1/c3's open sessions MAY flush via the event-time timeout)
+    assert ("c2", int(t(6).timestamp())) not in got
