@@ -4084,6 +4084,79 @@ SELECT conv_id, session_idx,
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def _q_nb_classify():
+    """SimpleNaiveBayesClassifier surface (classification/
+    SimpleNaiveBayesClassifier.java:140-258 via pipeline/classify.py):
+    train per-class doc-frequency stats on the whole transcript corpus
+    (class = role), then classify every turn_idx==0 turn in one
+    distributed pass.  Output = (conv_id, assigned, score_i)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.classify import naive_bayes_classify
+
+        tr = _transcripts_df(spark, sf_dir)
+        out = naive_bayes_classify(tr, tr.filter(F.col("turn_idx") == 0))
+        return out.select(
+            "conv_id",
+            "assigned",
+            F.round(F.col("log_score") * 10000).cast("long").alias("score_i"),
+        ).orderBy("conv_id")
+
+    return run
+
+
+def _nb_classify_sql() -> str:
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         lang AS role, text
+  FROM documents
+),
+tt AS (  -- distinct (doc, term, class): document counts, not term freqs
+  SELECT conv_id, turn_idx, role,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM tr
+),
+wc AS (SELECT term, role, count(*) AS hits FROM tt GROUP BY 1, 2),
+cls AS (
+  SELECT role, count(*) AS cdf
+  FROM (SELECT DISTINCT conv_id, turn_idx, role FROM tt) GROUP BY 1
+),
+scalars AS (
+  SELECT (SELECT count(*) FROM tt) AS sum_doc_freq,
+         (SELECT count(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM tt)) AS doc_count,
+         (SELECT count(*) FROM tr) AS docs_with_class
+),
+test_toks AS (  -- repeats counted (calculateLogLikelihood iterates tokens)
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM tr WHERE turn_idx = 0
+),
+per_tok AS (
+  SELECT t.conv_id, t.turn_idx, c.role, c.cdf, s.docs_with_class,
+         ln((COALESCE(w.hits, 0) + 1.0)
+            / ((s.sum_doc_freq * 1.0 / s.doc_count) * c.cdf + s.docs_with_class)) AS ll
+  FROM test_toks t
+  CROSS JOIN cls c
+  CROSS JOIN scalars s
+  LEFT JOIN wc w ON w.term = t.term AND w.role = c.role
+),
+scored AS (
+  SELECT conv_id, turn_idx, role,
+         SUM(ll) + ln(MIN(cdf)) - ln(MIN(docs_with_class)) AS score
+  FROM per_tok GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT conv_id, role AS assigned,
+         CAST(round(score * 10000) AS BIGINT) AS score_i,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY score DESC, role ASC) AS rk
+  FROM scored
+)
+SELECT conv_id, assigned, score_i FROM best WHERE rk = 1 ORDER BY conv_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4153,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
         "function_score_topk": _q_function_score(["spark", "query"], 10),
         "sessionize_turns": _q_sessionize(3600),
+        "nb_classify_role": _q_nb_classify(),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4269,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
         "sessionize_turns": _sessionize_sql(3600),
+        "nb_classify_role": _nb_classify_sql(),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -441,3 +441,89 @@ def test_decontamination_flags_planted_overlap(spark, con):
     assert got[1][1] == 1 and got[1][0] >= 1
     assert got[2] == (0, 0)
     assert got[3] == (0, 0)
+
+
+# -- classification -----------------------------------------------------
+def test_naive_bayes_formula(spark):
+    """naive_bayes_classify reproduces SimpleNaiveBayesClassifier's exact
+    statistics — verified against a brute-force python simulation of the
+    reference formula on a tiny two-class corpus."""
+    import math
+
+    from lucene_spark.pipeline.classify import naive_bayes_classify
+
+    train = [
+        ("t1", 0, "en", "the model trains on data"),
+        ("t2", 0, "en", "data and model and training"),
+        ("t3", 0, "fr", "le modele et les donnees"),
+        ("t4", 0, "fr", "les donnees du modele"),
+    ]
+    test = [("x1", 0, None, "model data training"), ("x2", 0, None, "les donnees")]
+    schema = "conv_id string, turn_idx int, role string, text string"
+    tr = spark.createDataFrame(train, schema)
+    te = spark.createDataFrame(test, schema)
+    got = {
+        r.conv_id: (r.assigned, r.log_score)
+        for r in naive_bayes_classify(tr, te).collect()
+    }
+
+    # brute force, following SimpleNaiveBayesClassifier.java exactly
+    import re
+
+    toks = {c: set(re.findall("[a-z0-9]+", t.lower())) for c, _, _, t in train}
+    cls_of = {c: cl for c, _, cl, _ in train}
+    classes = sorted(set(cls_of.values()))
+    docs_with_class = len(train)
+    sum_doc_freq = sum(len(s) for s in toks.values())
+    avg_unique = sum_doc_freq / len(train)
+
+    def brute(text):
+        words = re.findall("[a-z0-9]+", text.lower())
+        best = None
+        for c in classes:
+            cdf = sum(1 for d in toks if cls_of[d] == c)
+            den = avg_unique * cdf + docs_with_class
+            ll = sum(
+                math.log(
+                    (sum(1 for d in toks if cls_of[d] == c and w in toks[d]) + 1)
+                    / den
+                )
+                for w in words
+            )
+            score = ll + math.log(cdf) - math.log(docs_with_class)
+            if best is None or score > best[1]:
+                best = (c, score)
+        return best
+
+    for cid, _, _, text in test:
+        want_cls, want_score = brute(text)
+        assert got[cid][0] == want_cls
+        assert got[cid][1] == pytest.approx(want_score, rel=1e-9)
+
+
+def test_knn_classifier_vote(spark, tiny_index):
+    """knn_classify: MLT top-k neighbors, score-weighted vote equals the
+    manual vote over the same hits (KNearestNeighborClassifier.java:40)."""
+    from lucene_spark.pipeline.classify import knn_classify
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.mlt import MoreLikeThis
+
+    searcher = IndexSearcher(tiny_index)
+    doc = tiny_index.docs.first()
+    out = knn_classify(searcher, doc.doc_id, class_col="role", k=5)
+    rows = out.collect()
+    assert rows, "no neighbors voted"
+    q = MoreLikeThis(searcher, min_term_freq=1, min_doc_freq=1).like(doc.doc_id)
+    hits = (
+        searcher.search(q, 6)
+        .filter(F.col("doc_id") != doc.doc_id)
+        .limit(5)
+        .join(tiny_index.docs.select("doc_id", "role"), "doc_id")
+        .collect()
+    )
+    manual = {}
+    for h in hits:
+        manual[h.role] = manual.get(h.role, 0.0) + h.score
+    best = max(sorted(manual), key=lambda c: manual[c])
+    assert rows[0].assigned == best
+    assert rows[0].vote == pytest.approx(manual[best], rel=1e-6)
