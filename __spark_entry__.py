@@ -4157,6 +4157,30 @@ best AS (
 SELECT conv_id, assigned, score_i FROM best WHERE rk = 1 ORDER BY conv_id"""
 
 
+def _q_dv_update_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-values update surface (IndexWriter.updateBinaryDocValue,
+    core/index/IndexWriter.java:1901-1969 via deletes.update_doc_values):
+    override tool='redacted' for every role='de' turn WITHOUT reindexing,
+    then facet the 'spark' matches by the updated column — counts must
+    reflect the new values while scores stay identical."""
+    from lucene_spark.index.deletes import update_doc_values
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    idx, _ = _searcher(spark, sf_dir)
+    upd = idx.docs.filter(F.col("role") == "de").select(
+        "conv_id", "turn_idx", F.lit("redacted").alias("tool")
+    )
+    idx2 = update_doc_values(idx, upd, "tool")
+    searcher = IndexSearcher(idx2, scoring="plain_f64")
+    matches = searcher.scored(TermQuery("spark")).select("doc_id")
+    return (
+        matches.join(idx2.docs.select("doc_id", "tool"), "doc_id")
+        .groupBy("tool")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tool")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4227,6 +4251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": _q_function_score(["spark", "query"], 10),
         "sessionize_turns": _q_sessionize(3600),
         "nb_classify_role": _q_nb_classify(),
+        "dv_update_facets": _q_dv_update_facets,
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4344,6 +4369,15 @@ def oracle_sql() -> dict[str, str]:
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
         "sessionize_turns": _sessionize_sql(3600),
         "nb_classify_role": _nb_classify_sql(),
+        "dv_update_facets": _PRELUDE
+        + """SELECT CASE WHEN role = 'de' THEN 'redacted' ELSE tool END AS tool,
+                    count(*) AS n
+             FROM tr
+             WHERE EXISTS (SELECT 1 FROM toks
+                           WHERE toks.term = 'spark'
+                             AND toks.conv_id = tr.conv_id
+                             AND toks.turn_idx = tr.turn_idx)
+             GROUP BY 1 ORDER BY tool""",
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -98,3 +98,33 @@ def expunge(idx: InvertedIndex, tombstones: DataFrame) -> InvertedIndex:
     }
     out = replace(live, term_stats=term_stats, stats=stats)
     return out
+
+
+def update_doc_values(idx: InvertedIndex, updates: DataFrame, col: str) -> InvertedIndex:
+    """In-place doc-values update without reindexing — the analog of
+    ``IndexWriter.updateNumericDocValue`` / ``updateBinaryDocValue``
+    (core/index/IndexWriter.java:1901-1969): override ``col`` for the
+    docs named by ``updates`` (keyed on (conv_id, turn_idx), one extra
+    column carrying the new value).  The inverted index, norms, and
+    scores are untouched — exactly the reference's contract (dv updates
+    never re-tokenize; only the column value readers see changes).
+
+    Plan shape at scale: one left join of docs against the (small)
+    updates relation — AQE broadcasts it when it fits; facets, sorts,
+    range filters, and FunctionScoreQuery all read through the updated
+    view.  Persist via ``store.commit_snapshot`` to make it durable
+    (the reference's dv-update ``.dvm/.dvd`` generation files ≙ a new
+    docs-family generation)."""
+    value_cols = [c for c in updates.columns if c not in DOC_KEY]
+    if len(value_cols) != 1:
+        raise ValueError(
+            f"updates must carry exactly one value column besides "
+            f"{DOC_KEY}; got {updates.columns}"
+        )
+    upd = updates.select(*DOC_KEY, F.col(value_cols[0]).alias("_new"))
+    docs = (
+        idx.docs.join(upd, list(DOC_KEY), "left")
+        .withColumn(col, F.coalesce(F.col("_new"), F.col(col)))
+        .drop("_new")
+    )
+    return replace(idx, docs=docs)

@@ -87,3 +87,41 @@ def test_update_is_delete_plus_add(spark, tiny_index, tiny_corpus):
     idx2 = IndexBuilder(num_segments=1).build(df)
     z = IndexSearcher(idx2).search(TermQuery("zebra"), 5).collect()
     assert len(z) == 1 and z[0].conv_id == key_conv
+
+
+def test_update_doc_values(spark, tiny_index):
+    """updateNumericDocValue analog: the updated column is visible to
+    readers (facets/sorts), scores and postings stay byte-identical, and
+    non-updated docs keep their values."""
+    from lucene_spark.index.deletes import update_doc_values
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    target = [r for r in tiny_index.docs.limit(3).collect()]
+    upd = spark.createDataFrame(
+        [(r.conv_id, r.turn_idx, "redacted") for r in target],
+        "conv_id string, turn_idx int, tool string",
+    )
+    idx2 = update_doc_values(tiny_index, upd, "tool")
+
+    got = {
+        (r.conv_id, r.turn_idx): r.tool
+        for r in idx2.docs.collect()
+    }
+    old = {(r.conv_id, r.turn_idx): r.tool for r in tiny_index.docs.collect()}
+    for r in target:
+        assert got[(r.conv_id, r.turn_idx)] == "redacted"
+    unchanged = set(old) - {(r.conv_id, r.turn_idx) for r in target}
+    for key in unchanged:
+        assert got[key] == old[key]
+
+    q = TermQuery("model")
+    a = IndexSearcher(tiny_index).search(q, 10).collect()
+    b = IndexSearcher(idx2).search(q, 10).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+    # a one-value-column contract violation is rejected loudly
+    import pytest as _pt
+
+    bad = upd.withColumn("extra", upd.tool)
+    with _pt.raises(ValueError):
+        update_doc_values(tiny_index, bad, "tool")
