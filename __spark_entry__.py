@@ -4181,6 +4181,42 @@ def _q_dv_update_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_word_break(word: str, k: int):
+    """WordBreakSpellChecker.suggestWordBreaks subset (suggest/.../spell/
+    WordBreakSpellChecker.java:238-300): dictionary-backed splits of a
+    run-together word, ranked by summed doc freq."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.suggest import suggest_word_breaks
+
+        idx, _ = _searcher(spark, sf_dir)
+        return suggest_word_breaks(idx, word, k=k)
+
+    return run
+
+
+def _word_break_sql(word: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+splits AS (
+  SELECT substr('{word}', 1, CAST(i AS INT)) AS left_word,
+         substr('{word}', CAST(i AS INT) + 1) AS right_word
+  FROM range(1, {len(word)}) t(i)
+),
+cand AS (
+  SELECT s.left_word, s.right_word,
+         CAST(l.doc_freq + r.doc_freq AS BIGINT) AS freq_sum
+  FROM splits s
+  JOIN dfreq l ON l.term = s.left_word
+  JOIN dfreq r ON r.term = s.right_word
+)
+SELECT CAST(row_number() OVER (ORDER BY freq_sum DESC, left_word, right_word) AS INT) AS rank,
+       left_word, right_word, freq_sum
+FROM cand ORDER BY rank LIMIT {k}"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4252,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_turns": _q_sessionize(3600),
         "nb_classify_role": _q_nb_classify(),
         "dv_update_facets": _q_dv_update_facets,
+        "word_break_suggest": _q_word_break("sparkquery", 5),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4378,6 +4415,7 @@ def oracle_sql() -> dict[str, str]:
                              AND toks.conv_id = tr.conv_id
                              AND toks.turn_idx = tr.turn_idx)
              GROUP BY 1 ORDER BY tool""",
+        "word_break_suggest": _word_break_sql("sparkquery", 5),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -142,3 +142,116 @@ def suggest_fuzzy(
         c = F.levenshtein(F.substring(F.col("term"), 1, ln), F.lit(prefix)) <= max_edits
         cond = c if cond is None else (cond | c)
     return _ranked(wt.filter(cond), k)
+
+
+def suggest_word_breaks(
+    index: InvertedIndex,
+    word: str,
+    k: int = 5,
+    min_suggestion_freq: int = 1,
+    min_break_len: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (suggest/.../spell/WordBreakSpellChecker.java:238-300), single-change
+    subset (maxChanges=1, the reference default): every split
+    (word[:i], word[i:]) with i in [min_break_len, len-min_break_len]
+    where BOTH sides reach ``min_suggestion_freq`` doc frequency in the
+    term dictionary.  Ranked by summed doc freq desc (one change each, so
+    NUM_CHANGES_THEN_SUMMED_FREQUENCY reduces to the sum), ties by
+    (left, right) asc.  The split candidates are a broadcast-sized dim
+    joined twice against the term dictionary — no driver-side df probes."""
+    n = len(word)
+    splits = [
+        (i, word[:i], word[i:])
+        for i in range(max(1, min_break_len), n - max(1, min_break_len) + 1)
+    ]
+    from pyspark.sql import Window
+
+    empty = index.term_stats.select(
+        F.lit(0).cast("int").alias("rank"),
+        F.lit("").alias("left_word"),
+        F.lit("").alias("right_word"),
+        F.lit(0).cast("long").alias("freq_sum"),
+    ).limit(0)
+    if not splits:
+        return empty
+    sdf = index.spark.createDataFrame(
+        splits, "i int, left_word string, right_word string"
+    )
+    ts = index.term_stats.select("term", F.col("doc_freq").cast("long"))
+    cands = (
+        ts.withColumnRenamed("term", "left_word")
+        .withColumnRenamed("doc_freq", "lf")
+        .join(F.broadcast(sdf), "left_word")
+        .join(
+            ts.withColumnRenamed("term", "right_word").withColumnRenamed(
+                "doc_freq", "rf"
+            ),
+            "right_word",
+        )
+        .filter(
+            (F.col("lf") >= min_suggestion_freq)
+            & (F.col("rf") >= min_suggestion_freq)
+        )
+        .withColumn("freq_sum", (F.col("lf") + F.col("rf")).cast("long"))
+    )
+    w = Window.orderBy(F.desc("freq_sum"), F.asc("left_word"), F.asc("right_word"))
+    return (
+        cands.orderBy(F.desc("freq_sum"), F.asc("left_word"), F.asc("right_word"))
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "left_word",
+            "right_word",
+            "freq_sum",
+        )
+        .orderBy("rank")
+    )
+
+
+def suggest_word_combinations(
+    index: InvertedIndex,
+    words: list,
+    k: int = 5,
+    min_suggestion_freq: int = 1,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (:160-236) adjacent-
+    pair subset: for each adjacent input pair, suggest the concatenation
+    when it reaches ``min_suggestion_freq`` doc frequency; ranked by the
+    combined term's doc freq desc, then position asc."""
+    pairs = [
+        (i, words[i], words[i + 1], words[i] + words[i + 1])
+        for i in range(len(words) - 1)
+    ]
+    from pyspark.sql import Window
+
+    empty = index.term_stats.select(
+        F.lit(0).cast("int").alias("rank"),
+        F.lit(0).cast("int").alias("pos"),
+        F.lit("").alias("combined"),
+        F.lit(0).cast("long").alias("freq"),
+    ).limit(0)
+    if not pairs:
+        return empty
+    pdf = index.spark.createDataFrame(
+        pairs, "pos int, w1 string, w2 string, combined string"
+    )
+    ts = index.term_stats.select(
+        F.col("term").alias("combined"), F.col("doc_freq").cast("long").alias("freq")
+    )
+    cands = (
+        ts.join(F.broadcast(pdf), "combined")
+        .filter(F.col("freq") >= min_suggestion_freq)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("pos"))
+    return (
+        cands.orderBy(F.desc("freq"), F.asc("pos"))
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "pos",
+            "combined",
+            "freq",
+        )
+        .orderBy("rank")
+    )

@@ -153,3 +153,43 @@ def test_analyzing_suggester_dedups_surface_max_weight(spark):
         ("spark sql", 8),
         ("spark shell", 5),
     ]
+
+
+def test_word_breaks_and_combinations(spark, tiny_index):
+    """WordBreakSpellChecker subset: splits where both sides are dictionary
+    terms (ranked by summed doc freq), combinations where the concatenation
+    is a dictionary term — verified against driver-side brute force."""
+    from lucene_spark.search.suggest import (
+        suggest_word_breaks,
+        suggest_word_combinations,
+    )
+
+    dfs = {
+        r.term: r.doc_freq for r in tiny_index.term_stats.collect()
+    }
+    two = sorted(t for t in dfs if len(t) >= 2)[:2]
+    word = two[0] + two[1]
+    got = [
+        (r.left_word, r.right_word, r.freq_sum)
+        for r in suggest_word_breaks(tiny_index, word, k=10).collect()
+    ]
+    brute = sorted(
+        (
+            (word[:i], word[i:], dfs[word[:i]] + dfs[word[i:]])
+            for i in range(1, len(word))
+            if word[:i] in dfs and word[i:] in dfs
+        ),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:10]
+    assert got == brute
+    assert (two[0], two[1], dfs[two[0]] + dfs[two[1]]) in got
+
+    # combination: splitting the pair back recombines to a dictionary term
+    comb_source = next(t for t in sorted(dfs) if len(t) >= 4)
+    parts = [comb_source[:2], comb_source[2:]]
+    out = suggest_word_combinations(tiny_index, parts, k=5).collect()
+    assert out and out[0].combined == comb_source
+    assert out[0].freq == dfs[comb_source]
+
+    # no valid split -> empty frame with the contract schema
+    assert suggest_word_breaks(tiny_index, "zzqq", k=5).count() == 0
