@@ -4217,6 +4217,22 @@ FROM cand ORDER BY rank LIMIT {k}"""
     )
 
 
+def _q_facet_sum_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association / value-source facets (facet/taxonomy/
+    TaxonomyFacetFloatAssociations + TaxonomyFacetSumValueSource):
+    per-role SUM of doc length over the 'spark' matches — one hash
+    aggregation after the match join."""
+    from lucene_spark.search import TermQuery
+    from lucene_spark.search.facets import facet_sum
+
+    _, searcher = _searcher(spark, sf_dir)
+    return (
+        facet_sum(searcher, TermQuery("spark"), "role", "length")
+        .select("value", F.col("total").cast("long").alias("total"))
+        .orderBy("value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4289,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_role": _q_nb_classify(),
         "dv_update_facets": _q_dv_update_facets,
         "word_break_suggest": _q_word_break("sparkquery", 5),
+        "facet_sum_length": _q_facet_sum_length,
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4416,6 +4433,14 @@ def oracle_sql() -> dict[str, str]:
                              AND toks.turn_idx = tr.turn_idx)
              GROUP BY 1 ORDER BY tool""",
         "word_break_suggest": _word_break_sql("sparkquery", 5),
+        "facet_sum_length": _PRELUDE
+        + """SELECT role AS value, CAST(SUM(dl) AS BIGINT) AS total
+             FROM tr JOIN dl USING (conv_id, turn_idx)
+             WHERE EXISTS (SELECT 1 FROM toks
+                           WHERE toks.term = 'spark'
+                             AND toks.conv_id = tr.conv_id
+                             AND toks.turn_idx = tr.turn_idx)
+             GROUP BY 1 ORDER BY value""",
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

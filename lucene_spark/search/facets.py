@@ -199,3 +199,20 @@ def to_child_block_join(
     never shuffles; at scale the child scan prunes on the key via the
     join predicate."""
     return children.join(F.broadcast(parents), key)
+
+
+def facet_sum(searcher, query: Query, dim: str, value_expr: str) -> DataFrame:
+    """(value, total): per-category SUM of a per-document expression over
+    the match set — association / value-source facets
+    (facet/taxonomy/TaxonomyFacetFloatAssociations.java aggregating
+    FloatAssociationFacetField values, and TaxonomyFacetSumValueSource's
+    DoubleValuesSource aggregation).  ``value_expr`` is any Catalyst SQL
+    expression over the doc columns (the DoubleValuesSource binding);
+    association values stored per doc are just doc columns here (columnar
+    substrate — SURVEY.md §1.1), so both reference shapes collapse to one
+    hash aggregation after the match join."""
+    return (
+        _matches_with_docs(searcher, query)
+        .groupBy(F.col(dim).alias("value"))
+        .agg(F.sum(F.expr(value_expr)).alias("total"))
+    )

@@ -195,3 +195,23 @@ def test_to_child_block_join(spark, tiny_index):
     }
     assert {(r.conv_id, r.turn_idx, r.parent_score) for r in out} == want
     assert len(out) > 0
+
+
+def test_facet_sum(spark, tiny_index):
+    """facet_sum: per-category sum of a doc expression over the match set
+    equals the brute-force aggregation (association-facet analog)."""
+    from lucene_spark.search import IndexSearcher, TermQuery
+    from lucene_spark.search.facets import facet_sum
+
+    searcher = IndexSearcher(tiny_index)
+    q = TermQuery("model")
+    got = {
+        r.value: r.total
+        for r in facet_sum(searcher, q, "role", "length * 2").collect()
+    }
+    match_ids = {r.doc_id for r in searcher.scored(q).select("doc_id").collect()}
+    want = {}
+    for r in tiny_index.docs.collect():
+        if r.doc_id in match_ids:
+            want[r.role] = want.get(r.role, 0) + r.length * 2
+    assert got == want
