@@ -267,6 +267,52 @@ def main():
         ),
     ]
 
+    # round-4 surfaces
+    from lucene_spark.pipeline.classify import naive_bayes_classify
+    from lucene_spark.pipeline.sessionize import session_stats
+    from lucene_spark.search.query import FunctionScoreQuery, KnnVectorQuery
+
+    emb_docs = emb.withColumnRenamed("vec_id", "doc_id")
+    sections += [
+        (
+            "FunctionScoreQuery (Catalyst expression over _score + doc columns)",
+            "The rescore expression is a plain Project inside WholeStageCodegen "
+            "after the docs join — no UDF, and Catalyst prunes the docs scan "
+            "to only the columns the expression references.",
+            mem_s.scored(
+                FunctionScoreQuery(
+                    orq("spark", "data"), "_score * (1.0 + length / 100.0)"
+                )
+            ),
+        ),
+        (
+            "KnnVectorQuery with a pre-filter (k nearest passing the filter)",
+            "The filter's match set restricts candidates BEFORE top-k "
+            "(KnnFloatVectorQuery semantics); the cosine kernel is a JVM "
+            "aggregate over the zipped arrays and the only wide operator is "
+            "the final TakeOrderedAndProject.",
+            mem_s.with_vectors(emb_docs).scored(
+                KnnVectorQuery(qv, 5, filter=RangePredicate("turn_idx", lower=1))
+            ),
+        ),
+        (
+            "Sessionization (lag/cumsum window algebra)",
+            "Exactly ONE Exchange (hashpartitioning on conv_id) feeds both "
+            "window functions and the session aggregate — the lag, the "
+            "running sum, and the per-session stats reuse the same "
+            "partitioning; everything is codegen'd window/agg, no UDF.",
+            session_stats(corpus, gap_seconds=3600),
+        ),
+        (
+            "Naive Bayes classification (broadcast class dim + term join)",
+            "Train stats are hash aggregates over the exploded (doc, term) "
+            "relation; the class dimension and scalar stats join as "
+            "BroadcastHashJoins; the per-(term,class) hits table joins on "
+            "term (shuffle — it is corpus-vocabulary-sized, NOT broadcast).",
+            naive_bayes_classify(corpus, corpus.limit(50)),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
