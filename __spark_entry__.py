@@ -4233,6 +4233,78 @@ def _q_facet_sum_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diversified(terms, k: int, max_per_key: int):
+    """DiversifiedTopDocsCollector surface (misc/search/
+    DiversifiedTopDocsCollector.java:68 via searcher.search_diversified):
+    global top-k with at most max_per_key hits per conversation.  Gate
+    variant ranks over the ROUNDED score (like every topk gate) so the
+    per-key selection is reproducible across engines; the raw-score
+    library method is pinned by tests/test_sort.py brute-force parity."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        docs = searcher.index.docs.select("doc_id", "conv_id", "turn_idx")
+        j = (
+            searcher.scored(q)
+            .join(docs, "doc_id")
+            .withColumn("score_i", F.round(F.col("score") * 10000).cast("long"))
+        )
+        per_key = Window.partitionBy("conv_id").orderBy(
+            F.desc("score_i"), F.asc("turn_idx")
+        )
+        surv = (
+            j.withColumn("_kr", F.row_number().over(per_key))
+            .filter(F.col("_kr") <= max_per_key)
+        )
+        w = Window.orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+        return (
+            surv.orderBy(F.desc("score_i"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+            .select(
+                F.row_number().over(w).cast("int").alias("rank"),
+                "conv_id",
+                "turn_idx",
+                "score_i",
+            )
+            .orderBy("rank")
+        )
+
+    return run
+
+
+def _diversified_sql(terms, k: int, max_per_key: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + ", "
+        + _scored_from(f"tf.term IN ({tlist})").lstrip().replace(
+            "ranked AS (", "ranked_unused AS ("
+        )
+        + f""", keyed AS (
+  SELECT conv_id, turn_idx,
+         CAST(round(score * 10000) AS BIGINT) AS score_i
+  FROM scored
+),
+surv AS (
+  SELECT conv_id, turn_idx, score_i,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY score_i DESC, turn_idx ASC) AS kr
+  FROM keyed
+),
+final AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM surv WHERE kr <= {max_per_key}
+)
+SELECT rank, conv_id, turn_idx, score_i FROM final WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4306,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update_facets": _q_dv_update_facets,
         "word_break_suggest": _q_word_break("sparkquery", 5),
         "facet_sum_length": _q_facet_sum_length,
+        "diversified_topk": _q_diversified(["spark", "query", "data"], 10, 1),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4441,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
                              AND toks.conv_id = tr.conv_id
                              AND toks.turn_idx = tr.turn_idx)
              GROUP BY 1 ORDER BY value""",
+        "diversified_topk": _diversified_sql(["spark", "query", "data"], 10, 1),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

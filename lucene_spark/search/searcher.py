@@ -1697,6 +1697,42 @@ class IndexSearcher:
             "score",
         ).orderBy("rank")
 
+    def search_diversified(
+        self, query: Query, k: int, max_per_key: int, key_col: str = "conv_id"
+    ) -> DataFrame:
+        """Diversified top-k: at most ``max_per_key`` hits per key value in
+        the final top ``k`` (misc/search/DiversifiedTopDocsCollector.java:68
+        — its PQ-with-eviction stream reduces to: per-key best
+        ``max_per_key`` by (score desc, doc asc), then the global top-k over
+        the survivors).  The canonical use over transcripts is
+        max_per_key=1: one hit per conversation.
+
+        Plan shape: the per-key window repartitions on the key ONCE; the
+        global cut is TakeOrderedAndProject over the (k-bounded per key)
+        survivors — no second shuffle of the full match set."""
+        from pyspark.sql import Window
+
+        scored = self.scored(query)
+        docs = self.index.docs.select("doc_id", "conv_id", "turn_idx")
+        joined = scored.join(docs, "doc_id")
+        per_key = Window.partitionBy(key_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        survivors = (
+            joined.withColumn("_kr", F.row_number().over(per_key))
+            .filter(F.col("_kr") <= max_per_key)
+            .drop("_kr")
+        )
+        top = survivors.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.select(
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "score",
+        ).orderBy("rank")
+
     # -- sort-by-field surface (SortField.java:60-119 / TopFieldCollector)
     def _sort_specs(self, sort: "Sort"):
         """[(column, descending, name)] for a Sort chain + implicit doc

@@ -110,3 +110,43 @@ def test_search_after_pages_through_null_region(spark, tiny_corpus):
         last = page[-1]
         after = (last.ts, last.doc_id)
     assert [(r.doc_id, r.ts) for r in pages] == [(r.doc_id, r.ts) for r in full]
+
+
+def test_search_diversified(spark, tiny_index):
+    """DiversifiedTopDocsCollector: at most max_per_key hits per key in the
+    final top-k — equals brute force (per-key best m by (score desc, doc
+    asc), then global top-k); max_per_key=inf degenerates to search()."""
+    from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+    searcher = IndexSearcher(tiny_index)
+    q = BooleanQuery.of(
+        (TermQuery("the"), Occur.SHOULD),
+        (TermQuery("model"), Occur.SHOULD),
+        (TermQuery("data"), Occur.SHOULD),
+    )
+    scored = {
+        r.doc_id: r.score for r in searcher.scored(q).collect()
+    }
+    keys = {r.doc_id: r.conv_id for r in tiny_index.docs.collect()}
+
+    for m in (1, 2):
+        got = [
+            (r.doc_id, r.conv_id, r.score)
+            for r in searcher.search_diversified(q, 10, m).collect()
+        ]
+        by_key = {}
+        for d in sorted(scored, key=lambda d: (-scored[d], d)):
+            by_key.setdefault(keys[d], []).append(d)
+        surv = [d for ds in by_key.values() for d in ds[:m]]
+        want = sorted(surv, key=lambda d: (-scored[d], d))[:10]
+        assert [g[0] for g in got] == want, m
+        assert all(abs(g[2] - scored[g[0]]) < 1e-6 for g in got)
+        per_key = {}
+        for _, cid, _ in got:
+            per_key[cid] = per_key.get(cid, 0) + 1
+        assert max(per_key.values()) <= m
+
+    # large cap == plain search
+    a = [(r.doc_id,) for r in searcher.search_diversified(q, 10, 10**6).collect()]
+    b = [(r.doc_id,) for r in searcher.search(q, 10).collect()]
+    assert a == b
