@@ -4305,6 +4305,46 @@ SELECT rank, conv_id, turn_idx, score_i FROM final WHERE rank <= {k} ORDER BY ra
     )
 
 
+def _q_stratified_sample(fractions: dict, seed: int):
+    """Deterministic stratified sampling (pipeline/sample.py): per-role
+    keep rates by md5 key hash — reproducible across engines, partition
+    layouts, and runs; the fraction lookup is a CASE, the hash test a
+    scan-side filter (no shuffle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.sample import stratified_sample
+
+        tr = _transcripts_df(spark, sf_dir)
+        out = stratified_sample(
+            tr, fractions, "role", ["conv_id", "turn_idx"], seed=seed
+        )
+        return out.select("conv_id", "turn_idx", "role").orderBy(
+            "conv_id", "turn_idx"
+        )
+
+    return run
+
+
+def _stratified_sample_sql(fractions: dict, seed: int) -> str:
+    from lucene_spark.pipeline.hashes import seeded_sql
+
+    key = seeded_sql("conv_id || '|' || CAST(turn_idx AS VARCHAR)", seed)
+    case = "CASE "
+    for value, frac in sorted(fractions.items()):
+        case += f"WHEN role = '{value}' THEN {int(frac * 1_000_000_000)} "
+    case += "ELSE 1000000000 END"
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         lang AS role
+  FROM documents
+)
+SELECT conv_id, turn_idx, role FROM tr
+WHERE ({key}) % 1000000000 < ({case})
+ORDER BY conv_id, turn_idx"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4379,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_break_suggest": _q_word_break("sparkquery", 5),
         "facet_sum_length": _q_facet_sum_length,
         "diversified_topk": _q_diversified(["spark", "query", "data"], 10, 1),
+        "stratified_sample": _q_stratified_sample({"en": 0.15, "de": 0.5}, 7),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4515,6 +4556,7 @@ def oracle_sql() -> dict[str, str]:
                              AND toks.turn_idx = tr.turn_idx)
              GROUP BY 1 ORDER BY value""",
         "diversified_topk": _diversified_sql(["spark", "query", "data"], 10, 1),
+        "stratified_sample": _stratified_sample_sql({"en": 0.15, "de": 0.5}, 7),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -527,3 +527,59 @@ def test_knn_classifier_vote(spark, tiny_index):
     best = max(sorted(manual), key=lambda c: manual[c])
     assert rows[0].assigned == best
     assert rows[0].vote == pytest.approx(manual[best], rel=1e-6)
+
+
+# -- sampling -----------------------------------------------------------
+def test_deterministic_sampling(spark, docs, con):
+    """Hash-keyed sampling: partition-layout independent, monotone in the
+    fraction, exact per-stratum caps; matches the DuckDB twin row-for-row."""
+    from lucene_spark.pipeline.hashes import seeded_sql
+    from lucene_spark.pipeline.sample import (
+        cap_per_stratum,
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    d = docs.select("doc_id", "lang", "text")
+    a = {r.doc_id for r in deterministic_sample(d, 0.3, ["doc_id"], seed=7).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(
+            d.repartition(13), 0.3, ["doc_id"], seed=7
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < d.count()
+    small = {
+        r.doc_id for r in deterministic_sample(d, 0.1, ["doc_id"], seed=7).collect()
+    }
+    assert small <= a  # monotone: raising the rate only adds rows
+
+    key = seeded_sql("CAST(doc_id AS VARCHAR)", 7)
+    dd = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM {DOCS_REL} WHERE ({key}) % 1000000000 < 300000000"
+        ).fetchall()
+    }
+    assert a == dd
+
+    frs = {"en": 0.15, "de": 1.0}
+    s = stratified_sample(d, frs, "lang", ["doc_id"], seed=7)
+    per = {r.lang: r.cnt for r in s.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    tot = {r.lang: r.cnt for r in d.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert per["de"] == tot["de"]           # fraction 1.0 keeps everything
+    assert per["en"] < tot["en"] * 0.3      # ~0.15 actually downsamples
+    for lang in tot:
+        if lang not in frs:
+            assert per.get(lang, 0) == tot[lang]  # default 1.0
+
+    capped = cap_per_stratum(d, 5, "lang", ["doc_id"], seed=7)
+    pc = {r.lang: r.cnt for r in capped.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert all(pc[lang] == min(5, tot[lang]) for lang in tot)
+    # cap selection is deterministic across layouts too
+    pc2 = {
+        (r.lang, r.doc_id)
+        for r in cap_per_stratum(d.repartition(17), 5, "lang", ["doc_id"], seed=7)
+        .select("lang", "doc_id").collect()
+    }
+    assert pc2 == {(r.lang, r.doc_id) for r in capped.select("lang", "doc_id").collect()}
