@@ -4345,6 +4345,51 @@ WHERE ({key}) % 1000000000 < ({case})
 ORDER BY conv_id, turn_idx"""
 
 
+def _q_pack_sequences(cap: int):
+    """Greedy sequence packing (pipeline/pack.py): fill cap-token context
+    windows with consecutive turns per conversation — the non-associative
+    reset scan runs as one applyInPandas pass per conversation; the twin
+    is an exact recursive CTE, so the greedy semantics are pinned."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.pack import pack_stats, with_token_counts
+
+        tr = with_token_counts(_transcripts_df(spark, sf_dir))
+        return pack_stats(tr, cap=cap).orderBy("conv_id", "bin")
+
+    return run
+
+
+def _pack_sequences_sql(cap: int) -> str:
+    return f"""
+WITH RECURSIVE tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents
+),
+seq AS (
+  SELECT conv_id, turn_idx, dl,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM tr
+),
+packed AS (
+  SELECT conv_id, turn_idx, dl, rn, 0 AS bin, dl AS running
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, s.dl, s.rn,
+         CASE WHEN p.running > 0 AND p.running + s.dl > {cap}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.running > 0 AND p.running + s.dl > {cap}
+              THEN s.dl ELSE p.running + s.dl END
+  FROM seq s JOIN packed p ON s.conv_id = p.conv_id AND s.rn = p.rn + 1
+)
+SELECT conv_id, CAST(bin AS INT) AS bin,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(SUM(dl) AS BIGINT) AS tokens
+FROM packed GROUP BY 1, 2 ORDER BY conv_id, bin"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4420,6 +4465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_sum_length": _q_facet_sum_length,
         "diversified_topk": _q_diversified(["spark", "query", "data"], 10, 1),
         "stratified_sample": _q_stratified_sample({"en": 0.15, "de": 0.5}, 7),
+        "pack_sequences": _q_pack_sequences(60),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4557,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1 ORDER BY value""",
         "diversified_topk": _diversified_sql(["spark", "query", "data"], 10, 1),
         "stratified_sample": _stratified_sample_sql({"en": 0.15, "de": 0.5}, 7),
+        "pack_sequences": _pack_sequences_sql(60),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

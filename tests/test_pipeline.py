@@ -583,3 +583,52 @@ def test_deterministic_sampling(spark, docs, con):
         .select("lang", "doc_id").collect()
     }
     assert pc2 == {(r.lang, r.doc_id) for r in capped.select("lang", "doc_id").collect()}
+
+
+# -- sequence packing ---------------------------------------------------
+def test_pack_sequences(spark):
+    """Greedy first-fit packing: exact reset semantics incl. oversized rows
+    and the utilization stats — vs a python reference scan."""
+    from lucene_spark.pipeline.pack import pack_sequences, pack_stats
+
+    rows = [
+        ("c1", 0, 40), ("c1", 1, 50),   # bin 0 (90)
+        ("c1", 2, 20),                  # bin 1 (20+..)
+        ("c1", 3, 70),                  # bin 1 would be 90
+        ("c1", 4, 130),                 # oversized -> bin 2 alone
+        ("c1", 5, 10),                  # bin 3 (130+10 > cap)
+        ("c2", 0, 100),                 # bin 0 exactly cap
+        ("c2", 1, 1),                   # bin 1
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens int")
+    got = {
+        (r.conv_id, r.turn_idx): r.bin
+        for r in pack_sequences(df, cap=100).collect()
+    }
+
+    def ref(lens, cap):
+        out, running, b = [], 0, 0
+        for L in lens:
+            if running > 0 and running + L > cap:
+                b, running = b + 1, L
+            else:
+                running += L
+            out.append(b)
+        return out
+
+    for cid in ("c1", "c2"):
+        lens = [n for c, _, n in rows if c == cid]
+        want = ref(lens, 100)
+        for i, b in enumerate(want):
+            assert got[(cid, i)] == b, (cid, i)
+
+    stats = {
+        (r.conv_id, r.bin): (r.n_turns, r.tokens)
+        for r in pack_stats(df, cap=100).collect()
+    }
+    assert stats[("c1", 0)] == (2, 90)
+    assert stats[("c1", 2)] == (1, 130)
+    assert stats[("c2", 0)] == (1, 100)
+    # every non-oversized bin respects the budget
+    for (cid, b), (_, tokens) in stats.items():
+        assert tokens <= 130
