@@ -4390,6 +4390,49 @@ SELECT conv_id, CAST(bin AS INT) AS bin,
 FROM packed GROUP BY 1, 2 ORDER BY conv_id, bin"""
 
 
+def _q_spell_correct(word: str, k: int):
+    """DirectSpellChecker.suggestSimilar surface (suggest/.../spell/
+    DirectSpellChecker.java:435-475 via suggest.spell_correct):
+    dictionary corrections within 2 edits sharing the first letter,
+    normalized-similarity ranking with doc-freq tie-break."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.suggest import spell_correct
+
+        idx, _ = _searcher(spark, sf_dir)
+        return spell_correct(idx, word, k=k)
+
+    return run
+
+
+def _spell_correct_sql(word: str, k: int) -> str:
+    n = len(word)
+    return (
+        _PRELUDE
+        + f""",
+cand AS (
+  SELECT term, CAST(doc_freq AS BIGINT) AS doc_freq,
+         levenshtein(term, '{word}') AS d
+  FROM dfreq
+  WHERE term <> '{word}'
+    AND term LIKE '{word[0]}%'
+    AND abs(length(term) - {n}) <= 2
+),
+scored AS (
+  SELECT term, doc_freq,
+         CAST(round((1.0 - d * 1.0 / greatest(length(term), {n})) * 10000) AS BIGINT) AS score_i
+  FROM cand
+  WHERE d <= 2 AND (1.0 - d * 1.0 / greatest(length(term), {n})) >= 0.5
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, doc_freq DESC, term ASC) AS INT) AS rank,
+         term, score_i, doc_freq
+  FROM scored
+)
+SELECT rank, term, score_i, doc_freq FROM ranked ORDER BY rank LIMIT {k}"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4466,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_topk": _q_diversified(["spark", "query", "data"], 10, 1),
         "stratified_sample": _q_stratified_sample({"en": 0.15, "de": 0.5}, 7),
         "pack_sequences": _q_pack_sequences(60),
+        "spell_correct": _q_spell_correct("sparc", 5),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4604,6 +4648,7 @@ def oracle_sql() -> dict[str, str]:
         "diversified_topk": _diversified_sql(["spark", "query", "data"], 10, 1),
         "stratified_sample": _stratified_sample_sql({"en": 0.15, "de": 0.5}, 7),
         "pack_sequences": _pack_sequences_sql(60),
+        "spell_correct": _spell_correct_sql("sparc", 5),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -255,3 +255,57 @@ def suggest_word_combinations(
         )
         .orderBy("rank")
     )
+
+
+def spell_correct(
+    index: InvertedIndex,
+    word: str,
+    k: int = 5,
+    max_edits: int = 2,
+    accuracy: float = 0.5,
+    min_freq: int = 1,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """DirectSpellChecker.suggestSimilar analog (suggest/.../spell/
+    DirectSpellChecker.java:435-475): candidate corrections drawn straight
+    from the term dictionary within ``max_edits``, sharing the first
+    ``prefix_len`` characters (the reference's minPrefix=1 default),
+    scored similarity = 1 - d / max(|candidate|, |query|)
+    (LevenshteinDistance normalization; plain Levenshtein via the JVM
+    builtin vs the reference's internal Damerau variant — a declared
+    subset), kept when similarity >= ``accuracy`` and doc_freq >=
+    ``min_freq``, ranked (similarity desc, doc_freq desc, term asc).
+    Returns (rank, term, score_i=round(sim*10000), doc_freq)."""
+    from pyspark.sql import Window
+
+    n = len(word)
+    ts = index.term_stats.select("term", F.col("doc_freq").cast("long"))
+    pred = (F.col("term") != word) & (F.col("doc_freq") >= min_freq)
+    if prefix_len > 0:
+        pred = pred & (F.col("term").startswith(word[:prefix_len]))
+    # cheap length window then exact levenshtein (both JVM-side)
+    pred = pred & (F.abs(F.length("term") - F.lit(n)) <= max_edits)
+    cands = (
+        ts.filter(pred)
+        .withColumn("_d", F.levenshtein(F.col("term"), F.lit(word)))
+        .filter(F.col("_d") <= max_edits)
+        .withColumn(
+            "_sim",
+            1.0 - F.col("_d") / F.greatest(F.length("term"), F.lit(n)).cast("double"),
+        )
+        .filter(F.col("_sim") >= accuracy)
+        .withColumn("score_i", F.round(F.col("_sim") * 10000).cast("long"))
+    )
+    order = [F.desc("score_i"), F.desc("doc_freq"), F.asc("term")]
+    w = Window.orderBy(*order)
+    return (
+        cands.orderBy(*order)
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "term",
+            "score_i",
+            "doc_freq",
+        )
+        .orderBy("rank")
+    )

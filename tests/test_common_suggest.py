@@ -193,3 +193,45 @@ def test_word_breaks_and_combinations(spark, tiny_index):
 
     # no valid split -> empty frame with the contract schema
     assert suggest_word_breaks(tiny_index, "zzqq", k=5).count() == 0
+
+
+def test_spell_correct(spark, tiny_index):
+    """DirectSpellChecker analog: dictionary candidates within max_edits
+    sharing the first letter, normalized-similarity ranking with doc-freq
+    tie-break — vs driver-side brute force."""
+    from lucene_spark.search.suggest import spell_correct
+
+    dfs = {r.term: r.doc_freq for r in tiny_index.term_stats.collect()}
+    base = sorted(t for t in dfs if len(t) >= 4)[0]
+    word = base[:-1] + ("x" if base[-1] != "x" else "y")  # 1 edit away
+
+    got = [
+        (r.term, r.score_i, r.doc_freq)
+        for r in spell_correct(tiny_index, word, k=5).collect()
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    brute = []
+    for t, f in dfs.items():
+        if t == word or not t.startswith(word[0]):
+            continue
+        if abs(len(t) - len(word)) > 2:
+            continue
+        d = lev(t, word)
+        if d > 2:
+            continue
+        sim = 1.0 - d / max(len(t), len(word))
+        if sim >= 0.5:
+            brute.append((t, round(sim * 10000), f))
+    brute.sort(key=lambda x: (-x[1], -x[2], x[0]))
+    assert got == brute[:5]
+    assert got and got[0][0] == base  # the 1-edit source term wins
