@@ -4433,6 +4433,59 @@ SELECT rank, term, score_i, doc_freq FROM ranked ORDER BY rank LIMIT {k}"""
     )
 
 
+def _q_phonetic_match(word: str):
+    """Phonetic (Soundex) matching — analysis/phonetic PhoneticFilter
+    surface: docs containing any token that SOUNDS like the query word.
+    The encoder runs once over the (small) distinct vocabulary, then the
+    matching terms broadcast-join back to the token relation."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis.phonetic import soundex_expr, soundex_py
+
+        target = soundex_py(word)
+        tr = _transcripts_df(spark, sf_dir)
+        toks = tr.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("term"),
+        )
+        vocab = (
+            toks.select("term")
+            .distinct()
+            .withColumn("s", soundex_expr(F.col("term")))
+            .filter(F.col("s") == target)
+        )
+        return (
+            toks.join(F.broadcast(vocab.select("term")), "term")
+            .select("conv_id", "turn_idx")
+            .distinct()
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    return run
+
+
+def _phonetic_match_sql(word: str) -> str:
+    from lucene_spark.analysis.phonetic import soundex_py, soundex_sql
+
+    target = soundex_py(word)
+    return (
+        _PRELUDE
+        + f""",
+sdx AS (
+  SELECT term, {soundex_sql('term')} AS s FROM dfreq
+),
+hits AS (
+  SELECT DISTINCT toks.conv_id, toks.turn_idx
+  FROM toks JOIN sdx USING (term)
+  WHERE sdx.s = '{target}'
+)
+SELECT conv_id, turn_idx FROM hits ORDER BY conv_id, turn_idx"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4510,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample({"en": 0.15, "de": 0.5}, 7),
         "pack_sequences": _q_pack_sequences(60),
         "spell_correct": _q_spell_correct("sparc", 5),
+        "phonetic_match": _q_phonetic_match("sparc"),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -4649,6 +4703,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql({"en": 0.15, "de": 0.5}, 7),
         "pack_sequences": _pack_sequences_sql(60),
         "spell_correct": _spell_correct_sql("sparc", 5),
+        "phonetic_match": _phonetic_match_sql("sparc"),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),

@@ -481,3 +481,26 @@ def test_graph_index_phrase_across_multiword_synonym(spark):
     hits = s.search(PhraseQuery(("wireless", "fidelity")), 10).collect()
     assert len(hits) == 3
     idx.unpersist_all()
+
+
+def test_soundex_three_way_parity(spark):
+    """Soundex: Spark column expression == DuckDB SQL twin == python
+    reference on classic vectors and corpus-ish tokens."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.phonetic import soundex_expr, soundex_py, soundex_sql
+
+    words = [
+        "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+        "honeyman", "spark", "sparc", "model", "data", "queue", "query",
+        "a", "hw", "x123y", "schmidt", "schneider", "lloyd", "pfizer",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.s for r in df.select("w", soundex_expr(F.col("w")).alias("s")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        want = soundex_py(w)
+        assert got[w] == want, (w, got[w], want)
+        duck = con.execute("SELECT " + soundex_sql(f"'{w}'")).fetchone()[0]
+        assert duck == want, (w, duck, want)
