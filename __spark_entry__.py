@@ -1882,6 +1882,40 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _sweetspot_sql(terms, k: int) -> str:
+    """SweetSpotSimilarity twin (misc/search/similarity/
+    SweetSpotSimilarity.java): baselineTf (base=1.5, min=2) *
+    (idf+1)^2-style Classic weight * plateau lengthNorm
+    ([6,20], steepness 0.5)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    idf2 = ("pow(ln((stats.doc_count + 1.0) / (dfreq.doc_freq + 1.0))"
+            " + 1.0, 2)")
+    tfv = ("CASE WHEN tf.freq <= 2.0 THEN 1.5"
+           " ELSE sqrt(tf.freq + 1.5 * 1.5 - 2.0) END")
+    lnorm = ("(1.0 / sqrt(0.5 * (abs(dlq.dlq - 6.0) + abs(dlq.dlq - 20.0)"
+             " - 14.0) + 1.0))")
+    score = f"({idf2} * {tfv} * {lnorm})"
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({score}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _ib_sql(terms, k: int, c: float = 1.0) -> str:
     """IBSimilarity (DistributionLL + LambdaDF + NormalizationH2) twin:
     tfn = freq * log2(1 + c*avgdl/dl); λ = float32((df+1)/(N+1)) — the
@@ -4519,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
+        "sweetspot_topk": _q_simbase(["spark", "query", "data"], 10, "sweetspot_f64"),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "ib_topk": _q_simbase(["spark", "query", "data"], 10, "ib_f64"),
         "ib_spl_topk": _q_simbase(["spark", "query", "data"], 10, "ib_spl_f64"),
@@ -4644,6 +4679,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_sql(["spark", "query", "data"], 10),
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
+        "sweetspot_topk": _sweetspot_sql(["spark", "query", "data"], 10),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "ib_topk": _ib_sql(["spark", "query", "data"], 10),
         "ib_spl_topk": _ib_spl_sql(["spark", "query", "data"], 10),

@@ -89,6 +89,7 @@ class IndexSearcher:
         "ax_f2log_f32", "ax_f2log_f64",
         "ax_f3exp_f32", "ax_f3exp_f64", "ax_f3log_f32", "ax_f3log_f64",
         "dfi_f32", "dfi_f64", "bool_f32", "bool_f64",
+        "sweetspot_f32", "sweetspot_f64",
     )
     # mode prefix -> family, LONGEST prefix first ("ib_spl" before "ib",
     # "ax_f1exp" before "ax", "lm_jm" before "lm")
@@ -99,13 +100,13 @@ class IndexSearcher:
         ("ax_f2log", "ax_f2log"),
         ("ax_f3exp", "ax_f3exp"), ("ax_f3log", "ax_f3log"), ("ax", "ax"),
         ("classic", "classic"), ("dfr", "dfr"), ("dfi", "dfi"),
-        ("bool", "bool"),
+        ("bool", "bool"), ("sweetspot", "ss"),
     )
     # families whose per-term stat is docFreq (LambdaDF / Axiomatic idf);
     # the rest use totalTermFreq (LM collection model, DFR λ_g, DFI expected)
     _DF_FAMILIES = frozenset(
         {"ib", "ib_spl", "ax", "ax_f1exp", "ax_f1log", "ax_f2log",
-         "ax_f3exp", "ax_f3log", "bool"}
+         "ax_f3exp", "ax_f3log", "bool", "ss"}
     )
     LM_MU = 2000.0  # LMDirichletSimilarity default mu
     LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity λ (title-query optimum)
@@ -114,6 +115,14 @@ class IndexSearcher:
     AX_S = 0.25  # Axiomatic.java:91-93 defaults (s, queryLen, k)
     AX_K = 0.35
     AX_QUERY_LEN = 1  # Axiomatic.java:92 default queryLen (F3 gamma term)
+    # SweetSpotSimilarity (misc/search/similarity/SweetSpotSimilarity.java):
+    # non-degenerate configuration exercising both tf branches and the
+    # length plateau (defaults base=0/min=0/plateau [1,1] reduce to Classic)
+    SS_TF_BASE = 1.5  # baselineTf base (:149-166)
+    SS_TF_MIN = 2.0  # baselineTf min
+    SS_LN_MIN = 6  # lengthNorm plateau start (:120-141)
+    SS_LN_MAX = 20  # lengthNorm plateau end
+    SS_STEEPNESS = 0.5  # slope outside the plateau
 
     def __init__(self, index: InvertedIndex, scoring: str = "lucene_f32",
                  term_cache_max: int | None = None):
@@ -520,6 +529,39 @@ class IndexSearcher:
             ).otherwise(
                 F.col("_b") * F.log(measure + F.lit(1.0)) / F.lit(ln2)
             )
+        elif self.family == "ss":  # SweetSpotSimilarity (misc module)
+            # misc/search/similarity/SweetSpotSimilarity.java:
+            # tf = baselineTf (:149-166): base when freq <= min, else
+            #      sqrt(freq + base^2 - min);
+            # lengthNorm (:120-141): 1/sqrt(steepness * (|dl-min| +
+            #      |dl-max| - (max-min)) + 1)  — flat 1.0 on the plateau;
+            # idf^2 * boost like the Classic parent (TFIDFSimilarity).
+            rows = [
+                (
+                    t,
+                    float(b),
+                    (math.log((n_docs + 1.0) / (ttfs[t] + 1.0)) + 1.0) ** 2,
+                )
+                for t, b in term_boosts.items()
+                if t in ttfs
+            ]
+            schema = "term string, _b double, _idf2 double"
+            base, mn = float(self.SS_TF_BASE), float(self.SS_TF_MIN)
+            tf_ss = F.when(fr <= F.lit(mn), F.lit(base)).otherwise(
+                F.sqrt(fr + F.lit(base * base - mn))
+            )
+            lmin, lmax = float(self.SS_LN_MIN), float(self.SS_LN_MAX)
+            steep = float(self.SS_STEEPNESS)
+            lnorm = F.lit(1.0) / F.sqrt(
+                F.lit(steep)
+                * (
+                    F.abs(dl - F.lit(lmin))
+                    + F.abs(dl - F.lit(lmax))
+                    - F.lit(lmax - lmin)
+                )
+                + F.lit(1.0)
+            )
+            raw = F.col("_b") * F.col("_idf2") * tf_ss * lnorm
         elif self.family == "bool":  # BooleanSimilarity.java:56-60
             rows = [
                 (t, float(b)) for t, b in term_boosts.items() if t in ttfs

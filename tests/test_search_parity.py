@@ -319,3 +319,43 @@ def test_simbase_families_differ(spark, tiny_index):
     for i in range(len(vals)):
         for j in range(i + 1, len(vals)):
             assert vals[i] != vals[j]
+
+
+def test_sweetspot_brute_force(spark, tiny_index):
+    """SweetSpotSimilarity: baselineTf branches + plateau lengthNorm vs a
+    driver-side brute force over the collected postings (byte4-quantized
+    dl, like every simbase family)."""
+    import math
+
+    from lucene_spark.util.smallfloat import LENGTH_TABLE
+    from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+    s = IndexSearcher(tiny_index, scoring="sweetspot_f64")
+    terms = ["the", "model", "data"]
+    q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    got = {r.doc_id: r.score for r in s._scored(q).collect()}
+
+    post = tiny_index.postings.select("term", "doc_id", "freq", "norm").collect()
+    dfs = {}
+    for r in post:
+        if r.term in terms:
+            dfs[r.term] = dfs.get(r.term, 0) + 1
+    n = float(s.doc_count)
+    want = {}
+    for r in post:
+        if r.term not in terms:
+            continue
+        idf2 = (math.log((n + 1.0) / (dfs[r.term] + 1.0)) + 1.0) ** 2
+        f = float(r.freq)
+        tf = 1.5 if f <= 2.0 else math.sqrt(f + 1.5 * 1.5 - 2.0)
+        dl = float(LENGTH_TABLE[r.norm])
+        ln = 1.0 / math.sqrt(
+            0.5 * (abs(dl - 6.0) + abs(dl - 20.0) - 14.0) + 1.0
+        )
+        want[r.doc_id] = want.get(r.doc_id, 0.0) + idf2 * tf * ln
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
+    # the plateau is flat: any doc with 6 <= dl <= 20 has lengthNorm 1
+    inside = [r for r in post if r.term in terms and 6 <= LENGTH_TABLE[r.norm] <= 20]
+    assert inside, "corpus should have plateau-length docs"
