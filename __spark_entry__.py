@@ -4520,6 +4520,49 @@ SELECT conv_id, turn_idx FROM hits ORDER BY conv_id, turn_idx"""
     )
 
 
+def _q_dynamic_range(col: str, n_buckets: int):
+    """Dynamic range facets (facet/dynamic/DynamicRangeUtil.java): the
+    'spark' match set's ``col`` values split into equal-count buckets."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import dynamic_range_facets
+
+        _, searcher = _searcher(spark, sf_dir)
+        out = dynamic_range_facets(searcher, TermQuery("spark"), col, n_buckets)
+        return out.select(
+            "bucket",
+            "n",
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+        ).orderBy("bucket")
+
+    return run
+
+
+def _dynamic_range_sql(n_buckets: int) -> str:
+    # col is the doc length (dl), the one numeric per-turn column both
+    # engines derive identically
+    return (
+        _PRELUDE
+        + f""",
+m AS (
+  SELECT tr.conv_id, tr.turn_idx, dl.dl AS v
+  FROM tr JOIN dl USING (conv_id, turn_idx)
+  WHERE EXISTS (SELECT 1 FROM toks
+                WHERE toks.term = 'spark'
+                  AND toks.conv_id = tr.conv_id
+                  AND toks.turn_idx = tr.turn_idx)
+),
+b AS (
+  SELECT v, CAST(ntile({n_buckets}) OVER (ORDER BY v, conv_id, turn_idx) - 1 AS INT) AS bucket
+  FROM m
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+FROM b GROUP BY bucket ORDER BY bucket"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4554,6 +4597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": _q_lm_dirichlet(["spark", "query", "data"], 10),
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
         "sweetspot_topk": _q_simbase(["spark", "query", "data"], 10, "sweetspot_f64"),
+        "dynamic_range_facets": _q_dynamic_range("length", 4),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "ib_topk": _q_simbase(["spark", "query", "data"], 10, "ib_f64"),
         "ib_spl_topk": _q_simbase(["spark", "query", "data"], 10, "ib_spl_f64"),
@@ -4680,6 +4724,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_topk": _lm_dirichlet_sql(["spark", "query", "data"], 10),
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
         "sweetspot_topk": _sweetspot_sql(["spark", "query", "data"], 10),
+        "dynamic_range_facets": _dynamic_range_sql(4),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "ib_topk": _ib_sql(["spark", "query", "data"], 10),
         "ib_spl_topk": _ib_spl_sql(["spark", "query", "data"], 10),

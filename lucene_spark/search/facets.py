@@ -216,3 +216,32 @@ def facet_sum(searcher, query: Query, dim: str, value_expr: str) -> DataFrame:
         .groupBy(F.col(dim).alias("value"))
         .agg(F.sum(F.expr(value_expr)).alias("total"))
     )
+
+
+def dynamic_range_facets(
+    searcher, query: Query, col: str, n_buckets: int
+) -> DataFrame:
+    """(bucket, n, lo, hi): split the match set's ``col`` values into
+    ``n_buckets`` buckets of (near-)equal document count — dynamic range
+    facets (facet/dynamic/DynamicRangeUtil.java computeDynamicRanges,
+    which targets equal accumulated weight per range; with unit weights
+    that is equal counts, here exact via ntile).  Deterministic: values
+    tie-broken by (value, conv_id, turn_idx).  One shuffle: the global
+    sort that ntile needs — at 100 TB swap in approx percentiles
+    (approxQuantile) as cut points and keep the same output shape."""
+    from pyspark.sql import Window
+
+    m = _matches_with_docs(searcher, query).select(
+        "conv_id", "turn_idx", F.col(col).alias("v")
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("conv_id"), F.asc("turn_idx"))
+    return (
+        m.withColumn("bucket", (F.ntile(n_buckets).over(w) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -215,3 +215,21 @@ def test_facet_sum(spark, tiny_index):
         if r.doc_id in match_ids:
             want[r.role] = want.get(r.role, 0) + r.length * 2
     assert got == want
+
+
+def test_dynamic_range_facets(spark, tiny_index):
+    """Equal-count dynamic ranges: bucket sizes differ by at most 1, cover
+    the whole match set, and bucket bounds are non-overlapping ascending."""
+    from lucene_spark.search import IndexSearcher, TermQuery
+    from lucene_spark.search.facets import dynamic_range_facets
+
+    searcher = IndexSearcher(tiny_index)
+    q = TermQuery("the")
+    rows = dynamic_range_facets(searcher, q, "length", 4).collect()
+    total = searcher.scored(q).select("doc_id").distinct().count()
+    assert sum(r.n for r in rows) == total
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.bucket + 1 == b.bucket
+        assert a.lo <= a.hi <= b.lo <= b.hi
