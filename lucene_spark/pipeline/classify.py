@@ -73,8 +73,11 @@ def naive_bayes_classify(
         .agg(F.count("*").alias("docs_with_class"))
     )
 
+    # zero-token docs still classify: their likelihood sum is 0, so the
+    # score is the prior alone (assignClass iterates an empty token array)
+    # — explode_outer keeps them as a NULL-term row contributing 0.
     test_tokens = test_df.select(
-        *ids, F.explode(_tokens(text_col)).alias("term")
+        *ids, F.explode_outer(_tokens(text_col)).alias("term")
     )
     # token occurrences x class dim (broadcast), hits looked up per class
     per_tok = (
@@ -87,7 +90,12 @@ def naive_bayes_classify(
             (F.col("sum_doc_freq") / F.col("doc_count")) * F.col("cdf")
             + F.col("docs_with_class"),
         )
-        .withColumn("_ll", F.log((F.col("hits") + 1.0) / F.col("_den")))
+        .withColumn(
+            "_ll",
+            F.when(F.col("term").isNull(), F.lit(0.0)).otherwise(
+                F.log((F.col("hits") + 1.0) / F.col("_den"))
+            ),
+        )
     )
     scored = per_tok.groupBy(*ids, "_cls").agg(
         (

@@ -52,3 +52,43 @@ def test_head_term_skew_bounded_chunks(spark):
     b = [(r.rank, r.doc_id, r.score) for r in s.search(q, 10, prune=True).collect()]
     assert a == b
     idx.unpersist_all()
+
+
+def test_round4_ops_edge_cases(spark):
+    """Round-4 operators on degenerate inputs: zero-token docs classify by
+    prior alone; sessionize/pack handle empty and single-row frames."""
+    import math
+
+    from lucene_spark.pipeline.classify import naive_bayes_classify
+    from lucene_spark.pipeline.pack import pack_sequences
+    from lucene_spark.pipeline.sessionize import session_stats, sessionize
+
+    schema = "conv_id string, turn_idx int, role string, text string"
+    train = spark.createDataFrame(
+        [("t1", 0, "en", "alpha beta"), ("t2", 0, "en", "beta gamma"),
+         ("t3", 0, "fr", "delta")],
+        schema,
+    )
+    # zero-token test doc -> prior-only score, max-prior class wins ('en')
+    test = spark.createDataFrame([("x", 0, None, "!!! ???")], schema)
+    rows = naive_bayes_classify(train, test).collect()
+    assert len(rows) == 1
+    assert rows[0].assigned == "en"
+    assert rows[0].log_score == pytest.approx(math.log(2) - math.log(3), rel=1e-9)
+
+    ts_schema = "conv_id string, turn_idx int, ts timestamp"
+    empty = spark.createDataFrame([], ts_schema)
+    assert sessionize(empty).count() == 0
+    assert session_stats(empty).count() == 0
+    from datetime import datetime
+
+    one = spark.createDataFrame([("c", 0, datetime(2024, 1, 1))], ts_schema)
+    r = session_stats(one).collect()
+    assert len(r) == 1 and r[0].n_turns == 1 and r[0].session_idx == 0
+
+    pk_schema = "conv_id string, turn_idx int, n_tokens int"
+    assert pack_sequences(spark.createDataFrame([], pk_schema), cap=10).count() == 0
+    single = pack_sequences(
+        spark.createDataFrame([("c", 0, 999)], pk_schema), cap=10
+    ).collect()
+    assert single[0].bin == 0  # oversized single row owns bin 0
