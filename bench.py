@@ -278,6 +278,31 @@ def main() -> None:
         tq = time.time()
         ts.repetition_scores(docs).agg(SF.sum("dup_line_frac_i")).collect()
         pipeline["t_repetition"] = round(time.time() - tq, 3)
+        # round-4 curation ops (same docs relation, still single-rep)
+        from lucene_spark.pipeline.classify import naive_bayes_classify
+        from lucene_spark.pipeline.pack import pack_stats, with_token_counts
+        from lucene_spark.pipeline.sessionize import session_stats
+
+        tr4 = docs.select(
+            SF.concat(SF.lit("c"), (SF.col("doc_id") / 10).cast("long").cast("string")).alias("conv_id"),
+            (SF.col("doc_id") % 10).cast("int").alias("turn_idx"),
+            SF.col("lang").alias("role"),
+            SF.col("text"),
+            SF.expr(
+                "timestamp'2024-01-01' + make_interval(0,0,0,0, CAST(doc_id % 97 AS INT),0,0)"
+            ).alias("ts"),
+        ).persist()
+        tr4.count()
+        tq = time.time()
+        session_stats(tr4, gap_seconds=3600).agg(SF.sum("n_turns")).collect()
+        pipeline["t_sessionize"] = round(time.time() - tq, 3)
+        tq = time.time()
+        pack_stats(with_token_counts(tr4), cap=60).agg(SF.sum("tokens")).collect()
+        pipeline["t_pack"] = round(time.time() - tq, 3)
+        tq = time.time()
+        naive_bayes_classify(tr4, tr4.filter(SF.col("turn_idx") == 0)).count()
+        pipeline["t_nb_classify"] = round(time.time() - tq, 3)
+        tr4.unpersist()
         pipeline["n_docs"] = n_pipeline_docs
         pipeline["n_dup_pairs"] = n_pairs
         pipeline["n_clustered_docs"] = n_clustered
