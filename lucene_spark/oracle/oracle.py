@@ -280,6 +280,26 @@ class OracleIndex:
             )
         return out
 
+    def term_scores_sweetspot(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        """SweetSpotSimilarity (misc/search/similarity/SweetSpotSimilarity
+        .java) with the engine's configuration: baselineTf(base=1.5, min=2)
+        * (ln((N+1)/(df+1)) + 1)^2 * plateau lengthNorm([6,20], s=0.5)."""
+        postings = self.postings.get(term, {})
+        if not postings:
+            return {}
+        df = len(postings)
+        n_docs = float(self.doc_count)
+        idf2 = (math.log((n_docs + 1.0) / (df + 1.0)) + 1.0) ** 2
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in postings.items():
+            dl = float(LENGTH_TABLE[self.docs[doc_id].norm])
+            tf = 1.5 if freq <= 2.0 else math.sqrt(freq + 1.5 * 1.5 - 2.0)
+            ln = 1.0 / math.sqrt(
+                0.5 * (abs(dl - 6.0) + abs(dl - 20.0) - 14.0) + 1.0
+            )
+            out[doc_id] = np.float32(float(boost) * idf2 * tf * ln)
+        return out
+
     def term_scores_bool(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
         """BooleanSimilarity.java:56-60: score = boost per matching doc."""
         return {
@@ -353,6 +373,11 @@ class OracleIndex:
 
     def search_or_dfi(self, terms: list[str], k: int):
         per_term = [self.term_scores_dfi(t) for t in terms]
+        doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
+        return self._topk(self._sum_scores(per_term, doc_ids), k)
+
+    def search_or_sweetspot(self, terms: list[str], k: int):
+        per_term = [self.term_scores_sweetspot(t) for t in terms]
         doc_ids = set().union(*[set(ts) for ts in per_term]) if per_term else set()
         return self._topk(self._sum_scores(per_term, doc_ids), k)
 

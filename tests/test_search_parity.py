@@ -359,3 +359,11 @@ def test_sweetspot_brute_force(spark, tiny_index):
     # the plateau is flat: any doc with 6 <= dl <= 20 has lengthNorm 1
     inside = [r for r in post if r.term in terms and 6 <= LENGTH_TABLE[r.norm] <= 20]
     assert inside, "corpus should have plateau-length docs"
+
+
+def test_sweetspot_parity(spark, tiny_index, tiny_oracle):
+    """sweetspot_f32 == the oracle transliteration (rank + float32 score
+    identity), completing the per-family f32 parity suite."""
+    _simbase_parity(
+        tiny_index, tiny_oracle, "sweetspot_f32", tiny_oracle.search_or_sweetspot
+    )
