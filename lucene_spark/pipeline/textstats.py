@@ -419,11 +419,14 @@ PII_PATTERNS = (
 )
 
 
-def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", with_text: bool = False
+) -> DataFrame:
     """(doc_id, n_email, n_cc, n_ip, n_phone, redacted_md5) — per-category
     match counts plus an md5 of the fully redacted text (the md5 makes the
     redaction output itself cross-engine checkable without hauling text
-    through the compare)."""
+    through the compare).  ``with_text=True`` appends the redacted text
+    itself (the pipeline-consumption shape)."""
     t = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
@@ -431,7 +434,10 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
         )
         t = F.regexp_replace(t, pat, repl)
-    return docs.select("doc_id", *counts, F.md5(t).alias("redacted_md5"))
+    cols = ["doc_id", *counts, F.md5(t).alias("redacted_md5")]
+    if with_text:
+        cols.append(t.alias("redacted_text"))
+    return docs.select(*cols)
 
 
 def redact_pii_sql(doc_rel: str) -> str:
