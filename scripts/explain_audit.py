@@ -313,6 +313,46 @@ def main():
         ),
     ]
 
+    # second round-4 wave
+    from lucene_spark.pipeline.pack import pack_sequences, with_token_counts
+    from lucene_spark.pipeline.sample import stratified_sample
+
+    sections += [
+        (
+            "Stratified sampling (scan-side hash filter, zero shuffle)",
+            "The md5-keyed keep predicate is a plain Filter directly over "
+            "the scan — no Exchange anywhere in the plan; the per-stratum "
+            "rate lookup folds to a CASE expression.",
+            stratified_sample(
+                docs.select("doc_id", F.lit("en").alias("lang"), "text"),
+                {"en": 0.25},
+                "lang",
+                ["doc_id"],
+            ),
+        ),
+        (
+            "Greedy packing (one group-key shuffle + Arrow scan)",
+            "Exactly ONE Exchange (the conv_id grouping) feeds the "
+            "FlatMapGroupsInPandas; the non-associative reset scan is the "
+            "legitimate applyInPandas case — everything before it is "
+            "codegen'd projection.",
+            pack_sequences(
+                with_token_counts(corpus).select(
+                    "conv_id", "turn_idx", "n_tokens"
+                ),
+                cap=60,
+            ),
+        ),
+        (
+            "Diversified top-k (per-key cap, bounded survivors)",
+            "One Exchange on the key for the per-key window rank; the "
+            "global cut is TakeOrderedAndProject over at most "
+            "max_per_key-per-key survivors — the full match set is never "
+            "globally sorted.",
+            mem_s.search_diversified(orq("spark", "data"), 10, 1),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
