@@ -687,8 +687,45 @@ class IndexSearcher:
         )
 
     # ------------------------------------------------------------------
-    # match-only lowering (for FILTER / MUST_NOT contexts — no scores)
+    # filter cache (LRUQueryCache.java:60 + UsageTrackingQueryCachePolicy
+    # .java:29 analog): the match set of a repeated FILTER / MUST_NOT
+    # operand is persisted (InMemoryRelation ≙ the cached per-segment
+    # bitset) once the same query has been lowered MIN_USES times; bounded
+    # LRU, eviction unpersists.  TermQuery / MatchAll / MatchNo are never
+    # cached (the policy's "cheap queries aren't worth caching" rule).
+    FILTER_CACHE_MAX = 32
+    FILTER_CACHE_MIN_USES = 2
+
+    def _filter_cache_key(self, q: Query):
+        if isinstance(q, (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery)):
+            return None
+        try:
+            hash(q)
+        except TypeError:
+            return None
+        return q
+
     def _matches(self, q: Query) -> DataFrame:
+        key = self._filter_cache_key(q)
+        if key is None:
+            return self._matches_impl(q)
+        cache = self.__dict__.setdefault("_filter_cache", {})
+        uses = self.__dict__.setdefault("_filter_uses", {})
+        if key in cache:
+            df = cache.pop(key)
+            cache[key] = df  # LRU touch (dict preserves insertion order)
+            return df
+        uses[key] = uses.get(key, 0) + 1
+        df = self._matches_impl(q)
+        if uses[key] >= self.FILTER_CACHE_MIN_USES:
+            df = df.persist()
+            cache[key] = df
+            if len(cache) > self.FILTER_CACHE_MAX:
+                oldest = next(iter(cache))
+                cache.pop(oldest).unpersist()
+        return df
+
+    def _matches_impl(self, q: Query) -> DataFrame:
         """DataFrame(doc_id) of matching docs (non-scoring).
 
         Term-shaped operands lower to a postings scan → distinct doc_id

@@ -305,3 +305,53 @@ def test_function_score_query(env):
     # match-only lowering never computes the function
     mset = {r.doc_id for r in searcher._matches(q).collect()}
     assert mset == set(base)
+
+
+def test_filter_cache_lru(env):
+    """LRUQueryCache analog: a repeated FILTER operand's match set is
+    persisted after MIN_USES lowerings (InMemoryTableScan in the plan),
+    results are identical cached vs uncached, cheap queries are never
+    cached, and LRU eviction unpersists."""
+    searcher, by_term, docs = env
+    q = BooleanQuery.of(
+        (TermQuery("model"), Occur.SHOULD), (TermQuery("data"), Occur.SHOULD)
+    )
+    fresh = {r.doc_id for r in searcher._matches_impl(q).collect()}
+
+    searcher.__dict__.pop("_filter_cache", None)
+    searcher.__dict__.pop("_filter_uses", None)
+    first = searcher._matches(q)
+    assert q not in searcher.__dict__.get("_filter_cache", {})  # 1 use: not yet
+    second = searcher._matches(q)
+    assert q in searcher._filter_cache  # 2nd use: cached + persisted
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    third = searcher._matches(q)
+    plan3 = third._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan3
+    assert {r.doc_id for r in third.collect()} == fresh
+    assert {r.doc_id for r in first.collect()} == fresh
+
+    # TermQuery is never cached (cheap-query policy)
+    tq = TermQuery("model")
+    searcher._matches(tq); searcher._matches(tq); searcher._matches(tq)
+    assert tq not in searcher._filter_cache
+
+    # LRU eviction unpersists the oldest entry
+    old_max = searcher.FILTER_CACHE_MAX
+    try:
+        searcher.FILTER_CACHE_MAX = 1
+        q2 = BooleanQuery.of(
+            (TermQuery("the"), Occur.SHOULD), (TermQuery("spark"), Occur.SHOULD)
+        )
+        searcher._matches(q2)
+        cached_q = searcher._filter_cache[q]
+        searcher._matches(q2)  # second use -> caches q2, evicts q
+        assert q not in searcher._filter_cache
+        assert q2 in searcher._filter_cache
+        assert cached_q.storageLevel.useMemory is False  # unpersisted
+    finally:
+        searcher.FILTER_CACHE_MAX = old_max
+        for df in searcher.__dict__.get("_filter_cache", {}).values():
+            df.unpersist()
+        searcher.__dict__.pop("_filter_cache", None)
+        searcher.__dict__.pop("_filter_uses", None)
