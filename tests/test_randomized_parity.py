@@ -84,3 +84,61 @@ def test_randomized_corpus_parity(spark, seed):
         for r in searcher.search(q, 10, prune=True).collect()
     ]
     idx.unpersist_all()
+
+
+@pytest.mark.parametrize("seed", [11, 97])
+def test_randomized_pack_parity(spark, seed):
+    """Greedy packing == the sequential python reference on random
+    length sequences and random caps (exact reset semantics)."""
+    from lucene_spark.pipeline.pack import pack_sequences
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(8):
+        for t in range(rng.randint(1, 25)):
+            rows.append((f"c{c}", t, rng.randint(0, 40)))
+    cap = rng.randint(5, 60)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens int")
+    got = {
+        (r.conv_id, r.turn_idx): r.bin
+        for r in pack_sequences(df, cap=cap).collect()
+    }
+    by_conv = {}
+    for c, t, n in rows:
+        by_conv.setdefault(c, []).append((t, n))
+    for c, turns in by_conv.items():
+        running, b = 0, 0
+        for t, n in sorted(turns):
+            if running > 0 and running + n > cap:
+                b, running = b + 1, n
+            else:
+                running += n
+            assert got[(c, t)] == b, (seed, cap, c, t)
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_randomized_diversified_parity(spark, tiny_index, seed):
+    """search_diversified == brute force for random caps and random
+    vocabulary-derived OR queries."""
+    from lucene_spark.search import IndexSearcher
+
+    searcher = IndexSearcher(tiny_index)
+    vocab = sorted(
+        {r.term for r in tiny_index.term_stats.limit(500).collect()}
+    )
+    rng = random.Random(seed)
+    terms = rng.sample(vocab, min(3, len(vocab)))
+    q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+    scored = {r.doc_id: r.score for r in searcher._scored(q).collect()}
+    if not scored:
+        pytest.skip("random terms matched nothing")
+    keys = {r.doc_id: r.conv_id for r in tiny_index.docs.collect()}
+    m = rng.randint(1, 3)
+    k = rng.randint(3, 12)
+    got = [r.doc_id for r in searcher.search_diversified(q, k, m).collect()]
+    by_key = {}
+    for d in sorted(scored, key=lambda d: (-scored[d], d)):
+        by_key.setdefault(keys[d], []).append(d)
+    surv = [d for ds in by_key.values() for d in ds[:m]]
+    want = sorted(surv, key=lambda d: (-scored[d], d))[:k]
+    assert got == want, (seed, m, k)
