@@ -139,6 +139,37 @@ def commit_snapshot(
     exact point-in-time state — time travel — because no generation ever
     rewrites another's files.
     """
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "write.lock")
+    try:
+        # single-writer guard ≙ IndexWriter's write.lock
+        # (core/store/NativeFSLockFactory.java:46): O_EXCL create fails if
+        # another writer holds the table; released after the pointer swap.
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise LockObtainFailedError(
+            f"write.lock held on {path} — another writer is committing"
+        ) from None
+    try:
+        return _commit_snapshot_locked(
+            idx, path, n_buckets, chunk_bits, term_vectors
+        )
+    finally:
+        os.remove(lock)
+
+
+class LockObtainFailedError(RuntimeError):
+    """≙ org.apache.lucene.store.LockObtainFailedException."""
+
+
+def _commit_snapshot_locked(
+    idx: InvertedIndex,
+    path: str,
+    n_buckets: int,
+    chunk_bits: int | None,
+    term_vectors: bool,
+) -> int:
     meta = _table_meta(path)
     snapshot_id = int(meta.get("latest", 0)) + 1
     data_dir = f"gen-{snapshot_id}"

@@ -161,3 +161,54 @@ def test_scored_percolation_nonmatching_absent(spark):
     mon = Monitor({"q": TermQuery("absent")})
     docs = spark.createDataFrame([(1, "present words only")], "doc_id long, text string")
     assert mon.match_batch(docs, scored=True).collect() == []
+
+
+def test_streaming_percolation(spark, tmp_path_factory):
+    """Monitor over a real readStream (foreachBatch = the percolation
+    alerting shape): per-micro-batch match_batch output accumulated
+    across batches equals one batch-mode pass over the full input."""
+    from lucene_spark.search import BooleanQuery, Occur, PhraseQuery, TermQuery
+    from lucene_spark.streaming.monitor import Monitor
+
+    root = tmp_path_factory.mktemp("sperc")
+    src = str(root / "in")
+    rows_a = [(1, "the spark model trains"), (2, "slow legacy table scan")]
+    rows_b = [(3, "spark query planner"), (4, "data model registry"),
+              (5, "the spark model")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(src + "/b")
+
+    mon = Monitor({
+        "q_spark": TermQuery("spark"),
+        "q_bool": BooleanQuery.of(
+            (TermQuery("model"), Occur.MUST), (TermQuery("legacy"), Occur.MUST_NOT)
+        ),
+        "q_phrase": PhraseQuery(("spark", "model")),
+    })
+
+    got = []
+
+    def per_batch(batch_df, _bid):
+        got.extend(
+            (r.doc_id, r.query_id) for r in mon.match_batch(batch_df).collect()
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(rows_a + rows_b, schema)
+    want = {(r.doc_id, r.query_id) for r in mon.match_batch(full).collect()}
+    assert set(got) == want
+    assert (1, "q_phrase") in want and (5, "q_phrase") in want
+    assert (3, "q_spark") in want and (4, "q_bool") in want

@@ -216,3 +216,26 @@ def test_snapshot_time_travel(spark, tiny_index, tmp_path_factory):
     with pytest.raises(FileNotFoundError):
         load_index(spark, path, snapshot_id=sid1)
     assert _topk(IndexSearcher(load_index(spark, path)), q) == _topk(latest, q)
+
+
+def test_snapshot_write_lock(spark, tiny_index, tmp_path_factory):
+    """Single-writer commit guard: a held write.lock fails fast with
+    LockObtainFailedError; the lock is released after a successful commit
+    (and after a failed attempt never leaks)."""
+    import os
+
+    from lucene_spark.index.store import LockObtainFailedError, commit_snapshot
+
+    path = str(tmp_path_factory.mktemp("idx") / "locked")
+    sid = commit_snapshot(tiny_index, path, n_buckets=4, chunk_bits=5)
+    assert sid == 1
+    assert not os.path.exists(os.path.join(path, "write.lock"))
+
+    # simulate another writer holding the lock
+    open(os.path.join(path, "write.lock"), "w").close()
+    with pytest.raises(LockObtainFailedError):
+        commit_snapshot(tiny_index, path, n_buckets=4, chunk_bits=5)
+    os.remove(os.path.join(path, "write.lock"))
+
+    assert commit_snapshot(tiny_index, path, n_buckets=4, chunk_bits=5) == 2
+    assert not os.path.exists(os.path.join(path, "write.lock"))
