@@ -297,3 +297,22 @@ class IncrementalIndexer:
         out = os.path.join(self.dir, "index")
         save_index(idx, out, n_buckets=n_buckets, chunk_bits=chunk_bits)
         return load_index(spark, out)
+
+    # -- commit generation (NRT + time travel) ---------------------------
+    def commit_generation(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        n_buckets: int = DEFAULT_BUCKETS,
+        chunk_bits=None,
+    ) -> int:
+        """Snapshot the CURRENT merged view of the incremental index as an
+        immutable commit generation (store.commit_snapshot) and return its
+        snapshot id — ``IndexWriter.commit()`` with a SnapshotDeletionPolicy
+        on the NRT writer: readers opened on earlier generations keep the
+        exact corpus state as of that commit while ingestion continues."""
+        from lucene_spark.index.store import commit_snapshot
+
+        out = path or os.path.join(self.dir, "table")
+        idx = self.open_index(spark)
+        return commit_snapshot(idx, out, n_buckets=n_buckets, chunk_bits=chunk_bits)

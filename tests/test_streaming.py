@@ -274,3 +274,37 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
     # c2's t(6) session horizon is past the final watermark -> still open,
     # withheld (c1/c3's open sessions MAY flush via the event-time timeout)
     assert ("c2", int(t(6).timestamp())) not in got
+
+
+def test_incremental_commit_generations(spark, tmp_path_factory):
+    """NRT + time travel: snapshot generations committed mid-ingest keep
+    their exact corpus state; the latest pointer tracks new batches."""
+    from lucene_spark.fixtures import generate_transcripts, transcripts_df
+    from lucene_spark.index.store import load_index
+    from lucene_spark.search import IndexSearcher, TermQuery
+    from lucene_spark.streaming.incremental import IncrementalIndexer
+
+    root = tmp_path_factory.mktemp("nrt_snap")
+    inc = IncrementalIndexer(str(root / "inc"))
+    rows = generate_transcripts(n_convs=12, seed=99)
+    df = transcripts_df(spark, rows=rows)
+    half = df.filter(F.col("conv_id") < "conv000006")
+    rest = df.filter(F.col("conv_id") >= "conv000006")
+
+    inc.process_batch(half, 0)
+    table = str(root / "table")
+    sid1 = inc.commit_generation(spark, table)
+    n1 = load_index(spark, table, snapshot_id=sid1).docs.count()
+    assert n1 == half.count()
+
+    inc.process_batch(rest, 1)
+    sid2 = inc.commit_generation(spark, table)
+    assert (sid1, sid2) == (1, 2)
+
+    old = load_index(spark, table, snapshot_id=sid1)
+    latest = load_index(spark, table)
+    assert old.docs.count() == n1
+    assert latest.docs.count() == df.count()
+    # the old generation scores with its own (smaller-corpus) statistics
+    a = IndexSearcher(old).search(TermQuery("model"), 5).collect()
+    assert all(r.conv_id < "conv000006" for r in a)
