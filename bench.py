@@ -151,21 +151,24 @@ def main() -> None:
     # broadcast, plan compilation) once, so the FIRST timed query measures
     # the query, not session warm-up
     searcher.search(TermQuery("data"), 10).collect()
-    qtimes: dict[str, float] = {}
-    qspread: dict[str, list[float]] = {}
+    # reps are INTERLEAVED round-robin across queries (rep 1 of every
+    # query, then rep 2, ...): a multi-second host stall is bursty in
+    # time, so back-to-back reps of one query could all land inside it
+    # and poison that query's min while its neighbors read clean —
+    # interleaving spreads each query's reps across the wall clock.
+    allreps: dict[str, list[float]] = {name: [] for name in bench_queries}
     topk_rows = 0
-    for name, q in bench_queries.items():
-        reps = []
-        for i in range(n_reps):
-            if i > 0 and time.time() - t0 > budget:
-                break
+    for i in range(n_reps):
+        if i > 0 and time.time() - t0 > budget:
+            break
+        for name, q in bench_queries.items():
             tq = time.time()
             rows = searcher.search(q, 10).collect()
-            reps.append(round(time.time() - tq, 4))
+            allreps[name].append(round(time.time() - tq, 4))
             if i == 0:
                 topk_rows += len(rows)
-        qtimes[name] = min(reps)
-        qspread[name] = [min(reps), max(reps)]
+    qtimes = {name: min(reps) for name, reps in allreps.items()}
+    qspread = {name: [min(reps), max(reps)] for name, reps in allreps.items()}
 
     # ---- ANN quality: recall@10 vs brute-force cosine on the sf-dir
     # embeddings (IVF = the headline sim_topk_ann path; LSH multi-probe
