@@ -4563,6 +4563,71 @@ FROM b GROUP BY bucket ORDER BY bucket"""
     )
 
 
+def _q_combined_field(terms, k: int):
+    """CombinedFieldQuery / BM25F surface (sandbox/search/
+    CombinedFieldQuery.java:78): text + weighted keyword columns scored as
+    one pseudo-field (role w=2, tool w=1) — a doc whose role column equals
+    a query term gets that weight added to its term frequency, with the
+    pseudo-field's own df'/dl'/avgdl' statistics."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import CombinedFieldQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = CombinedFieldQuery(terms, fields=(("role", 2.0), ("tool", 1.0)))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _combined_field_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in terms)
+    tin = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+tlist(qterm) AS (VALUES {tlist}),
+kw AS (
+  SELECT t.qterm AS term, tr.conv_id, tr.turn_idx,
+         (CASE WHEN tr.role = t.qterm THEN 2.0 ELSE 0.0 END
+        + CASE WHEN tr.tool = t.qterm THEN 1.0 ELSE 0.0 END) AS f
+  FROM tr CROSS JOIN tlist t
+),
+tfall AS (
+  SELECT term, conv_id, turn_idx, CAST(freq AS DOUBLE) AS f
+  FROM tf WHERE term IN ({tin})
+  UNION ALL
+  SELECT term, conv_id, turn_idx, f FROM kw WHERE f > 0
+),
+fp AS (
+  SELECT term, conv_id, turn_idx, SUM(f) AS fp FROM tfall GROUP BY 1, 2, 3
+),
+dfp AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfp FROM fp GROUP BY 1),
+md AS (SELECT CAST(count(*) AS DOUBLE) AS max_doc FROM tr),
+scored AS (
+  SELECT fp.conv_id, fp.turn_idx,
+         SUM(
+           ln(1.0 + (stats.doc_count - dfp.dfp + 0.5) / (dfp.dfp + 0.5))
+           * fp.fp
+           / (fp.fp + 1.2 * (0.25 + 0.75 * (dl.dl + 3.0)
+              / ((CAST(stats.sttf AS DOUBLE) + 3.0 * md.max_doc) / stats.doc_count)))
+         ) AS score
+  FROM fp
+  JOIN dfp USING (term)
+  JOIN dl USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  CROSS JOIN md
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4598,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jm_topk": _q_simbase(["spark", "query", "data"], 10, "lm_jm_f64"),
         "sweetspot_topk": _q_simbase(["spark", "query", "data"], 10, "sweetspot_f64"),
         "dynamic_range_facets": _q_dynamic_range("length", 4),
+        "combined_field_topk": _q_combined_field(["spark", "de"], 10),
         "dfr_topk": _q_simbase(["spark", "query", "data"], 10, "dfr_f64"),
         "ib_topk": _q_simbase(["spark", "query", "data"], 10, "ib_f64"),
         "ib_spl_topk": _q_simbase(["spark", "query", "data"], 10, "ib_spl_f64"),
@@ -4725,6 +4791,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_jm_topk": _lm_jm_sql(["spark", "query", "data"], 10),
         "sweetspot_topk": _sweetspot_sql(["spark", "query", "data"], 10),
         "dynamic_range_facets": _dynamic_range_sql(4),
+        "combined_field_topk": _combined_field_sql(["spark", "de"], 10),
         "dfr_topk": _dfr_sql(["spark", "query", "data"], 10),
         "ib_topk": _ib_sql(["spark", "query", "data"], 10),
         "ib_spl_topk": _ib_spl_sql(["spark", "query", "data"], 10),

@@ -184,6 +184,39 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F over a pseudo-field merging the analyzed text with weighted
+    keyword doc columns — sandbox/search/CombinedFieldQuery.java:78 (which
+    scores "as if all terms had been indexed in a single combined field"
+    with per-field weights).  Here the combined statistics are defined
+    exactly (and the DuckDB twin reproduces them):
+
+      freq'(d,t) = freq_text(d,t) + Σ_f w_f * [doccol_f(d) = t]
+      dl'(d)     = length(d) + Σ_f w_f          (each keyword column
+                                                 contributes one token)
+      df'(t)     = #docs with freq'(d,t) > 0
+      sttf'      = sumTotalTermFreq_text + Σ_f w_f * maxDoc
+      score      = Σ_t BM25_f64(freq', df', dl', avgdl' = sttf'/docCount)
+
+    ``fields`` pairs keyword column names with weights; multi-term queries
+    sum per-term scores (SHOULD semantics, like the reference's rewrite).
+    Norms for the pseudo-field are exact (no byte4 quantization): the
+    columnar substrate stores plain values, so nothing forces the
+    8-bit norm loss here."""
+
+    terms: tuple
+    fields: tuple = (("role", 1.0), ("tool", 1.0))
+    boost: float = 1.0
+
+    def __init__(self, terms, fields=(("role", 1.0), ("tool", 1.0)), boost=1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(
+            self, "fields", tuple((str(c), float(w)) for c, w in fields)
+        )
+        object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
 class BlendedTermQuery(Query):
     """core/search/BlendedTermQuery.java:281-315 — several related terms
     scored as if they shared statistics: every term's docFreq is replaced

@@ -1029,11 +1029,78 @@ class IndexSearcher:
             return self._scored_dismax(q)
         if isinstance(q, KnnVectorQuery):
             return self._scored_knn(q)
-        from lucene_spark.search.query import FunctionScoreQuery
+        from lucene_spark.search.query import CombinedFieldQuery, FunctionScoreQuery
 
         if isinstance(q, FunctionScoreQuery):
             return self._scored_function(q)
+        if isinstance(q, CombinedFieldQuery):
+            return self._scored_combined(q)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _scored_combined(self, q) -> DataFrame:
+        """BM25F pseudo-field scoring (CombinedFieldQuery docstring defines
+        the exact statistics).  Plan shape: text postings for the terms
+        UNION the keyword-indicator relation (docs × broadcast term list,
+        filtered to hits), one hash agg for freq', one tiny per-term stats
+        agg broadcast back, BM25 algebra in codegen — the per-term df'
+        never leaves the cluster."""
+        idx = self.index
+        terms = list(dict.fromkeys(q.terms))
+        if not terms:
+            return self._empty_scored()
+        n_docs = float(self.doc_count)
+        max_doc = float(idx.stats["max_doc"])
+        wsum = sum(w for _, w in q.fields)
+        sttf = float(idx.stats["sum_total_term_freq"]) + wsum * max_doc
+        avgdl = sttf / n_docs
+        k1, b = float(self.k1), float(self.b)
+
+        tf = idx.postings_for_terms(terms).select(
+            "term", "doc_id", F.col("freq").cast("double").alias("_f")
+        )
+        tlit = F.array(*[F.lit(t) for t in terms])
+        kwfreq = None
+        for col, w in q.fields:
+            piece = F.when(F.col(col) == F.col("term"), F.lit(float(w))).otherwise(
+                F.lit(0.0)
+            )
+            kwfreq = piece if kwfreq is None else kwfreq + piece
+        kw = (
+            idx.docs.select("doc_id", *[c for c, _ in q.fields])
+            .select("doc_id", F.explode(tlit).alias("term"), kwfreq.alias("_f"))
+            .filter(F.col("_f") > 0)
+            .select("term", "doc_id", "_f")
+        )
+        fprime = (
+            tf.unionByName(kw)
+            .groupBy("term", "doc_id")
+            .agg(F.sum("_f").alias("_fp"))
+        )
+        stats = fprime.groupBy("term").agg(F.count("*").cast("double").alias("_dfp"))
+        dlp = idx.docs.select(
+            "doc_id", (F.col("length") + F.lit(wsum)).cast("double").alias("_dlp")
+        )
+        joined = fprime.join(F.broadcast(stats), "term").join(dlp, "doc_id")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("_dfp") + F.lit(0.5))
+            / (F.col("_dfp") + F.lit(0.5))
+        )
+        per_term = (
+            F.lit(float(q.boost))
+            * idf
+            * F.col("_fp")
+            / (
+                F.col("_fp")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dlp") / F.lit(avgdl))
+            )
+        )
+        return (
+            joined.withColumn("_s", per_term)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").cast(self.score_type).alias("score"))
+        )
 
     def _scored_function(self, q) -> DataFrame:
         """FunctionScoreQuery.java:128-160 — each inner match is rescored

@@ -355,3 +355,45 @@ def test_filter_cache_lru(env):
             df.unpersist()
         searcher.__dict__.pop("_filter_cache", None)
         searcher.__dict__.pop("_filter_uses", None)
+
+
+def test_combined_field_query(env):
+    """CombinedFieldQuery (BM25F pseudo-field): brute-force parity on the
+    documented statistics — keyword-column hits add their weight to the
+    term frequency, df'/dl'/avgdl' are the pseudo-field's own."""
+    import math
+
+    from lucene_spark.search import CombinedFieldQuery
+
+    searcher, by_term, docs = env
+    idx = searcher.index
+    roles = sorted({r.role for r in docs.values()})
+    terms = ["model", roles[0]]
+    q = CombinedFieldQuery(terms, fields=(("role", 2.0), ("tool", 1.0)))
+    got = {r.doc_id: r.score for r in searcher._scored(q).collect()}
+
+    n = float(searcher.doc_count)
+    max_doc = float(idx.stats["max_doc"])
+    wsum = 3.0
+    avgdl = (idx.stats["sum_total_term_freq"] + wsum * max_doc) / n
+    k1, b = 1.2, 0.75
+    fp = {}
+    for t in terms:
+        for d, r in docs.items():
+            f = float(by_term.get(t, {}).get(d, 0))
+            f += 2.0 * (r.role == t) + 1.0 * (r.tool == t)
+            if f > 0:
+                fp[(t, d)] = f
+    dfp = {t: sum(1 for (tt, _) in fp if tt == t) for t in terms}
+    want = {}
+    for (t, d), f in fp.items():
+        idf = math.log(1.0 + (n - dfp[t] + 0.5) / (dfp[t] + 0.5))
+        dl = docs[d].length + wsum
+        s = idf * f / (f + k1 * ((1 - b) + b * dl / avgdl))
+        want[d] = want.get(d, 0.0) + s
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+    # the keyword-only matches really are reachable (role term w/o text hit)
+    kw_only = [d for d in want if (terms[1], d) in fp and terms[1] not in by_term]
+    assert kw_only or terms[1] in by_term
