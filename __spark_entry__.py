@@ -4628,6 +4628,40 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_add_indexes_topk(term: str, k: int):
+    """addIndexes / IndexMergeTool gate (core/index/IndexWriter.java:3108,
+    misc/index/IndexMergeTool.java:28): two independently built+saved
+    corpus halves merged into one store must score identically to the
+    one-shot build (global statistics recomputed, doc ids remapped), so
+    the plain SQL twin applies verbatim."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.index.store import add_indexes, load_index, save_index
+        from lucene_spark.search import IndexSearcher, TermQuery
+
+        key = ("add_indexes", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="lucene_spark_addidx_")
+            tr = _transcripts_df(spark, sf_dir)
+            mid = tr.select(F.max("conv_id")).collect()[0][0]
+            cut = "conv" + str(int(mid[4:]) // 2).zfill(6)
+            a = IndexBuilder(num_segments=4).build(tr.filter(F.col("conv_id") < cut))
+            b = IndexBuilder(num_segments=4).build(tr.filter(F.col("conv_id") >= cut))
+            save_index(a, f"{d}/a")
+            save_index(b, f"{d}/b")
+            add_indexes(spark, [f"{d}/a", f"{d}/b"], f"{d}/merged")
+            _CACHE[key] = IndexSearcher(
+                load_index(spark, f"{d}/merged"), scoring="plain_f64"
+            )
+        searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(term), k)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -4698,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nrt_bm25_topk": _q_nrt_topk("query", 10),
         "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
+        "add_indexes_topk": _q_add_indexes_topk("merge", 10),
         "function_score_topk": _q_function_score(["spark", "query"], 10),
         "sessionize_turns": _q_sessionize(3600),
         "nb_classify_role": _q_nb_classify(),
@@ -4826,6 +4861,7 @@ def oracle_sql() -> dict[str, str]:
         "nrt_bm25_topk": _topk_sql(["query"], 10),
         "store_roundtrip_topk": _topk_sql(["merge"], 10),
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
+        "add_indexes_topk": _topk_sql(["merge"], 10),
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
         "sessionize_turns": _sessionize_sql(3600),
         "nb_classify_role": _nb_classify_sql(),

@@ -298,3 +298,72 @@ def load_index(
         idx.term_vectors = spark.read.parquet(os.path.join(data, "tvecs"))
     idx.prefer_packed = True
     return idx
+
+
+def add_indexes(
+    spark: SparkSession,
+    paths: list,
+    out_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_bits: int | None = None,
+) -> None:
+    """Merge independently built stored indexes into one —
+    ``IndexWriter.addIndexes(Directory...)`` (core/index/IndexWriter.java:3108)
+    / the misc IndexMergeTool (misc/index/IndexMergeTool.java:28).
+
+    Doc ids from each source are shifted by the running offset (DocIDMerger
+    remap, core/index/DocIDMerger.java), postings follow their docs,
+    term_stats and collection stats are recomputed over the union — so the
+    merged index scores with GLOBAL statistics, exactly as if the corpora
+    had been indexed together.  Plan shape: per-source projections + one
+    union; the only aggregates are the term_stats/doc-stats rebuilds the
+    one-shot builder runs anyway."""
+    from dataclasses import replace as _replace
+
+    from lucene_spark.index.builder import InvertedIndex
+
+    srcs = [load_index(spark, p) for p in paths]
+    offset = 0
+    docs_parts, post_parts = [], []
+    for idx in srcs:
+        hi = idx.docs.agg(F.max("doc_id")).collect()[0][0]
+        docs_parts.append(
+            idx.docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        )
+        post_parts.append(
+            idx.postings.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+        )
+        offset += int(hi) + 1
+
+    docs = docs_parts[0]
+    postings = post_parts[0]
+    for d, p in zip(docs_parts[1:], post_parts[1:]):
+        docs = docs.unionByName(d)
+        postings = postings.unionByName(p)
+
+    term_stats = postings.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("freq").alias("total_term_freq"),
+        F.max("freq").alias("max_freq"),
+        F.min("norm").alias("min_norm"),
+    )
+    srow = docs.agg(
+        F.count("*").alias("max_doc"),
+        F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum("length").alias("sttf"),
+    ).collect()[0]
+    merged = InvertedIndex(
+        spark=spark,
+        docs=docs,
+        postings=postings,
+        term_stats=term_stats,
+        stats={
+            "max_doc": int(srow.max_doc or 0),
+            "doc_count": int(srow.doc_count or 0),
+            "sum_total_term_freq": int(srow.sttf or 0),
+        },
+        k1=srcs[0].k1,
+        b=srcs[0].b,
+    )
+    merged.analyzer = srcs[0].analyzer
+    save_index(merged, out_path, n_buckets=n_buckets, chunk_bits=chunk_bits)

@@ -239,3 +239,31 @@ def test_snapshot_write_lock(spark, tiny_index, tmp_path_factory):
 
     assert commit_snapshot(tiny_index, path, n_buckets=4, chunk_bits=5) == 2
     assert not os.path.exists(os.path.join(path, "write.lock"))
+
+
+def test_add_indexes_merges_stores(spark, tiny_corpus, tiny_index, tmp_path_factory):
+    """addIndexes / IndexMergeTool: two independently built+saved halves
+    merged into one store score identically to the one-shot build (global
+    statistics recomputed, doc ids remapped by offset)."""
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.index.store import add_indexes
+
+    root = tmp_path_factory.mktemp("addidx")
+    df = transcripts_df(spark, rows=tiny_corpus)
+    convs = sorted({r["conv_id"] for r in tiny_corpus})
+    cut = convs[len(convs) // 2]
+    a = IndexBuilder(num_segments=2).build(df.filter(F.col("conv_id") < cut))
+    b = IndexBuilder(num_segments=2).build(df.filter(F.col("conv_id") >= cut))
+    pa, pb, out = str(root / "a"), str(root / "b"), str(root / "merged")
+    save_index(a, pa, n_buckets=4, chunk_bits=5)
+    save_index(b, pb, n_buckets=4, chunk_bits=5)
+
+    add_indexes(spark, [pa, pb], out, n_buckets=4, chunk_bits=5)
+    merged = load_index(spark, out)
+    assert merged.stats == tiny_index.stats
+
+    got = IndexSearcher(merged)
+    want = IndexSearcher(tiny_index)
+    for q in [TermQuery("model"), _or("the", "spark", "query"), PhraseQuery(("the", "model"))]:
+        assert _topk(got, q) == _topk(want, q)
