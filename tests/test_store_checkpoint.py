@@ -267,3 +267,40 @@ def test_add_indexes_merges_stores(spark, tiny_corpus, tiny_index, tmp_path_fact
     want = IndexSearcher(tiny_index)
     for q in [TermQuery("model"), _or("the", "spark", "query"), PhraseQuery(("the", "model"))]:
         assert _topk(got, q) == _topk(want, q)
+
+
+def test_check_index(spark, tiny_index, tmp_path_factory):
+    """CheckIndex analog: a healthy store passes every invariant; injected
+    corruption (a term_stats row tampered) is detected."""
+    import json as _json
+
+    from lucene_spark.index.check import check_index
+
+    root = tmp_path_factory.mktemp("chk")
+    path = str(root / "store")
+    save_index(tiny_index, path, n_buckets=4, chunk_bits=5)
+    rep = check_index(spark, path)
+    assert rep["clean"], rep
+
+    # corrupt: rewrite one term_stats parquet partition with doubled df
+    ts = spark.read.parquet(f"{path}/term_stats")
+    bad = ts.withColumn(
+        "doc_freq",
+        F.when(F.col("term") == "model", F.col("doc_freq") * 2).otherwise(
+            F.col("doc_freq")
+        ),
+    )
+    bad.write.mode("overwrite").parquet(f"{path}/term_stats_bad")
+    import shutil
+
+    shutil.rmtree(f"{path}/term_stats")
+    shutil.move(f"{path}/term_stats_bad", f"{path}/term_stats")
+    rep2 = check_index(spark, path)
+    assert not rep2["clean"]
+    assert not rep2["checks"]["term_stats_match_postings"]["ok"]
+    assert all(
+        rep2["checks"][k]["ok"]
+        for k in rep2["checks"]
+        if k != "term_stats_match_postings"
+    )
+    _json.dumps(rep2)  # report is JSON-serializable
