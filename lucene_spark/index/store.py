@@ -318,8 +318,6 @@ def add_indexes(
     had been indexed together.  Plan shape: per-source projections + one
     union; the only aggregates are the term_stats/doc-stats rebuilds the
     one-shot builder runs anyway."""
-    from dataclasses import replace as _replace
-
     from lucene_spark.index.builder import InvertedIndex
 
     srcs = [load_index(spark, p) for p in paths]
