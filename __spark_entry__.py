@@ -4667,7 +4667,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
 
 
+# Driver-certification rotation (SURVEY.md §11): the correctness driver
+# samples the FIRST 50 entries of queries() per round, so dict order is the
+# certification schedule.  Policy: (a) gates with no driver row in ANY round
+# come first, (b) then gates new this round, (c) the remaining slots are
+# regression canaries — the highest-risk previously-certified gates.  As of
+# round 5 the 23 head entries are the full never-certified backlog from
+# VERDICT r4; once they land, every registered gate has a driver row.
+_GATE_PRIORITY = [
+    # (a) never driver-certified (23, VERDICT r4 "What's wrong #1")
+    "multi_phrase_slop_topk",
+    "time_travel_topk",
+    "add_indexes_topk",
+    "function_score_topk",
+    "sessionize_turns",
+    "nb_classify_role",
+    "dv_update_facets",
+    "word_break_suggest",
+    "facet_sum_length",
+    "diversified_topk",
+    "stratified_sample",
+    "pack_sequences",
+    "spell_correct",
+    "phonetic_match",
+    "turns_of_matching_convs",
+    "dedup_clusters",
+    "taxonomy_facets",
+    "taxonomy_children",
+    "dedup_ngram_jaccard",
+    "boilerplate_removal",
+    "pii_redaction",
+    "decontamination",
+    "text_repetition",
+    # (b) new in round 5
+    "intervals_not_containing_topk",
+    "intervals_before_topk",
+    "bm25_topk_kstem",
+    "nrt_generation_topk",
+    "hybrid_calibrated_topk",
+    # (c) regression canaries (fill to 50)
+    "term_vector_doc",
+    "bm25_topk_term",
+    "bm25_topk_english",
+    "bm25_topk_french",
+    "bm25_topk_german",
+    "bm25_topk_spanish",
+    "bm25_topk_italian",
+    "bm25_topk_portuguese",
+    "bm25_topk_cjk",
+    "knn_topk",
+    "knn_filtered_topk",
+    "hybrid_bm25_knn_topk",
+    "combined_field_topk",
+    "synonym_index_time_topk",
+    "explain_bm25_doc",
+    "bm25_topk_after_delete",
+    "bm25_phrase",
+    "bm25_phrase_slop",
+    "bm25_topk_or",
+    "bm25_topk_and",
+    "bm25_topk_not",
+    "parser_field_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_unordered()
+    ordered = {k: base.pop(k) for k in _GATE_PRIORITY if k in base}
+    ordered.update(base)
+    return ordered
+
+
+def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_term": _q_topk(["spark"], 10),
         "parser_field_topk": _q_parser_field("+spark +role:de", 10),

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import zlib
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -140,11 +141,25 @@ def commit_snapshot(
     rewrites another's files.
     """
     os.makedirs(path, exist_ok=True)
+    with _write_lock(path):
+        return _commit_snapshot_locked(
+            idx, path, n_buckets, chunk_bits, term_vectors
+        )
+
+
+class LockObtainFailedError(RuntimeError):
+    """≙ org.apache.lucene.store.LockObtainFailedException."""
+
+
+@contextmanager
+def _write_lock(path: str):
+    """Single-writer guard ≙ IndexWriter's write.lock
+    (core/store/NativeFSLockFactory.java:46): O_EXCL create fails if
+    another writer holds the table; released after the pointer swap.
+    Held by every table-metadata mutation (commit_snapshot AND
+    expire_snapshots) so read-modify-writes of commit.json never race."""
     lock = os.path.join(path, "write.lock")
     try:
-        # single-writer guard ≙ IndexWriter's write.lock
-        # (core/store/NativeFSLockFactory.java:46): O_EXCL create fails if
-        # another writer holds the table; released after the pointer swap.
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
     except FileExistsError:
@@ -152,15 +167,23 @@ def commit_snapshot(
             f"write.lock held on {path} — another writer is committing"
         ) from None
     try:
-        return _commit_snapshot_locked(
-            idx, path, n_buckets, chunk_bits, term_vectors
-        )
+        yield
     finally:
         os.remove(lock)
 
 
-class LockObtainFailedError(RuntimeError):
-    """≙ org.apache.lucene.store.LockObtainFailedException."""
+def _write_pointer(path: str, meta: dict) -> None:
+    """Atomically swap the table-metadata pointer: write commit.json.tmp,
+    flush + fsync, then os.replace onto commit.json — a crash mid-write
+    leaves the old pointer intact (the segments_N / Iceberg
+    metadata.json durability contract, SegmentInfos.java:55-106)."""
+    target = os.path.join(path, "commit.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, target)
 
 
 def _commit_snapshot_locked(
@@ -194,8 +217,7 @@ def _commit_snapshot_locked(
     # pointer swap is the commit point: written last, after all data +
     # manifest files are durable (same ordering as segments_N / Iceberg
     # metadata.json — a crash before this line leaves the old table intact)
-    with open(os.path.join(path, "commit.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    _write_pointer(path, meta)
     return snapshot_id
 
 
@@ -231,18 +253,21 @@ def expire_snapshots(path: str, keep: int = 1) -> list[int]:
     analog).  Returns the expired ids."""
     import shutil
 
-    meta = _table_meta(path)
-    snaps = meta.get("snapshots", [])
-    expired = snaps[: max(0, len(snaps) - keep)]
-    for sid in expired:
-        with open(os.path.join(path, f"commit-{sid}.json")) as f:
-            c = json.load(f)
-        shutil.rmtree(os.path.join(path, c["data"]), ignore_errors=True)
-        os.remove(os.path.join(path, f"commit-{sid}.json"))
-    meta["snapshots"] = snaps[len(expired):]
-    with open(os.path.join(path, "commit.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    return expired
+    with _write_lock(path):
+        meta = _table_meta(path)
+        snaps = meta.get("snapshots", [])
+        expired = snaps[: max(0, len(snaps) - keep)]
+        meta["snapshots"] = snaps[len(expired):]
+        # swap the pointer BEFORE deleting data: a crash mid-delete leaves
+        # orphan gen-N dirs (harmless, re-expirable), never a pointer
+        # naming deleted data
+        _write_pointer(path, meta)
+        for sid in expired:
+            with open(os.path.join(path, f"commit-{sid}.json")) as f:
+                c = json.load(f)
+            shutil.rmtree(os.path.join(path, c["data"]), ignore_errors=True)
+            os.remove(os.path.join(path, f"commit-{sid}.json"))
+        return expired
 
 
 def load_index(
@@ -321,10 +346,26 @@ def add_indexes(
     from lucene_spark.index.builder import InvertedIndex
 
     srcs = [load_index(spark, p) for p in paths]
+    if not srcs:
+        raise ValueError("add_indexes: no source indexes given")
+    # ≙ IndexWriter.addIndexes' config checks: merging indexes built with
+    # different analyzers or similarity params would silently mis-score
+    base = srcs[0]
+    base_an = base.analyzer.to_json() if base.analyzer else None
+    for p, idx in zip(paths[1:], srcs[1:]):
+        an = idx.analyzer.to_json() if idx.analyzer else None
+        if an != base_an or idx.k1 != base.k1 or idx.b != base.b:
+            raise ValueError(
+                f"add_indexes: source {p} was built with a different "
+                f"analyzer/k1/b config than {paths[0]} — refusing to merge "
+                "inconsistent indexes"
+            )
     offset = 0
     docs_parts, post_parts = [], []
     for idx in srcs:
         hi = idx.docs.agg(F.max("doc_id")).collect()[0][0]
+        if hi is None:
+            hi = -1  # empty source: contributes no rows, no offset shift
         docs_parts.append(
             idx.docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
         )

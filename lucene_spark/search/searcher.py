@@ -725,6 +725,29 @@ class IndexSearcher:
                 cache.pop(oldest).unpersist()
         return df
 
+    def clear_filter_cache(self) -> None:
+        """Unpersist every cached filter match set (≙ LRUQueryCache.clear).
+        Call when discarding a long-lived searcher so persisted blocks
+        don't leak in the Spark block manager."""
+        cache = self.__dict__.get("_filter_cache") or {}
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        cache.clear()
+        self.__dict__.pop("_filter_uses", None)
+
+    def close(self) -> None:
+        """Release searcher-held cluster resources (≙ IndexReader.close)."""
+        self.clear_filter_cache()
+
+    def __del__(self):  # best-effort; close() is the reliable path
+        try:
+            self.clear_filter_cache()
+        except Exception:
+            pass
+
     def _matches_impl(self, q: Query) -> DataFrame:
         """DataFrame(doc_id) of matching docs (non-scoring).
 
@@ -1859,7 +1882,10 @@ class IndexSearcher:
         from pyspark.sql import Window
 
         scored = self.scored(query)
-        docs = self.index.docs.select("doc_id", "conv_id", "turn_idx")
+        doc_cols = ["doc_id", "conv_id", "turn_idx"]
+        if key_col not in doc_cols:
+            doc_cols.append(key_col)
+        docs = self.index.docs.select(*doc_cols)
         joined = scored.join(docs, "doc_id")
         per_key = Window.partitionBy(key_col).orderBy(
             F.desc("score"), F.asc("doc_id")
