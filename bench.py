@@ -98,6 +98,7 @@ def main() -> None:
     # degrades precision instead of blowing the caller's timeout
     budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "420"))
     build_times = []
+    pos_times = []
     idx = None
     for rep in range(build_reps):
         if rep > 0 and time.time() - t0 > budget * 0.5:
@@ -112,14 +113,15 @@ def main() -> None:
         n_postings = (idx.postings_slim if idx.postings_slim is not None else idx.postings).count()
         n_terms = idx.term_stats.count()
         build_times.append(round(time.time() - t_build0, 3))
+        # warm the positions relation (phrase path) as part of index prep —
+        # reported separately so phrase latencies measure the query, not a
+        # one-time cache build; timed per build rep (each rep's idx is
+        # cold) so this is min-of-N like everything else, not one-shot dice
+        t_pos0 = time.time()
+        idx.postings_for_terms(["the"], with_positions=True).count()
+        pos_times.append(round(time.time() - t_pos0, 3))
     t_build = min(build_times)
-
-    # warm the positions relation (phrase path) as part of index prep —
-    # reported separately so phrase latencies measure the query, not a
-    # one-time cache build
-    t_pos0 = time.time()
-    idx.postings_for_terms(["the"], with_positions=True).count()
-    t_pos = time.time() - t_pos0
+    t_pos = min(pos_times)
 
     searcher = IndexSearcher(idx)
 
@@ -174,6 +176,7 @@ def main() -> None:
     # embeddings (IVF = the headline sim_topk_ann path; LSH multi-probe
     # reported alongside for the honest comparison) ----
     ann = {}
+    ext = {}
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from lucene_spark.pipeline import similarity as sim
@@ -249,6 +252,50 @@ def main() -> None:
                 sim.assign_centroids(emb, cents_k, strategy="expr")
             )
         spark.conf.unset("spark.sql.debug.maxToStringFields")
+
+        # ---- round-5 query surface: KNN / filtered-KNN (indexed vs
+        # brute A/B), BM25F, one suggester — reported OUTSIDE the headline
+        # so `value` stays comparable round-over-round ----
+        from pyspark.sql import functions as SF
+
+        from lucene_spark.search import CombinedFieldQuery, KnnVectorQuery
+        from lucene_spark.search.suggest import suggest_terms
+
+        ext = {}
+        vecs = emb.select(SF.col("vec_id").alias("doc_id"), "embedding")
+        ivf_doc_path = "/tmp/lucene_spark_bench/ivf_doc_index"
+        shutil.rmtree(ivf_doc_path, ignore_errors=True)
+        tq = time.time()
+        sim.ivf_build(
+            emb.withColumn("doc_id", SF.col("vec_id")), ivf_doc_path,
+            id_col="vec_id",
+        )
+        ext["t_knn_ivf_build"] = round(time.time() - tq, 4)
+        s_knn = IndexSearcher(idx).with_vectors(vecs, ivf_path=ivf_doc_path)
+        s_knn_brute = IndexSearcher(idx).with_vectors(vecs)
+        knn_q = KnnVectorQuery(qvec, 10)
+        knn_fq = KnnVectorQuery(qvec, 10, filter=TermQuery("data"))
+        ext["q_knn"], _ = _min_of(
+            lambda: s_knn.search(knn_q, 10).collect()
+        )
+        ext["q_knn_filtered"], filt_ivf = _min_of(
+            lambda: {int(r.doc_id) for r in s_knn.search(knn_fq, 10).collect()}
+        )
+        ext["q_knn_filtered_brute"], filt_brute = _min_of(
+            lambda: {
+                int(r.doc_id) for r in s_knn_brute.search(knn_fq, 10).collect()
+            }
+        )
+        ext["recall_knn_filtered_at10"] = round(
+            len(filt_ivf & filt_brute) / max(len(filt_brute), 1), 2
+        )
+        cf_q = CombinedFieldQuery(("data", "search"))
+        ext["q_combined_field"], _ = _min_of(
+            lambda: searcher.search(cf_q, 10).collect()
+        )
+        ext["q_suggest_prefix"], _ = _min_of(
+            lambda: suggest_terms(idx, "po", 10).collect()
+        )
         emb.unpersist()
 
     # ---- pipeline ops over the sf-dir documents table (reported outside
@@ -341,6 +388,7 @@ def main() -> None:
         # at identical turns x words/turn; these fields make that auditable
         "words_per_turn": [min_w, max_w],
         "ann": ann,
+        "queries_ext": ext,
         "pipeline": pipeline,
     }
     print(json.dumps(out))

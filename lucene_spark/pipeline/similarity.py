@@ -512,6 +512,27 @@ def ivf_open(spark, index_path: str):
     return cents, vectors
 
 
+_IVF_COUNT_CACHE: dict = {}
+
+
+def ivf_count(spark, index_path: str) -> int:
+    """Total vector count of a prebuilt IVF index, memoized per build
+    (parquet metadata-only count — no data scan).  Used by the filtered
+    ANN cost model (probe fraction vs filter cardinality)."""
+    import os as _os
+
+    try:
+        mtime = _os.path.getmtime(f"{index_path}/vectors/_SUCCESS")
+    except OSError:
+        mtime = None
+    key = (id(spark), index_path, mtime)
+    if key not in _IVF_COUNT_CACHE:
+        _, vectors = ivf_open(spark, index_path)
+        _IVF_COUNT_CACHE.clear()
+        _IVF_COUNT_CACHE[key] = vectors.count()
+    return _IVF_COUNT_CACHE[key]
+
+
 def ivf_topk_indexed(
     spark, index_path: str, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", nprobe: int = IVF_NPROBE,

@@ -193,7 +193,9 @@ class IndexSearcher:
                 vectors.filter(F.col("cid").isin(probes))
                 .select(F.col("doc_id"), "embedding")
             )
-        if q.filter is not None:
+        elif self._vectors_ivf_path is not None:
+            cand = self._knn_filtered_ivf(q)
+        elif q.filter is not None:
             # pre-filter semantics: restrict candidates BEFORE top-k, so
             # the result is the k nearest docs that pass the filter
             cand = cand.join(self._matches(q.filter), "doc_id", "left_semi")
@@ -221,6 +223,74 @@ class IndexSearcher:
                 ).cast(st)
             ).cast(st).alias("score"),
         )
+
+    # initial probe width for filtered ANN; doubles per widening round
+    KNN_NPROBE0 = 2
+    # filter match sets below this row count broadcast in the semi-join
+    KNN_FILTER_BROADCAST_MAX = 10_000_000
+    # admissibility target: keep widening until the probed cells hold
+    # OVERSAMPLE * k filtered candidates (≙ HNSW beam width efSearch > k —
+    # k bare candidates from 2 cells give poor recall; a few-x surplus
+    # restores it at the cost of one more doubling round)
+    KNN_FILTER_OVERSAMPLE = 4
+
+    def _knn_filtered_ivf(self, q) -> DataFrame:
+        """Filtered candidate relation through the IVF index —
+        AbstractKnnVectorQuery.java's filter strategy re-expressed for
+        coarse quantization:
+
+        * Lucene materializes the filter bitset, then runs the HNSW walk
+          WITH the filter, visit-limited to the bitset cardinality; if the
+          walk would visit more vectors than the filter matches, exact
+          iteration over the filtered docs is cheaper and it falls back.
+        * Here the bitset is the filter match relation (one cheap count of
+          a doc-id relation); the graph walk is a partition-pruned scan of
+          the probed cid cells with the filter semi-joined INSIDE the
+          probed partitions; the visit limit is the probe fraction
+          nprobe/K of the corpus.  nprobe doubles until ≥ k filtered
+          candidates are admissible (widening ≙ HNSW re-entry with a
+          larger beam); the exact fallback triggers exactly when the
+          filter's match count is the cheap side:
+          fcount * K <= nprobe * N.
+
+        At 100 TB the common shape (selective-but-large filter, e.g. a
+        keyword or range predicate) stays a pruned FileScan of nprobe/K of
+        the embedding store + a broadcast semi-join — never a full-corpus
+        scan; full scans happen only for tiny filters, where they are
+        O(filter) by row-group pruning on the broadcast join side."""
+        from lucene_spark.pipeline.similarity import (
+            _probe_list, ivf_count, ivf_open,
+        )
+
+        cents, vectors = ivf_open(self.index.spark, self._vectors_ivf_path)
+        K = len(cents)
+        N = ivf_count(self.index.spark, self._vectors_ivf_path)
+        fmatch = self._matches(q.filter)
+        fcount = fmatch.count()
+        if fcount <= self.KNN_FILTER_BROADCAST_MAX:
+            fmatch = F.broadcast(fmatch)
+        target = q.k * self.KNN_FILTER_OVERSAMPLE
+        nprobe = self.KNN_NPROBE0
+        while True:
+            if fcount <= q.k or fcount * K <= nprobe * N:
+                # exact-over-filter is the cheap side (or the filter
+                # admits ≤ k docs, so they are all results): scan the
+                # registered relation semi-joined to the match set
+                return self._vectors.join(fmatch, "doc_id", "left_semi")
+            probes = _probe_list(cents, list(q.query_vec), nprobe)
+            cand = (
+                vectors.filter(F.col("cid").isin(probes))
+                .select("doc_id", "embedding")
+                .join(fmatch, "doc_id", "left_semi")
+            )
+            # admissibility check: the exact count is a Spark job per
+            # widening round — skip it when the uniform-spread estimate
+            # (fcount * nprobe/K) clears the target with an 8x skew
+            # margin, so broad filters pay zero extra jobs
+            estimate = fcount * nprobe / K
+            if nprobe >= K or estimate >= 8 * target or cand.count() >= target:
+                return cand
+            nprobe = min(2 * nprobe, K)
 
     # ------------------------------------------------------------------
     # collection statistics (global — IndexSearcher.java:913-928)

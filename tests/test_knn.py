@@ -152,3 +152,139 @@ def test_knn_ivf_backed(knn_searcher, tmp_path):
 
     # plan check: the vectors scan is partition-pruned
     s2._scored_knn(KnnVectorQuery(QV, 5))  # builds without error
+
+
+@pytest.fixture(scope="module")
+def ivf_searcher(knn_searcher, tmp_path_factory):
+    """Searcher with BOTH the vector relation and a prebuilt doc-keyed IVF
+    index registered — the filtered-ANN routing surface."""
+    from lucene_spark.pipeline.similarity import ivf_build
+    from lucene_spark.search import IndexSearcher
+
+    s, vecs = knn_searcher
+    path = str(tmp_path_factory.mktemp("docivf") / "ivf")
+    ivf_build(
+        vecs.select(F.col("doc_id").alias("vec_id"), "embedding")
+        .withColumn("doc_id", F.col("vec_id")),
+        path,
+        n_centroids=8,
+        id_col="vec_id",
+    )
+    s2 = IndexSearcher(s.index, scoring="plain_f64").with_vectors(
+        vecs, ivf_path=path
+    )
+    return s2, vecs
+
+
+def test_knn_filtered_ivf_exact_fallback_small_filter(ivf_searcher):
+    """fcount <= k: the exact branch fires (AbstractKnnVectorQuery's
+    exact-iteration fallback) and returns ALL filtered docs, identically
+    to the brute-force-over-filter result."""
+    from lucene_spark.search import KnnVectorQuery, TermQuery
+
+    s2, vecs = ivf_searcher
+    f = TermQuery("model")
+    allowed = s2._matches(f)
+    fcount = allowed.count()
+    k = fcount + 3
+    got = s2.search(KnnVectorQuery(QV, k, filter=f), k).collect()
+    exp = _brute(vecs, QV, k, allowed=allowed)
+    assert [int(r.doc_id) for r in got] == [d for d, _ in exp]
+    assert len(got) == fcount
+
+
+def test_knn_filtered_ivf_probed_path_prunes_partitions(ivf_searcher):
+    """Broad filter (match-all): the cost model keeps the IVF probes —
+    the plan scans only the probed cid partitions (PartitionFilters) and
+    the result equals the unfiltered probed result."""
+    from lucene_spark.search import KnnVectorQuery, MatchAllDocsQuery
+
+    s2, vecs = ivf_searcher
+    q = KnnVectorQuery(QV, 3, filter=MatchAllDocsQuery())
+    cand = s2._knn_filtered_ivf(q)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    got = [int(r.doc_id) for r in s2.search(q, 3).collect()]
+    exp = [
+        int(r.doc_id)
+        for r in s2.search(KnnVectorQuery(QV, 3), 3).collect()
+    ]
+    assert got == exp
+
+
+def test_knn_filtered_ivf_full_k_is_exact(ivf_searcher):
+    """k == corpus size with a match-all filter: fcount <= k fires the
+    exact branch immediately and the full ranking equals brute force."""
+    from lucene_spark.search import KnnVectorQuery, MatchAllDocsQuery
+
+    s2, vecs = ivf_searcher
+    n = vecs.count()
+    q = KnnVectorQuery(QV, n, filter=MatchAllDocsQuery())
+    got = s2.search(q, n).collect()
+    exp = _brute(vecs, QV, n)
+    assert [int(r.doc_id) for r in got] == [d for d, _ in exp]
+
+
+def test_knn_filtered_ivf_cost_model_widens(ivf_searcher, monkeypatch):
+    """Instrument _probe_list to record the nprobe schedule and assert the
+    cost model behaves as specified: exact when fcount <= k or
+    fcount*K <= nprobe*N, else probe with doubling nprobe; the terminal
+    state at full widening is always the exact branch, so the returned
+    relation can never silently drop below-k coverage."""
+    from lucene_spark.pipeline import similarity as sim
+    from lucene_spark.search import KnnVectorQuery, TermQuery
+
+    s2, vecs = ivf_searcher
+    f = TermQuery("the")
+    fcount = s2._matches(f).count()
+    assert fcount >= 2, "fixture term too rare for this test"
+    k = fcount - 1  # fcount > k: the tiny-filter shortcut must NOT fire
+    N = vecs.count()
+    K = 8
+
+    calls = []
+    real = sim._probe_list
+
+    def spy(cents, qv, nprobe):
+        calls.append(nprobe)
+        return real(cents, qv, nprobe)
+
+    monkeypatch.setattr(sim, "_probe_list", spy)
+    q = KnnVectorQuery(QV, k, filter=f)
+    got = [int(r.doc_id) for r in s2.search(q, k).collect()]
+
+    # replay the documented schedule driver-side
+    expected_calls = []
+    nprobe = s2.KNN_NPROBE0
+    while not (fcount * K <= nprobe * N):
+        expected_calls.append(nprobe)
+        # the loop stops early if the probed cells already hold >= k
+        # filtered candidates; recompute that condition exactly
+        probes = real(
+            sim.ivf_open(vecs.sparkSession, s2._vectors_ivf_path)[0],
+            QV,
+            nprobe,
+        )
+        cand_n = (
+            sim.ivf_open(vecs.sparkSession, s2._vectors_ivf_path)[1]
+            .filter(F.col("cid").isin(probes))
+            .join(s2._matches(f), "doc_id", "left_semi")
+            .count()
+        )
+        estimate = fcount * nprobe / K
+        if (
+            nprobe >= K
+            or estimate >= 8 * k * s2.KNN_FILTER_OVERSAMPLE
+            or cand_n >= k * s2.KNN_FILTER_OVERSAMPLE
+        ):
+            break
+        nprobe = min(2 * nprobe, K)
+    assert calls == expected_calls
+    if calls and calls[-1] < K:
+        # stopped on an admissible probe round: every hit passes the filter
+        allowed = {int(r.doc_id) for r in s2._matches(f).collect()}
+        assert len(got) == k and set(got) <= allowed
+    else:
+        # terminal exact branch: identical to brute-force-over-filter
+        exp = _brute(vecs, QV, k, allowed=s2._matches(f))
+        assert got == [d for d, _ in exp]
