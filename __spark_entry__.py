@@ -1327,6 +1327,212 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_intervals_not_within(t0: str, t1: str, positions: int, k: int):
+    """IntervalQuery: not_within(t0, positions, t1) — t0 occurrences at
+    least positions+1 away from every t1 occurrence (Intervals.java:403-407
+    rewrite to nonOverlapping over an extended subtrahend).  Difference
+    source: docs WITHOUT t1 still match (required_terms = {t0} only), so
+    the gate exercises the optional-term position gather.  Each emitted
+    interval is 1-wide (min_extent 1) -> freq is an exact integer in both
+    engines."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.intervals import not_within
+        from lucene_spark.search.query import IntervalQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = IntervalQuery(not_within(t0, positions, t1))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _intervals_not_within_sql(t0: str, t1: str, positions: int, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+parr2 AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pa AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t0}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+pb AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t1}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+fq AS (
+  SELECT a.conv_id, a.turn_idx, count(*) AS freq
+  FROM pa a
+  WHERE NOT EXISTS (SELECT 1 FROM pb b
+                    WHERE b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                      AND abs(a.pos - b.pos) <= {positions})
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT conv_id, turn_idx, 1.0 * (1 - 1.0 / (1 + freq)) AS score
+  FROM fq WHERE freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_intervals_not_containing(t0: str, t1: str, sub: str, k: int):
+    """IntervalQuery: not_containing(maxgaps(1, ordered(t0, t1)), sub) —
+    minimal ordered t0..t1 windows spanning at most one gap position,
+    minus those whose gap position holds ``sub``
+    (NotContainingIntervalsSource.java:64-88 over the FilteredIntervals
+    maxgaps stream).  Window lengths are 2 or 3, so per-interval freq
+    contributions are exactly 1 and 0.5 (binary-exact in f32 AND f64) and
+    the engines agree bit-for-bit under the x10000 quantization.  The
+    subtrahend is optional (difference source): docs without ``sub``
+    still match."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.intervals import (
+            Term, maxgaps, not_containing, ordered,
+        )
+        from lucene_spark.search.query import IntervalQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = IntervalQuery(
+            not_containing(maxgaps(1, ordered(t0, t1)), Term(sub))
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _intervals_not_containing_sql(t0: str, t1: str, sub: str, k: int) -> str:
+    # minimal ordered 2-term windows (q = min t1-pos > p, p = max t0-pos < q)
+    # with gaps <= 1, excluding length-3 windows whose middle token is sub
+    return (
+        _PRELUDE
+        + f""",
+parr2 AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pa AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t0}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+pb AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t1}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+pairs AS (
+  SELECT a.conv_id, a.turn_idx, a.pos AS p,
+         (SELECT min(b.pos) FROM pb b
+          WHERE b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+            AND b.pos > a.pos) AS q
+  FROM pa a
+),
+minimal AS (
+  SELECT conv_id, turn_idx, p, q FROM pairs pr
+  WHERE q IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM pa a2
+                    WHERE a2.conv_id = pr.conv_id AND a2.turn_idx = pr.turn_idx
+                      AND a2.pos > pr.p AND a2.pos < pr.q)
+),
+kept AS (
+  SELECT m.conv_id, m.turn_idx, m.p, m.q
+  FROM minimal m JOIN parr2 t USING (conv_id, turn_idx)
+  WHERE m.q - m.p <= 2
+    AND NOT (m.q - m.p = 2 AND t.arr[m.p + 2] = '{sub}')
+),
+fq AS (
+  SELECT conv_id, turn_idx,
+         SUM(CASE WHEN q - p = 1 THEN 1.0 ELSE 0.5 END) AS freq
+  FROM kept GROUP BY 1, 2
+),
+scored AS (
+  SELECT conv_id, turn_idx, 1.0 * (1 - 1.0 / (1 + freq)) AS score
+  FROM fq WHERE freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_intervals_before(t0: str, t1: str, k: int):
+    """IntervalQuery: before(t0, t1) — t0 occurrences ending before the
+    start of a t1 occurrence (Intervals.java:491-494: containedBy over the
+    reference's before-offset point extended unboundedly left; the
+    reference-at-position-0 edge keeps Lucene's max(0, start-1) floor).
+    Conjunction: both terms required."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.intervals import before_
+        from lucene_spark.search.query import IntervalQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = IntervalQuery(before_(t0, t1))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _intervals_before_sql(t0: str, t1: str, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+parr2 AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pa AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t0}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+pb AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(list_filter(range(1, len(arr) + 1),
+                i -> arr[i] = '{t1}'), i -> i - 1)) AS pos
+  FROM parr2
+),
+fq AS (
+  SELECT a.conv_id, a.turn_idx, count(*) AS freq
+  FROM pa a
+  WHERE EXISTS (SELECT 1 FROM pb b
+                WHERE b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+                  AND a.pos <= greatest(b.pos - 1, 0))
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT conv_id, turn_idx, 1.0 * (1 - 1.0 / (1 + freq)) AS score
+  FROM fq WHERE freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_simple_parse(text: str, k: int):
     """SimpleQueryParser (never-throws dialect) end-to-end: parse + search.
     'data customer -slow' with MUST default = conjunction of both terms,
@@ -4701,6 +4907,7 @@ _GATE_PRIORITY = [
     "text_repetition",
     # (b) new in round 5
     "intervals_not_containing_topk",
+    "intervals_not_within_topk",
     "intervals_before_topk",
     "bm25_topk_kstem",
     "nrt_generation_topk",
@@ -4821,6 +5028,13 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "spark", [("spark", "the customer")], 10
         ),
         "intervals_ordered_topk": _q_intervals("customer", "join", 10),
+        "intervals_not_containing_topk": _q_intervals_not_containing(
+            "customer", "join", "the", 10
+        ),
+        "intervals_not_within_topk": _q_intervals_not_within(
+            "customer", "the", 1, 10
+        ),
+        "intervals_before_topk": _q_intervals_before("customer", "join", 10),
         "span_near_topk": _q_span_near("customer", "join", 2, 10),
         "simple_parse_topk": _q_simple_parse("data customer -slow", 10),
         "monitor_matches": _q_monitor,
@@ -4963,6 +5177,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
         "intervals_ordered_topk": _intervals_sql("customer", "join", 10),
+        "intervals_not_containing_topk": _intervals_not_containing_sql(
+            "customer", "join", "the", 10
+        ),
+        "intervals_not_within_topk": _intervals_not_within_sql(
+            "customer", "the", 1, 10
+        ),
+        "intervals_before_topk": _intervals_before_sql("customer", "join", 10),
         "span_near_topk": _span_near_sql("customer", "join", 2, 10),
         "simple_parse_topk": _simple_parse_sql("data", "customer", "slow", 10),
         "monitor_matches": _MONITOR_SQL,

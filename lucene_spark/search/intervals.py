@@ -42,6 +42,13 @@ class IntervalsSource:
     def min_extent(self) -> int:
         raise NotImplementedError
 
+    def required_terms(self) -> frozenset:
+        """Terms the conjunctive doc-approximation may REQUIRE (the
+        reference's IntervalsSource approximation): difference sources
+        require only their minuend side, disjunctions require nothing.
+        Default: every term (conjunction sources)."""
+        return frozenset(self.terms())
+
 
 @dataclass(frozen=True)
 class Term(IntervalsSource):
@@ -64,6 +71,9 @@ class Ordered(IntervalsSource):
     def min_extent(self):
         return sum(s.min_extent() for s in self.sources)
 
+    def required_terms(self):
+        return frozenset().union(*(s.required_terms() for s in self.sources))
+
 
 @dataclass(frozen=True)
 class Unordered(IntervalsSource):
@@ -74,6 +84,9 @@ class Unordered(IntervalsSource):
 
     def min_extent(self):
         return sum(s.min_extent() for s in self.sources)
+
+    def required_terms(self):
+        return frozenset().union(*(s.required_terms() for s in self.sources))
 
 
 @dataclass(frozen=True)
@@ -87,6 +100,11 @@ class Or(IntervalsSource):
 
     def min_extent(self):
         return min(s.min_extent() for s in self.sources)
+
+    def required_terms(self):
+        # disjunction approximation: a doc matches when ANY branch can —
+        # nothing is individually required
+        return frozenset()
 
 
 @dataclass(frozen=True)
@@ -103,6 +121,9 @@ class Containing(IntervalsSource):
     def min_extent(self):
         return self.big.min_extent()
 
+    def required_terms(self):
+        return self.big.required_terms() | self.small.required_terms()
+
 
 @dataclass(frozen=True)
 class ContainedBy(IntervalsSource):
@@ -118,6 +139,9 @@ class ContainedBy(IntervalsSource):
     def min_extent(self):
         return self.small.min_extent()
 
+    def required_terms(self):
+        return self.small.required_terms() | self.big.required_terms()
+
 
 @dataclass(frozen=True)
 class MaxGaps(IntervalsSource):
@@ -129,6 +153,9 @@ class MaxGaps(IntervalsSource):
 
     def min_extent(self):
         return self.source.min_extent()
+
+    def required_terms(self):
+        return self.source.required_terms()
 
 
 @dataclass(frozen=True)
@@ -144,6 +171,9 @@ class EndingBefore(IntervalsSource):
     def min_extent(self):
         return self.source.min_extent()
 
+    def required_terms(self):
+        return self.source.required_terms()
+
 
 @dataclass(frozen=True)
 class MaxWidth(IntervalsSource):
@@ -155,6 +185,130 @@ class MaxWidth(IntervalsSource):
 
     def min_extent(self):
         return self.source.min_extent()
+
+    def required_terms(self):
+        return self.source.required_terms()
+
+
+@dataclass(frozen=True)
+class Extended(IntervalsSource):
+    """ExtendedIntervalsSource — widen each interval by ``before``
+    positions on the left (floored at 0) and ``after`` on the right
+    (queries/.../intervals/ExtendedIntervalsSource.java,
+    ExtendedIntervalIterator.java:50-77)."""
+
+    source: IntervalsSource
+    before: int
+    after: int
+
+    def terms(self):
+        return self.source.terms()
+
+    def min_extent(self):
+        me = self.before + self.source.min_extent() + self.after
+        # Java-int faithful: 32-bit overflow (negative) clamps to MAX_VALUE
+        # (ExtendedIntervalsSource.java:126-132)
+        return me if 0 <= me < (1 << 31) else (1 << 31) - 1
+
+    def required_terms(self):
+        return self.source.required_terms()
+
+
+@dataclass(frozen=True)
+class Offset(IntervalsSource):
+    """OffsetIntervalsSource — the single position immediately before
+    (``before=True``: max(0, start-1)) or after (end+1) each interval of
+    the wrapped source (queries/.../intervals/OffsetIntervalsSource.java:
+    39-67).  Used by ``before_``/``after_`` rewrites."""
+
+    source: IntervalsSource
+    before: bool
+
+    def terms(self):
+        return self.source.terms()
+
+    def min_extent(self):
+        return 1
+
+    def required_terms(self):
+        return self.source.required_terms()
+
+
+@dataclass(frozen=True)
+class NotContaining(IntervalsSource):
+    """NotContainingIntervalsSource — intervals of ``minuend`` that do NOT
+    contain an interval of ``subtrahend``.  Difference source: only the
+    minuend side is required by the doc approximation
+    (DifferenceIntervalsSource.java)."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def terms(self):
+        return tuple(self.minuend.terms()) + tuple(self.subtrahend.terms())
+
+    def min_extent(self):
+        return self.minuend.min_extent()
+
+    def required_terms(self):
+        return self.minuend.required_terms()
+
+
+@dataclass(frozen=True)
+class NotContainedBy(IntervalsSource):
+    """NotContainedByIntervalsSource — intervals of ``minuend`` (small)
+    that are NOT contained by an interval of ``subtrahend`` (big)."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def terms(self):
+        return tuple(self.minuend.terms()) + tuple(self.subtrahend.terms())
+
+    def min_extent(self):
+        return self.minuend.min_extent()
+
+    def required_terms(self):
+        return self.minuend.required_terms()
+
+
+@dataclass(frozen=True)
+class NonOverlapping(IntervalsSource):
+    """NonOverlappingIntervalsSource — intervals of ``minuend`` that do
+    not overlap an interval of ``subtrahend``.  ``not_within`` rewrites
+    to this over an Extended subtrahend (Intervals.java:403-407)."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+    def terms(self):
+        return tuple(self.minuend.terms()) + tuple(self.subtrahend.terms())
+
+    def min_extent(self):
+        return self.minuend.min_extent()
+
+    def required_terms(self):
+        return self.minuend.required_terms()
+
+
+@dataclass(frozen=True)
+class Overlapping(IntervalsSource):
+    """OverlappingIntervalsSource — intervals of ``source`` that overlap
+    an interval of ``reference`` (conjunction: both sides required)."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def terms(self):
+        return tuple(self.source.terms()) + tuple(self.reference.terms())
+
+    def min_extent(self):
+        return self.source.min_extent()
+
+    def required_terms(self):
+        return (
+            self.source.required_terms() | self.reference.required_terms()
+        )
 
 
 def ordered(*sources):
@@ -183,6 +337,73 @@ def maxgaps(gaps: int, source):
 
 def maxwidth(width: int, source):
     return MaxWidth(_as_source(source), width)
+
+
+_JAVA_MAX_INT = (1 << 31) - 1
+
+
+def extend(source, before: int, after: int):
+    """Intervals.extend (Intervals.java:321-323)."""
+    return Extended(_as_source(source), int(before), int(after))
+
+
+def not_containing(minuend, subtrahend):
+    """Intervals.notContaining (Intervals.java:431-433)."""
+    return NotContaining(_as_source(minuend), _as_source(subtrahend))
+
+
+def not_contained_by(small, big):
+    """Intervals.notContainedBy (Intervals.java:457-459)."""
+    return NotContainedBy(_as_source(small), _as_source(big))
+
+
+def non_overlapping(minuend, subtrahend):
+    """Intervals.nonOverlapping (Intervals.java:377-380)."""
+    return NonOverlapping(_as_source(minuend), _as_source(subtrahend))
+
+
+def overlapping(source, reference):
+    """Intervals.overlapping (Intervals.java:388-390)."""
+    return Overlapping(_as_source(source), _as_source(reference))
+
+
+def not_within(minuend, positions: int, subtrahend):
+    """Intervals.notWithin (Intervals.java:403-407): minuend intervals at
+    least ``positions`` away from any subtrahend interval — rewrites to
+    nonOverlapping over an extended subtrahend."""
+    return NonOverlapping(
+        _as_source(minuend),
+        Extended(_as_source(subtrahend), int(positions), int(positions)),
+    )
+
+
+def within(source, positions: int, reference):
+    """Intervals.within (Intervals.java:418-421): source intervals within
+    ``positions`` of a reference interval — containedBy over an extended
+    reference."""
+    return ContainedBy(
+        _as_source(source),
+        Extended(_as_source(reference), int(positions), int(positions)),
+    )
+
+
+def before_(source, reference):
+    """Intervals.before (Intervals.java:491-494): source intervals ending
+    before the start of a reference interval — containedBy over the
+    reference's before-offset point extended unboundedly left."""
+    return ContainedBy(
+        _as_source(source),
+        Extended(Offset(_as_source(reference), True), _JAVA_MAX_INT, 0),
+    )
+
+
+def after_(source, reference):
+    """Intervals.after (Intervals.java:497-501): source intervals starting
+    after the end of a reference interval."""
+    return ContainedBy(
+        _as_source(source),
+        Extended(Offset(_as_source(reference), False), 0, _JAVA_MAX_INT),
+    )
 
 
 def _as_source(s):
@@ -474,6 +695,182 @@ class _ContainedByIter:
         return self.a.gaps()
 
 
+class _ExtendedIter:
+    """ExtendedIntervalIterator.java:50-88 — widen the wrapped
+    iterator's bounds by (before, after); unpositioned reads are -1."""
+
+    __slots__ = ("sub", "before", "after", "positioned")
+
+    def __init__(self, sub, before, after):
+        self.sub = sub
+        self.before = before
+        self.after = after
+        self.positioned = False
+
+    @property
+    def start(self):
+        if not self.positioned:
+            return -1
+        s = self.sub.start
+        return NO_MORE if s == NO_MORE else max(0, s - self.before)
+
+    @property
+    def end(self):
+        if not self.positioned:
+            return -1
+        e = self.sub.end
+        if e == NO_MORE:
+            return NO_MORE
+        e += self.after
+        # Java-int faithful: end += after overflowing (or landing on the
+        # NO_MORE sentinel, Integer.MAX_VALUE) clamps to MAX_VALUE - 1
+        # (ExtendedIntervalIterator.java:66-76)
+        return e if e < (1 << 31) - 1 else (1 << 31) - 2
+
+    def next_interval(self):
+        self.positioned = True
+        self.sub.next_interval()
+        return self.start
+
+    def width(self):
+        return self.end - self.start + 1
+
+    def gaps(self):
+        return self.sub.gaps()
+
+
+class _OffsetIter:
+    """OffsetIntervalsSource.OffsetIntervalIterator (.java:39-102) — the
+    single position before (max(0, start-1)) or after (end+1) the wrapped
+    interval; gaps() = 0."""
+
+    __slots__ = ("sub", "before_mode")
+
+    def __init__(self, sub, before_mode):
+        self.sub = sub
+        self.before_mode = before_mode
+
+    @property
+    def start(self):
+        if self.before_mode:
+            p = self.sub.start
+            return p if p in (-1, NO_MORE) else max(0, p - 1)
+        p = self.sub.end
+        return p if p in (-1, NO_MORE) else p + 1
+
+    @property
+    def end(self):
+        return self.start
+
+    def next_interval(self):
+        self.sub.next_interval()
+        return self.start
+
+    def width(self):
+        return 1
+
+    def gaps(self):
+        return 0
+
+
+class _RelativeIter:
+    """RelativeIterator.java:21-78 base: iterate ``a`` (minuend), with
+    ``b`` (subtrahend) possibly absent for this doc (bpos=False —
+    reset() finds no b positions on the doc); start/end/gaps proxy a."""
+
+    __slots__ = ("a", "b", "bpos")
+
+    def __init__(self, a, b):
+        self.a = a
+        self.b = b
+        self.bpos = b is not None
+
+    @property
+    def start(self):
+        return self.a.start
+
+    @property
+    def end(self):
+        return self.a.end
+
+    def width(self):
+        return self.a.width()
+
+    def gaps(self):
+        return self.a.gaps()
+
+
+class _NotContainingIter(_RelativeIter):
+    """NotContainingIntervalsSource.NotContainingIterator.nextInterval
+    (.java:64-88) — exact traversal transliteration."""
+
+    def next_interval(self):
+        if not self.bpos:
+            return self.a.next_interval()
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while b.start < a.start and b.end < a.end:
+                if b.next_interval() == NO_MORE:
+                    self.bpos = False
+                    return a.start
+            if b.start > a.end:
+                return a.start
+        return NO_MORE
+
+
+class _NotContainedByIter(_RelativeIter):
+    """NotContainedByIntervalsSource.NotContainedByIterator.nextInterval
+    (.java:64-87)."""
+
+    def next_interval(self):
+        if not self.bpos:
+            return self.a.next_interval()
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while b.end < a.end:
+                if b.next_interval() == NO_MORE:
+                    return a.start
+            if a.start < b.start:
+                return a.start
+        return NO_MORE
+
+
+class _NonOverlappingIter(_RelativeIter):
+    """NonOverlappingIntervalsSource nextInterval (.java:65-81)."""
+
+    def next_interval(self):
+        if not self.bpos:
+            return self.a.next_interval()
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while b.end < a.start:
+                if b.next_interval() == NO_MORE:
+                    self.bpos = False
+                    return a.start
+            if b.start > a.end:
+                return a.start
+        return NO_MORE
+
+
+class _OverlappingIter(_RelativeIter):
+    """OverlappingIntervalsSource nextInterval (.java:44-61) — conjunction:
+    absent reference means no match (handled in build_iter)."""
+
+    def next_interval(self):
+        if not self.bpos:
+            return NO_MORE
+        a, b = self.a, self.b
+        while a.next_interval() != NO_MORE:
+            while b.end < a.start:
+                if b.next_interval() == NO_MORE:
+                    self.bpos = False
+                    return NO_MORE
+            if b.start <= a.end:
+                return a.start
+        self.bpos = False
+        return NO_MORE
+
+
 class _FilteredIter:
     """FilteredIntervalsSource: emit sub intervals passing ``accept``."""
 
@@ -530,6 +927,33 @@ def build_iter(source: IntervalsSource, pos_map: dict):
         if a is None or b is None:
             return None
         return _ContainedByIter(a, b)
+    if isinstance(source, Extended):
+        sub = build_iter(source.source, pos_map)
+        return (
+            None
+            if sub is None
+            else _ExtendedIter(sub, source.before, source.after)
+        )
+    if isinstance(source, Offset):
+        sub = build_iter(source.source, pos_map)
+        return None if sub is None else _OffsetIter(sub, source.before)
+    if isinstance(source, (NotContaining, NotContainedBy, NonOverlapping)):
+        a = build_iter(source.minuend, pos_map)
+        if a is None:
+            return None
+        b = build_iter(source.subtrahend, pos_map)  # None => bpos False
+        cls = {
+            NotContaining: _NotContainingIter,
+            NotContainedBy: _NotContainedByIter,
+            NonOverlapping: _NonOverlappingIter,
+        }[type(source)]
+        return cls(a, b)
+    if isinstance(source, Overlapping):
+        a = build_iter(source.source, pos_map)
+        b = build_iter(source.reference, pos_map)
+        if a is None or b is None:
+            return None
+        return _OverlappingIter(a, b)
     if isinstance(source, MaxGaps):
         sub = build_iter(source.source, pos_map)
         g = source.gaps

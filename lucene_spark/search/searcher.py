@@ -1454,7 +1454,9 @@ class IndexSearcher:
         terms = sorted(set(q.source.terms()))
         if not terms:
             return self._empty_scored()
-        base = self._gather_positions(terms)
+        base = self._gather_positions(
+            terms, required=q.source.required_terms()
+        )
         f32 = self.score_type == "float"
         src = q.source
         tlist = list(terms)
@@ -1463,7 +1465,10 @@ class IndexSearcher:
         def fudf(*cols):
             out = []
             for lists in zip(*cols):
-                pos_map = {t: list(p) for t, p in zip(tlist, lists)}
+                pos_map = {
+                    t: (list(p) if p is not None else [])
+                    for t, p in zip(tlist, lists)
+                }
                 out.append(interval_freq(src, pos_map, f32))
             return pd.Series(out, dtype="float64")
 
@@ -1526,11 +1531,18 @@ class IndexSearcher:
             built = BooleanQuery.of((low_sub, Occur.MUST), (high_sub, Occur.SHOULD))
         return self._scored(built.rewrite())
 
-    def _gather_positions(self, terms: Sequence[str]) -> DataFrame:
+    def _gather_positions(
+        self, terms: Sequence[str], required: "set | None" = None
+    ) -> DataFrame:
         """(doc_id, norm, _p0.._p{n-1}) for docs containing ALL terms — the
         per-term position arrays gathered in ONE groupBy (single shuffle)
         instead of an n-way self-join of the positions relation.  Repeated
-        terms share one postings row via the conditional aggregation."""
+        terms share one postings row via the conditional aggregation.
+
+        ``required``: subset of terms the doc approximation demands
+        (IntervalsSource approximations — difference sources require only
+        their minuend, disjunctions nothing).  Default: all terms."""
+        required = set(terms) if required is None else set(required)
         uniq = sorted(set(terms))
         p = self.index.postings_for_terms(uniq, with_positions=True)
         aggs = [
@@ -1538,9 +1550,12 @@ class IndexSearcher:
             for i, t in enumerate(terms)
         ]
         g = p.groupBy("doc_id").agg(F.min("norm").alias("norm"), *aggs)
-        return g.filter(
-            _and_all([F.col(f"_p{i}").isNotNull() for i in range(len(terms))])
-        )
+        req_preds = [
+            F.col(f"_p{i}").isNotNull()
+            for i, t in enumerate(terms)
+            if t in required
+        ]
+        return g.filter(_and_all(req_preds)) if req_preds else g
 
     @staticmethod
     def _phrase_offsets(q: PhraseQuery) -> list[int]:

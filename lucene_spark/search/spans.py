@@ -126,3 +126,25 @@ class SpanFirstQuery(SpanQuery):
 
     def to_source(self):
         return iv.EndingBefore(self.match.to_source(), self.end)
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(SpanQuery):
+    """spans/SpanNotQuery.java:47-71 — include spans with no exclude span
+    overlapping them, the exclude side widened by ``pre`` tokens on the
+    left and ``post`` on the right (pre=post=dist for the 3-arg form).
+
+    Rewrite: NonOverlapping(include, Extended(exclude, pre, post)) — the
+    same difference machinery as Intervals.notWithin; the exclude terms
+    stay OPTIONAL in the doc approximation (docs without them match)."""
+
+    include: SpanQuery
+    exclude: SpanQuery
+    pre: int = 0
+    post: int = 0
+
+    def to_source(self):
+        sub = self.exclude.to_source()
+        if self.pre or self.post:
+            sub = iv.Extended(sub, self.pre, self.post)
+        return iv.NonOverlapping(self.include.to_source(), sub)

@@ -175,3 +175,34 @@ def test_span_query_end_to_end(spark, tiny_index):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_span_not_query():
+    """SpanNotQuery (spans/SpanNotQuery.java:47-71): include spans not
+    overlapping (optionally pre/post-widened) exclude spans."""
+    from lucene_spark.search.spans import SpanNotQuery, SpanTermQuery
+
+    pos = {"a": [0, 4, 9], "b": [4]}
+    q = SpanNotQuery(SpanTermQuery("a"), SpanTermQuery("b"))
+    assert emitted(q.to_source(), pos) == [(0, 0), (9, 9)]
+    q2 = SpanNotQuery(SpanTermQuery("a"), SpanTermQuery("b"), pre=3, post=3)
+    assert emitted(q2.to_source(), pos) == [(0, 0), (9, 9)]
+    q3 = SpanNotQuery(SpanTermQuery("a"), SpanTermQuery("b"), pre=5, post=5)
+    assert emitted(q3.to_source(), pos) == []
+    # exclude term absent from the doc: every include span emits
+    assert emitted(q.to_source(), {"a": [1]}) == [(1, 1)]
+
+
+def test_span_not_query_end_to_end(spark, tiny_index):
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.query import IntervalQuery
+    from lucene_spark.search.spans import SpanNotQuery, SpanTermQuery
+
+    s = IndexSearcher(tiny_index)
+    q = SpanNotQuery(SpanTermQuery("model"), SpanTermQuery("the"), pre=1, post=1)
+    got = s.search(q, 10).collect()
+    want = s.search(
+        IntervalQuery(iv.not_within("model", 1, "the")), 10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
