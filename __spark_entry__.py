@@ -428,27 +428,28 @@ FROM ordered WHERE rank <= {k} ORDER BY rank"""
     )
 
 
-def _searcher_en(spark: SparkSession, sf_dir: str):
+def _searcher_en(spark: SparkSession, sf_dir: str, stemmer: str = "porter"):
     """EnglishAnalyzer-preset searcher (EnglishAnalyzer.java:37-52:
-    possessive + ENGLISH_STOP_WORDS + full Porter)."""
-    key = ("en", os.path.abspath(sf_dir))
+    possessive + ENGLISH_STOP_WORDS + full Porter; stemmer="kstem" swaps
+    the stem stage for Krovetz' KStem per en/KStemFilter.java)."""
+    key = ("en", stemmer, os.path.abspath(sf_dir))
     if key not in _CACHE:
         from lucene_spark.analysis import Analyzer
         from lucene_spark.index import IndexBuilder
         from lucene_spark.search import IndexSearcher
 
-        idx = IndexBuilder(num_segments=8, analyzer=Analyzer.english()).build(
-            _transcripts_df(spark, sf_dir)
-        )
+        idx = IndexBuilder(
+            num_segments=8, analyzer=Analyzer.english(stemmer=stemmer)
+        ).build(_transcripts_df(spark, sf_dir))
         _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
     return _CACHE[key]
 
 
-def _q_topk_english(query_text: str, k: int):
+def _q_topk_english(query_text: str, k: int, stemmer: str = "porter"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import BooleanQuery, Occur, TermQuery
 
-        _, searcher = _searcher_en(spark, sf_dir)
+        _, searcher = _searcher_en(spark, sf_dir, stemmer=stemmer)
         terms = searcher.parse_terms(query_text)
         q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
         return _ranked_topk(searcher, q, k)
@@ -459,19 +460,21 @@ def _q_topk_english(query_text: str, k: int):
 _EN_PRELUDE_CACHE: dict[str, str] = {}
 
 
-def _prelude_en() -> str:
-    """Analyzed prelude for the EnglishAnalyzer gate.  DuckDB has no Porter
-    built-in in this sandbox, so the (term -> stem) pairs the full Porter
-    stemmer CHANGES are inlined as a VALUES map derived once from the
-    fixture vocabulary at every contract scale (the fixture vocabulary is
-    a few dozen terms; unseen terms COALESCE to themselves, which matches
-    Porter only because the map covers the whole corpus vocabulary — a
-    declared-subset assumption like _PRELUDE's '[a-z0-9]+' tokenizer)."""
-    if "sql" not in _EN_PRELUDE_CACHE:
+def _prelude_en(stemmer: str = "porter") -> str:
+    """Analyzed prelude for the EnglishAnalyzer gates.  DuckDB has neither
+    Porter nor KStem built-in in this sandbox, so the (term -> stem) pairs
+    the chosen dictionary stemmer CHANGES are inlined as a VALUES map
+    derived once from the fixture vocabulary at every contract scale (the
+    fixture vocabulary is a few dozen terms; unseen terms COALESCE to
+    themselves, which matches the stemmer only because the map covers the
+    whole corpus vocabulary — a declared-subset assumption like _PRELUDE's
+    '[a-z0-9]+' tokenizer)."""
+    if stemmer not in _EN_PRELUDE_CACHE:
         import duckdb
 
-        from lucene_spark.analysis.porter import porter_stem
+        from lucene_spark.analysis.analyzer import DICT_STEMMERS
 
+        stem_fn = DICT_STEMMERS[stemmer]
         con = duckdb.connect()
         vocab: set[str] = set()
         for sf in ("0.001", "0.01", "0.1"):
@@ -486,10 +489,10 @@ def _prelude_en() -> str:
                 ).fetchall()
             }
         pairs = sorted(
-            (t, porter_stem(t)) for t in vocab if porter_stem(t) != t
+            (t, stem_fn(t)) for t in vocab if stem_fn(t) != t
         )
         vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
-        _EN_PRELUDE_CACHE["sql"] = f"""
+        _EN_PRELUDE_CACHE[stemmer] = f"""
 WITH pmap(tok, stem) AS (VALUES {vals}),
 tr AS (
   SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
@@ -534,7 +537,7 @@ edfreq AS (
   SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
 )
 """
-    return _EN_PRELUDE_CACHE["sql"]
+    return _EN_PRELUDE_CACHE[stemmer]
 
 
 _EN_SCORE = (
@@ -544,10 +547,10 @@ _EN_SCORE = (
 )
 
 
-def _english_topk_sql(stemmed_terms: list[str], k: int) -> str:
+def _english_topk_sql(stemmed_terms: list[str], k: int, stemmer: str = "porter") -> str:
     tlist = ", ".join(f"'{t}'" for t in stemmed_terms)
     return (
-        _prelude_en()
+        _prelude_en(stemmer)
         + f""",
 scored AS (
   SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
@@ -4956,6 +4959,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop": _q_phrase_slop(["customer", "join"], 2, 10),
         "bm25_topk_stemmed": _q_topk_stemmed("queries joins tables", 20),
         "bm25_topk_english": _q_topk_english("the queries and joins of tables", 20),
+        "bm25_topk_kstem": _q_topk_english(
+            "the queries and joins of tables", 20, stemmer="kstem"
+        ),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -5091,6 +5097,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": _sloppy_phrase_sql("customer", "join", 2, 10),
         "bm25_topk_stemmed": _an_topk_sql(["query", "join", "table"], 20),
         "bm25_topk_english": _english_topk_sql(["queri", "join", "tabl"], 20),
+        "bm25_topk_kstem": _english_topk_sql(
+            ["query", "join", "table"], 20, stemmer="kstem"
+        ),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),
         "bm25_topk_spanish": _lang_topk_sql("es", 20),

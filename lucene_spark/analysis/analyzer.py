@@ -66,6 +66,7 @@ from lucene_spark.analysis.lang import (
     portuguese_light_stem,
     spanish_light_stem,
 )
+from lucene_spark.analysis.kstem import kstem_stem
 from lucene_spark.analysis.porter import porter_stem
 from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS, tokenize_text
 
@@ -85,6 +86,7 @@ ENGLISH_STOP_WORDS = frozenset(
 # run as one Arrow batch over the vocabulary.
 DICT_STEMMERS = {
     "porter": porter_stem,
+    "kstem": kstem_stem,
     "french_light": french_light_stem,
     "german_light": german_normalize_and_stem,
     "spanish_light": spanish_light_stem,
@@ -263,12 +265,18 @@ class Analyzer:
                 raise ValueError("ngram composes only with stopwords")
 
     @classmethod
-    def english(cls) -> "Analyzer":
+    def english(cls, stemmer: str = "porter") -> "Analyzer":
         """The EnglishAnalyzer preset (analysis/common/src/java/org/apache/
         lucene/analysis/en/EnglishAnalyzer.java:37-52): possessive filter +
-        ENGLISH_STOP_WORDS (with position holes) + PorterStemFilter."""
+        ENGLISH_STOP_WORDS (with position holes) + PorterStemFilter.
+
+        ``stemmer="kstem"`` swaps the stem stage for Krovetz' KStem
+        (en/KStemFilter.java — the chain several reference English
+        analyzers default to; see analysis/kstem.py)."""
+        if stemmer not in ("porter", "kstem"):
+            raise ValueError(f"english() stemmer must be porter|kstem, got {stemmer!r}")
         return cls(
-            stopwords=ENGLISH_STOP_WORDS, stemmer="porter", possessive=True
+            stopwords=ENGLISH_STOP_WORDS, stemmer=stemmer, possessive=True
         )
 
     @classmethod
