@@ -3397,28 +3397,40 @@ FROM kn ORDER BY rank"""
     )
 
 
-def _q_hybrid(term: str, knn_k: int, k: int):
+def _q_hybrid(
+    term: str, knn_k: int, k: int, b_bm25: float = 1.0, b_knn: float = 1.0
+):
     """Hybrid retrieval: BooleanQuery(SHOULD=[TermQuery, KnnVectorQuery]) —
     BM25 and vector-similarity scores SUM for docs matching both, per
     BooleanQuery SHOULD semantics over the knn rewrite
-    (KnnFloatVectorQuery.java:45 rewrite → DocAndScoreQuery)."""
+    (KnnFloatVectorQuery.java:45 rewrite → DocAndScoreQuery).
+
+    The calibrated variant wraps each branch in BoostQuery: the combination
+    contract is a BOOST-WEIGHTED SUM, score = b_bm25 * bm25 + b_knn * knn —
+    the two addends stay on their native scales (BM25 unbounded, knn in
+    [0, 1]); calibration is the caller's explicit boost choice, never an
+    implicit normalization (randomized pin: tests/test_knn.py::
+    test_hybrid_boost_weighted_sum_randomized)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import (
-            BooleanQuery, KnnVectorQuery, Occur, TermQuery,
+            BoostQuery, BooleanQuery, KnnVectorQuery, Occur, TermQuery,
         )
 
         _, searcher = _vec_searcher(spark, sf_dir)
+        knn = KnnVectorQuery(_query_vec(spark, sf_dir), knn_k)
         q = BooleanQuery.of(
-            (TermQuery(term), Occur.SHOULD),
-            (KnnVectorQuery(_query_vec(spark, sf_dir), knn_k), Occur.SHOULD),
+            (BoostQuery(TermQuery(term), b_bm25), Occur.SHOULD),
+            (BoostQuery(knn, b_knn), Occur.SHOULD),
         )
         return _ranked_topk(searcher, q, k)
 
     return run
 
 
-def _hybrid_sql(term: str, knn_k: int, k: int) -> str:
+def _hybrid_sql(
+    term: str, knn_k: int, k: int, b_bm25: float = 1.0, b_knn: float = 1.0
+) -> str:
     return (
         _PRELUDE
         + ","
@@ -3440,7 +3452,7 @@ bs AS (
 comb AS (
   SELECT coalesce(bs.conv_id, kn.conv_id) AS conv_id,
          coalesce(bs.turn_idx, kn.turn_idx) AS turn_idx,
-         coalesce(bs.score, 0) + coalesce(kn.kscore, 0) AS score
+         coalesce(bs.score, 0) * {float(b_bm25)!r} + coalesce(kn.kscore, 0) * {float(b_knn)!r} AS score
   FROM bs FULL OUTER JOIN kn
     ON bs.conv_id = kn.conv_id AND bs.turn_idx = kn.turn_idx
 ),
@@ -4142,6 +4154,51 @@ def _q_nrt_topk(term: str, k: int):
             inc.maybe_merge(spark)
             idx = inc.open_index(spark)
             _CACHE[key] = IndexSearcher(idx, scoring="plain_f64")
+        searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(term), k)
+
+    return run
+
+
+def _q_nrt_generation_topk(term: str, k: int):
+    """NRT commit generations (IndexWriter.commit() under a
+    SnapshotDeletionPolicy — SnapshotDeletionPolicy.java:48; Iceberg
+    snapshot-isolation analog): ingest the corpus through
+    IncrementalIndexer in 3 micro-batches, commit generation 1, ingest a
+    4th batch of EXTRA docs while readers exist, commit generation 2.  A
+    reader opened on generation 1 by snapshot id must reproduce the full
+    original corpus exactly — stats and scores untouched by the later
+    ingest — so the plain one-shot SQL twin applies verbatim; the gate
+    asserts the latest generation genuinely differs (more docs, changed
+    stats), i.e. generation isolation is real, not a pointer re-read."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from lucene_spark.index.store import load_index
+        from lucene_spark.search import IndexSearcher, TermQuery
+        from lucene_spark.streaming.incremental import IncrementalIndexer
+
+        key = ("nrt_gen", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            d = tempfile.mkdtemp(prefix="lucene_spark_nrtgen_")
+            inc = IncrementalIndexer(d)
+            docs = _transcripts_df(spark, sf_dir)
+            for b in range(3):
+                inc.process_batch(docs.filter(F.col("turn_idx") % 3 == b), b)
+            inc.maybe_merge(spark)
+            sid1 = inc.commit_generation(spark)
+            extra = docs.filter(F.col("turn_idx") == 0).withColumn(
+                "conv_id", F.concat(F.lit("z"), F.col("conv_id"))
+            )
+            inc.process_batch(extra, 3)
+            sid2 = inc.commit_generation(spark)
+            table = os.path.join(d, "table")
+            gen1 = load_index(spark, table, snapshot_id=sid1)
+            latest = load_index(spark, table, snapshot_id=sid2)
+            assert latest.stats != gen1.stats, "later ingest must change stats"
+            assert latest.docs.count() > gen1.docs.count()
+            _CACHE[key] = IndexSearcher(gen1, scoring="plain_f64")
         searcher = _CACHE[key]
         return _ranked_topk(searcher, TermQuery(term), k)
 
@@ -5014,6 +5071,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "monitor_matches_scored": _q_monitor_scored,
         "nrt_bm25_topk": _q_nrt_topk("query", 10),
+        "nrt_generation_topk": _q_nrt_generation_topk("index", 10),
+        "hybrid_calibrated_topk": _q_hybrid("spark", 50, 10, b_bm25=0.5, b_knn=2.0),
         "store_roundtrip_topk": _q_store_roundtrip_topk("merge", 10),
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
         "add_indexes_topk": _q_add_indexes_topk("merge", 10),
@@ -5153,6 +5212,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "monitor_matches_scored": _monitor_scored_sql(),
         "nrt_bm25_topk": _topk_sql(["query"], 10),
+        "nrt_generation_topk": _topk_sql(["index"], 10),
+        "hybrid_calibrated_topk": _hybrid_sql("spark", 50, 10, b_bm25=0.5, b_knn=2.0),
         "store_roundtrip_topk": _topk_sql(["merge"], 10),
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
         "add_indexes_topk": _topk_sql(["merge"], 10),

@@ -127,6 +127,45 @@ def test_knn_should_hybrid_sums(knn_searcher):
         assert v == pytest.approx(kset.get(d, 0.0) + tset.get(d, 0.0), rel=1e-12)
 
 
+@pytest.mark.parametrize("seed", [3, 17, 92])
+def test_hybrid_boost_weighted_sum_randomized(knn_searcher, seed):
+    """Pins the hybrid combination contract: BoostQuery-wrapped branches
+    under SHOULD combine as score = b_bm25 * bm25 + b_knn * knn, each
+    addend on its native scale — NO implicit normalization.  Randomized
+    boosts/k so a future normalization change can't silently reorder
+    hybrid results (VERDICT r4 next-round #8)."""
+    import random
+
+    from lucene_spark.search import (
+        BooleanQuery, BoostQuery, KnnVectorQuery, Occur, TermQuery,
+    )
+
+    rng = random.Random(seed)
+    s, vecs = knn_searcher
+    # boosts drawn from exact binary fractions so f64 equality is exact
+    b_bm25 = rng.choice([0.25, 0.5, 1.0, 1.5, 2.0, 4.0])
+    b_knn = rng.choice([0.25, 0.5, 1.0, 1.5, 2.0, 4.0])
+    knn_k = rng.randint(3, 12)
+    knn = KnnVectorQuery(QV, knn_k)
+    term = TermQuery(rng.choice(["model", "data", "the"]))
+    bq = BooleanQuery.of(
+        (BoostQuery(term, b_bm25), Occur.SHOULD),
+        (BoostQuery(knn, b_knn), Occur.SHOULD),
+    )
+    got = {int(r.doc_id): float(r.score) for r in s.scored(bq).collect()}
+    kset = {int(r.doc_id): float(r.score) for r in s.scored(knn).collect()}
+    tset = {int(r.doc_id): float(r.score) for r in s.scored(term).collect()}
+    assert set(got) == set(kset) | set(tset)
+    for d, v in got.items():
+        want = b_bm25 * tset.get(d, 0.0) + b_knn * kset.get(d, 0.0)
+        assert v == pytest.approx(want, rel=1e-12), (d, b_bm25, b_knn)
+    # rank order (with doc_id tie-break) follows the weighted sum
+    k = rng.randint(2, 8)
+    ranked = [int(r.doc_id) for r in s.search(bq, k).collect()]
+    exp = [d for d, _ in sorted(got.items(), key=lambda t: (-t[1], t[0]))][:k]
+    assert ranked == exp
+
+
 def test_knn_ivf_backed(knn_searcher, tmp_path):
     """With an IVF index registered, the unfiltered knn reads only probed
     partitions and must equal ivf_topk on the same relation."""
