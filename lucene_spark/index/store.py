@@ -21,20 +21,35 @@ properties that matter at 100 TB:
 
 The bucket function is crc32 (not hash()) so driver-side Python can compute
 a query term's bucket identically (zlib.crc32) for pushdown literals.
+
+Every table-METADATA operation (pointer read/swap, snapshot manifests,
+write lock, data-path resolution) routes through a ``Catalog``
+(lucene_spark/index/catalog.py; default FileCatalog = the commit.json
+backend).  A real Iceberg catalog is a drop-in replacement where the
+Iceberg Spark runtime jar exists — the data files here are already plain
+parquet, i.e. Iceberg's data layer.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import zlib
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_spark.index.builder import InvertedIndex
+from lucene_spark.index.catalog import (
+    DEFAULT_CATALOG,
+    Catalog,
+    FileCatalog,
+    LockObtainFailedError,
+)
 
 DEFAULT_BUCKETS = 32
+
+
+def _cat(catalog: Catalog | None) -> Catalog:
+    return DEFAULT_CATALOG if catalog is None else catalog
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -112,12 +127,17 @@ def save_index(
     n_buckets: int = DEFAULT_BUCKETS,
     chunk_bits: int | None = None,
     term_vectors: bool = False,
+    catalog: Catalog | None = None,
 ) -> None:
     """Write the index as a self-contained directory (idempotent overwrite)."""
+    catalog = _cat(catalog)
     commit = {"format_version": 1}
-    commit.update(_write_families(idx, path, n_buckets, chunk_bits, term_vectors))
-    with open(os.path.join(path, "commit.json"), "w") as f:
-        json.dump(commit, f, indent=2)
+    commit.update(
+        _write_families(
+            idx, catalog.data_location(path, ""), n_buckets, chunk_bits, term_vectors
+        )
+    )
+    catalog.swap_pointer(path, commit)
 
 
 def commit_snapshot(
@@ -126,6 +146,7 @@ def commit_snapshot(
     n_buckets: int = DEFAULT_BUCKETS,
     chunk_bits: int | None = None,
     term_vectors: bool = False,
+    catalog: Catalog | None = None,
 ) -> int:
     """Append a new immutable commit generation and return its snapshot id.
 
@@ -140,50 +161,12 @@ def commit_snapshot(
     exact point-in-time state — time travel — because no generation ever
     rewrites another's files.
     """
+    catalog = _cat(catalog)
     os.makedirs(path, exist_ok=True)
-    with _write_lock(path):
+    with catalog.write_lock(path):
         return _commit_snapshot_locked(
-            idx, path, n_buckets, chunk_bits, term_vectors
+            idx, path, n_buckets, chunk_bits, term_vectors, catalog
         )
-
-
-class LockObtainFailedError(RuntimeError):
-    """≙ org.apache.lucene.store.LockObtainFailedException."""
-
-
-@contextmanager
-def _write_lock(path: str):
-    """Single-writer guard ≙ IndexWriter's write.lock
-    (core/store/NativeFSLockFactory.java:46): O_EXCL create fails if
-    another writer holds the table; released after the pointer swap.
-    Held by every table-metadata mutation (commit_snapshot AND
-    expire_snapshots) so read-modify-writes of commit.json never race."""
-    lock = os.path.join(path, "write.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        raise LockObtainFailedError(
-            f"write.lock held on {path} — another writer is committing"
-        ) from None
-    try:
-        yield
-    finally:
-        os.remove(lock)
-
-
-def _write_pointer(path: str, meta: dict) -> None:
-    """Atomically swap the table-metadata pointer: write commit.json.tmp,
-    flush + fsync, then os.replace onto commit.json — a crash mid-write
-    leaves the old pointer intact (the segments_N / Iceberg
-    metadata.json durability contract, SegmentInfos.java:55-106)."""
-    target = os.path.join(path, "commit.json")
-    tmp = target + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, target)
 
 
 def _commit_snapshot_locked(
@@ -192,8 +175,9 @@ def _commit_snapshot_locked(
     n_buckets: int,
     chunk_bits: int | None,
     term_vectors: bool,
+    catalog: Catalog,
 ) -> int:
-    meta = _table_meta(path)
+    meta = catalog.table_meta(path)
     snapshot_id = int(meta.get("latest", 0)) + 1
     data_dir = f"gen-{snapshot_id}"
     payload = {
@@ -204,11 +188,14 @@ def _commit_snapshot_locked(
     }
     payload.update(
         _write_families(
-            idx, os.path.join(path, data_dir), n_buckets, chunk_bits, term_vectors
+            idx,
+            catalog.data_location(path, data_dir),
+            n_buckets,
+            chunk_bits,
+            term_vectors,
         )
     )
-    with open(os.path.join(path, f"commit-{snapshot_id}.json"), "w") as f:
-        json.dump(payload, f, indent=2)
+    catalog.write_manifest(path, snapshot_id, payload)
     meta = {
         "format_version": 2,
         "latest": snapshot_id,
@@ -217,26 +204,17 @@ def _commit_snapshot_locked(
     # pointer swap is the commit point: written last, after all data +
     # manifest files are durable (same ordering as segments_N / Iceberg
     # metadata.json — a crash before this line leaves the old table intact)
-    _write_pointer(path, meta)
+    catalog.swap_pointer(path, meta)
     return snapshot_id
 
 
-def _table_meta(path: str) -> dict:
-    p = os.path.join(path, "commit.json")
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        meta = json.load(f)
-    return meta if meta.get("format_version", 1) >= 2 else {}
-
-
-def list_snapshots(path: str) -> list[dict]:
+def list_snapshots(path: str, catalog: Catalog | None = None) -> list[dict]:
     """Retained commit points, oldest first (DirectoryReader.listCommits /
     Iceberg ``table.snapshots()`` analog)."""
+    catalog = _cat(catalog)
     out = []
-    for sid in _table_meta(path).get("snapshots", []):
-        with open(os.path.join(path, f"commit-{sid}.json")) as f:
-            c = json.load(f)
+    for sid in catalog.table_meta(path).get("snapshots", []):
+        c = catalog.read_manifest(path, sid)
         out.append(
             {
                 "snapshot_id": c["snapshot_id"],
@@ -247,31 +225,32 @@ def list_snapshots(path: str) -> list[dict]:
     return out
 
 
-def expire_snapshots(path: str, keep: int = 1) -> list[int]:
+def expire_snapshots(
+    path: str, keep: int = 1, catalog: Catalog | None = None
+) -> list[int]:
     """Drop all but the ``keep`` newest snapshots, deleting their data
     directories (Iceberg ``expire_snapshots`` / KeepOnlyLastCommitDeletionPolicy
     analog).  Returns the expired ids."""
-    import shutil
-
-    with _write_lock(path):
-        meta = _table_meta(path)
+    catalog = _cat(catalog)
+    with catalog.write_lock(path):
+        meta = catalog.table_meta(path)
         snaps = meta.get("snapshots", [])
         expired = snaps[: max(0, len(snaps) - keep)]
         meta["snapshots"] = snaps[len(expired):]
         # swap the pointer BEFORE deleting data: a crash mid-delete leaves
         # orphan gen-N dirs (harmless, re-expirable), never a pointer
         # naming deleted data
-        _write_pointer(path, meta)
+        catalog.swap_pointer(path, meta)
         for sid in expired:
-            with open(os.path.join(path, f"commit-{sid}.json")) as f:
-                c = json.load(f)
-            shutil.rmtree(os.path.join(path, c["data"]), ignore_errors=True)
-            os.remove(os.path.join(path, f"commit-{sid}.json"))
+            catalog.drop_manifest(path, sid)
         return expired
 
 
 def load_index(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    catalog: Catalog | None = None,
 ) -> InvertedIndex:
     """Point-in-time open (≙ DirectoryReader.open over a commit point).
 
@@ -282,9 +261,9 @@ def load_index(
     The logical ``postings`` view is reconstructed lazily by decoding the
     packed table; term-filtered queries hit the packed table directly with
     bucket pushdown (see LoadedIndex.packed_for_terms)."""
-    with open(os.path.join(path, "commit.json")) as f:
-        commit = json.load(f)
-    data = path
+    catalog = _cat(catalog)
+    commit = catalog.read_pointer(path)
+    data = catalog.data_location(path, "")
     if commit.get("format_version", 1) >= 2:
         sid = commit["latest"] if snapshot_id is None else int(snapshot_id)
         if sid not in commit.get("snapshots", []):
@@ -292,9 +271,8 @@ def load_index(
                 f"snapshot {sid} not retained in {path} "
                 f"(have {commit.get('snapshots')})"
             )
-        with open(os.path.join(path, f"commit-{sid}.json")) as f:
-            commit = json.load(f)
-        data = os.path.join(path, commit["data"])
+        commit = catalog.read_manifest(path, sid)
+        data = catalog.data_location(path, commit["data"])
     elif snapshot_id is not None:
         raise ValueError("snapshot_id requires a snapshot-mode table (v2)")
     packed = spark.read.parquet(os.path.join(data, "postings"))
@@ -331,6 +309,7 @@ def add_indexes(
     out_path: str,
     n_buckets: int = DEFAULT_BUCKETS,
     chunk_bits: int | None = None,
+    catalog: Catalog | None = None,
 ) -> None:
     """Merge independently built stored indexes into one —
     ``IndexWriter.addIndexes(Directory...)`` (core/index/IndexWriter.java:3108)
@@ -345,7 +324,7 @@ def add_indexes(
     one-shot builder runs anyway."""
     from lucene_spark.index.builder import InvertedIndex
 
-    srcs = [load_index(spark, p) for p in paths]
+    srcs = [load_index(spark, p, catalog=catalog) for p in paths]
     if not srcs:
         raise ValueError("add_indexes: no source indexes given")
     # ≙ IndexWriter.addIndexes' config checks: merging indexes built with
@@ -405,4 +384,6 @@ def add_indexes(
         b=srcs[0].b,
     )
     merged.analyzer = srcs[0].analyzer
-    save_index(merged, out_path, n_buckets=n_buckets, chunk_bits=chunk_bits)
+    save_index(
+        merged, out_path, n_buckets=n_buckets, chunk_bits=chunk_bits, catalog=catalog
+    )

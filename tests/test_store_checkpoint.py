@@ -241,6 +241,77 @@ def test_snapshot_write_lock(spark, tiny_index, tmp_path_factory):
     assert not os.path.exists(os.path.join(path, "write.lock"))
 
 
+def test_catalog_seam_routes_all_metadata_ops(spark, tiny_index, tmp_path_factory):
+    """The Catalog interface (index/catalog.py) is the only path to table
+    metadata: a recording subclass sees every pointer/manifest/lock/expire
+    operation of the full snapshot lifecycle, and the store behaves
+    identically through it (the Iceberg-drop-in seam, VERDICT r4 #7)."""
+    from lucene_spark.index.catalog import FileCatalog
+    from lucene_spark.index.store import (
+        commit_snapshot,
+        expire_snapshots,
+        list_snapshots,
+        load_index,
+        save_index,
+    )
+
+    calls = []
+
+    class RecordingCatalog(FileCatalog):
+        def read_pointer(self, table):
+            calls.append("read_pointer")
+            return super().read_pointer(table)
+
+        def swap_pointer(self, table, meta):
+            calls.append("swap_pointer")
+            return super().swap_pointer(table, meta)
+
+        def read_manifest(self, table, sid):
+            calls.append(f"read_manifest:{sid}")
+            return super().read_manifest(table, sid)
+
+        def write_manifest(self, table, sid, payload):
+            calls.append(f"write_manifest:{sid}")
+            return super().write_manifest(table, sid, payload)
+
+        def drop_manifest(self, table, sid):
+            calls.append(f"drop_manifest:{sid}")
+            return super().drop_manifest(table, sid)
+
+        def write_lock(self, table):
+            calls.append("write_lock")
+            return super().write_lock(table)
+
+    cat = RecordingCatalog()
+    path = str(tmp_path_factory.mktemp("idx") / "cat")
+
+    sid1 = commit_snapshot(tiny_index, path, n_buckets=4, chunk_bits=5, catalog=cat)
+    sid2 = commit_snapshot(tiny_index, path, n_buckets=4, chunk_bits=5, catalog=cat)
+    assert (sid1, sid2) == (1, 2)
+    assert calls.count("write_lock") == 2
+    assert calls.count("swap_pointer") == 2
+    assert "write_manifest:1" in calls and "write_manifest:2" in calls
+
+    # reads route through the catalog too (pointer + snapshot manifest)
+    idx1 = load_index(spark, path, snapshot_id=1, catalog=cat)
+    assert "read_manifest:1" in calls
+    assert idx1.stats == tiny_index.stats
+    assert [s["snapshot_id"] for s in list_snapshots(path, catalog=cat)] == [1, 2]
+
+    # expire: lock + pointer swap BEFORE drop, manifest dropped via catalog
+    calls.clear()
+    assert expire_snapshots(path, keep=1, catalog=cat) == [1]
+    assert calls.index("swap_pointer") < calls.index("drop_manifest:1")
+    assert [s["snapshot_id"] for s in list_snapshots(path, catalog=cat)] == [2]
+
+    # v1 single-commit tables publish through the same atomic pointer swap
+    calls.clear()
+    p1 = str(tmp_path_factory.mktemp("idx") / "v1")
+    save_index(tiny_index, p1, n_buckets=4, chunk_bits=5, catalog=cat)
+    assert calls == ["swap_pointer"]
+    assert load_index(spark, p1, catalog=cat).stats == tiny_index.stats
+
+
 def test_add_indexes_merges_stores(spark, tiny_corpus, tiny_index, tmp_path_factory):
     """addIndexes / IndexMergeTool: two independently built+saved halves
     merged into one store score identically to the one-shot build (global
