@@ -1581,6 +1581,22 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_surround_parse(query_text: str, k: int):
+    """Surround query-language gate (queryparser/surround — grammar
+    QueryParser.jj, rewrite DistanceQuery.java): the infix W operator
+    parses to SpanNearQuery(ordered, slop=distance-1), so the span-near
+    SQL twin applies verbatim to ``customer 3w join``."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import SurroundQueryParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = SurroundQueryParser(searcher=searcher).parse(query_text)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
 def _q_span_near(t0: str, t1: str, slop: int, k: int):
     """SpanNearQuery(ordered, slop) — rewrites to maxgaps(slop,
     ordered(...)), riding the interval plan (spans surface)."""
@@ -4972,6 +4988,7 @@ _GATE_PRIORITY = [
     "bm25_topk_kstem",
     "nrt_generation_topk",
     "hybrid_calibrated_topk",
+    "surround_parse_topk",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5101,6 +5118,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "intervals_before_topk": _q_intervals_before("customer", "join", 10),
         "span_near_topk": _q_span_near("customer", "join", 2, 10),
+        "surround_parse_topk": _q_surround_parse("customer 3w join", 10),
         "simple_parse_topk": _q_simple_parse("data customer -slow", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -5255,6 +5273,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "intervals_before_topk": _intervals_before_sql("customer", "join", 10),
         "span_near_topk": _span_near_sql("customer", "join", 2, 10),
+        "surround_parse_topk": _span_near_sql("customer", "join", 2, 10),
         "simple_parse_topk": _simple_parse_sql("data", "customer", "slow", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),

@@ -25,3 +25,8 @@ from lucene_spark.search.query import (  # noqa: F401
 )
 from lucene_spark.search.searcher import IndexSearcher  # noqa: F401
 from lucene_spark.search.parser import QueryParser, QueryParseError  # noqa: F401
+from lucene_spark.search.surround import (  # noqa: F401
+    SurroundParseError,
+    SurroundQueryParser,
+    TooManyBasicQueries,
+)

@@ -1374,10 +1374,14 @@ class IndexSearcher:
             scored = agg.filter(cond).select(
                 "doc_id", F.col("_dsum").cast(self.score_type).alias("score")
             )
-        else:
+        elif filters:
             # FILTER-only query: constant score 0 over the filter matches
             scored = self._const_scored(self._matches(filters[0]), 0.0)
             filters = filters[1:]
+        else:
+            # every scoring clause was a term absent from the dictionary
+            # (rows filtered to nothing) — no document can match
+            scored = self._empty_scored()
 
         for sub in filters:
             scored = scored.join(self._matches(sub), "doc_id", "left_semi")

@@ -397,3 +397,20 @@ def test_combined_field_query(env):
     # the keyword-only matches really are reachable (role term w/o text hit)
     kw_only = [d for d in want if (terms[1], d) in fp and terms[1] not in by_term]
     assert kw_only or terms[1] in by_term
+
+
+def test_all_absent_term_clauses_match_nothing(env):
+    """Regression: a BooleanQuery whose EVERY scoring clause is a term
+    absent from the dictionary must return empty (the batched term fast
+    path used to fall through to the FILTER-only branch and crash when
+    there were no FILTER clauses)."""
+    searcher, _, _ = env
+    absent_and = BooleanQuery.of(
+        (TermQuery("zzqx"), Occur.MUST), (TermQuery("zzqy"), Occur.MUST)
+    )
+    absent_or = BooleanQuery.of(
+        (TermQuery("zzqx"), Occur.SHOULD), (TermQuery("zzqy"), Occur.SHOULD)
+    )
+    assert matches(searcher, absent_and) == set()
+    assert matches(searcher, absent_or) == set()
+    assert searcher.search(absent_and, 5).count() == 0
