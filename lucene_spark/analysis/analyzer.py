@@ -50,8 +50,11 @@ from dataclasses import dataclass, field
 from lucene_spark.analysis.lang import (
     CJK_STOP_WORDS,
     ELISION_PATTERNS,
+    KANA_COMBINE_PAIRS,
     WIDTH_FOLD_FROM,
     WIDTH_FOLD_TO,
+    WIDTH_MARK_FROM,
+    WIDTH_MARK_TO,
     cjk_bigram_expand,
     cjk_width_fold,
     FRENCH_STOP_WORDS,
@@ -210,7 +213,8 @@ class Analyzer:
     # unigram); positions are dense over the EXPANDED stream, then stop
     # holes apply (the filter's StopFilter-after-bigram slot)
     cjk_bigrams: bool = False
-    # CJKWidthFilter fullwidth-ASCII subset as a pre-tokenize char filter
+    # the FULL CJKWidthFilter as a pre-tokenize char filter: fullwidth
+    # ASCII -> latin, halfwidth katakana -> kana, voiced-mark combining
     width_fold: bool = False
 
     def __post_init__(self):
@@ -323,8 +327,9 @@ class Analyzer:
     @classmethod
     def cjk(cls) -> "Analyzer":
         """The CJKAnalyzer preset (cjk/CJKAnalyzer.java:94-101):
-        CJKWidthFilter (fullwidth-ASCII subset) + CJKBigramFilter +
-        the analyzer's default stop set (English words)."""
+        CJKWidthFilter (fullwidth ASCII + halfwidth katakana with
+        voiced-mark combining) + CJKBigramFilter + the analyzer's
+        default stop set (English words)."""
         return cls(
             stopwords=CJK_STOP_WORDS, cjk_bigrams=True, width_fold=True
         )
@@ -602,7 +607,15 @@ class Analyzer:
         if self.ascii_folding:
             col = F.translate(col, _FOLD_FROM, _FOLD_TO)
         if self.width_fold:
+            # full CJKWidthFilter: 1:1 translate (fullwidth ASCII +
+            # halfwidth kana), then the voiced/semi-voiced mark combining
+            # as a constant chain of literal replaces (the pattern set is
+            # disjoint and over already-normalized text — see lang.py), then
+            # the U+3099/U+309A fallback for marks that could not combine
             col = F.translate(col, WIDTH_FOLD_FROM, WIDTH_FOLD_TO)
+            for pat, rep in KANA_COMBINE_PAIRS:
+                col = F.replace(col, F.lit(pat), F.lit(rep))
+            col = F.translate(col, WIDTH_MARK_FROM, WIDTH_MARK_TO)
         if self.elision:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "

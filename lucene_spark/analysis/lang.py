@@ -484,19 +484,82 @@ CJK_STOP_WORDS = frozenset(
     "t that the their then there these they this to was will with www".split()
 )
 
-# CJKWidthFilter.java:44-48 fullwidth-ASCII branch (ch - 0xFEE0), lowered
-# as a pre-tokenize char filter: a 1:1 translate, so token boundaries are
-# unchanged relative to the reference's post-tokenize slot on the declared
-# subset.  The halfwidth-katakana branch (0xFF65-0xFF9F + voiced-mark
-# combining, java:49-56) is out of the 1:1 subset and documented as such.
-_WIDTH_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
-_WIDTH_TO = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+# CJKWidthFilter.java, the FULL filter as a pre-tokenize char filter:
+# * fullwidth-ASCII variants -> basic latin (java:44-48, ch - 0xFEE0)
+# * halfwidth katakana -> standard katakana (java:28-41 KANA_NORM)
+# * halfwidth voiced/semi-voiced sound marks (0xFF9E/0xFF9F) COMBINE with
+#   the preceding (already normalized) kana when a composed form exists
+#   (java:70-99 KANA_COMBINE_VOICED/_HALF_VOICED deltas over
+#   0x30A6..0x30FD), else fall back to U+3099/U+309A.
+# Applying it before tokenization (the reference applies it after) is
+# equivalent on this subset: every output char keeps its script class, so
+# token boundaries agree; it also lets the halfwidth forms join their kana
+# runs for the bigram stage.
+
+# CJKWidthFilter.java:28-41 — halfwidth kana 0xFF65-0xFF9F
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3, 0x30E5,
+    0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8, 0x30AA, 0x30AB,
+    0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7, 0x30B9, 0x30BB, 0x30BD,
+    0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8, 0x30CA, 0x30CB, 0x30CC, 0x30CD,
+    0x30CE, 0x30CF, 0x30D2, 0x30D5, 0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0,
+    0x30E1, 0x30E2, 0x30E4, 0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC,
+    0x30ED, 0x30EF, 0x30F3, 0x3099, 0x309A,
+]
+# CJKWidthFilter.java:70-81 — kana combining deltas over 0x30A6-0x30FD
+_KANA_COMBINE_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0,
+    1, 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0,
+    0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_COMBINE_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0,
+    0, 2, 0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+_WIDTH_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "".join(
+    chr(c) for c in range(0xFF65, 0xFF9E)
+)
+_WIDTH_TO = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F)) + "".join(
+    chr(_KANA_NORM[c - 0xFF65]) for c in range(0xFF65, 0xFF9E)
+)
 WIDTH_FOLD_FROM, WIDTH_FOLD_TO = _WIDTH_FROM, _WIDTH_TO
 _WIDTH_TABLE = str.maketrans(_WIDTH_FROM, _WIDTH_TO)
 
+# (normalized base + halfwidth mark) -> composed form, for the chained-
+# replace JVM lowering AND the python twin.  Derived from the delta
+# tables; only deltas != 0 combine (CJKWidthFilter.combine:93-98).
+KANA_COMBINE_PAIRS: list[tuple[str, str]] = []
+for _i, _d in enumerate(_KANA_COMBINE_VOICED):
+    if _d:
+        KANA_COMBINE_PAIRS.append(
+            (chr(0x30A6 + _i) + "ﾞ", chr(0x30A6 + _i + _d))
+        )
+for _i, _d in enumerate(_KANA_COMBINE_HALF_VOICED):
+    if _d:
+        KANA_COMBINE_PAIRS.append(
+            (chr(0x30A6 + _i) + "ﾟ", chr(0x30A6 + _i + _d))
+        )
+# fallback for marks that could not combine (java:57 KANA_NORM tail)
+WIDTH_MARK_FROM, WIDTH_MARK_TO = "ﾞﾟ", "゙゚"
+_MARK_TABLE = str.maketrans(WIDTH_MARK_FROM, WIDTH_MARK_TO)
+
 
 def cjk_width_fold(text: str) -> str:
-    return text.translate(_WIDTH_TABLE)
+    """Python twin of the JVM lowering (translate -> combining replaces ->
+    fallback translate) — equivalent to CJKWidthFilter's left-to-right
+    in-place loop because each combining pattern is over ALREADY-normalized
+    text and the pattern sets are disjoint."""
+    t = text.translate(_WIDTH_TABLE)
+    if "ﾞ" in t or "ﾟ" in t:
+        for pat, rep in KANA_COMBINE_PAIRS:
+            if pat in t:
+                t = t.replace(pat, rep)
+        t = t.translate(_MARK_TABLE)
+    return t
 
 
 def cjk_bigram_expand(tok: str, run_class_re) -> list:

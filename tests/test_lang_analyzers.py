@@ -351,6 +351,51 @@ def test_cjk_width_fold():
     assert [w for w, _ in an.analyze_text("ＤＢ 数据")] == ["db", "数据"]
 
 
+def test_cjk_width_fold_halfwidth_kana():
+    """TestCJKWidthFilter.testHalfWidthKana (cjk/TestCJKWidthFilter.java:
+    58-63): halfwidth katakana normalize, and halfwidth voiced/semi-voiced
+    marks RECOMBINE with the preceding base form."""
+    from lucene_spark.analysis import cjk_width_fold
+
+    assert cjk_width_fold("ｶﾀｶﾅ") == "カタカナ"
+    assert cjk_width_fold("ｳﾞｨｯﾂ") == "ヴィッツ"       # ｳ+゛ -> ヴ (delta 78)
+    assert cjk_width_fold("ﾊﾟﾅｿﾆｯｸ") == "パナソニック"  # ﾊ+゜ -> パ (delta 2)
+    assert cjk_width_fold("ｶﾞｷﾞ") == "ガギ"             # ka-row voiced (+1)
+    # a mark that cannot combine falls back to U+3099/U+309A
+    assert cjk_width_fold("aﾞ") == "a゙"
+    assert cjk_width_fold("ﾟ") == "゚"
+    # a second mark after a successful combine cannot re-combine
+    assert cjk_width_fold("ｳﾞﾞ") == "ヴ゙"
+    # fullwidth base + halfwidth mark combines too (prev is normalized)
+    assert cjk_width_fold("ウﾞ") == "ヴ"
+
+
+def test_cjk_width_fold_jvm_parity(spark):
+    """The chained-replace JVM lowering equals the python twin char-for-
+    char on a mark-dense sample (entries through the full cjk chain)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    alphabet = (
+        [chr(c) for c in range(0xFF66, 0xFFA0)]      # halfwidth kana + marks
+        + [chr(c) for c in range(0x30A1, 0x30FB)]    # fullwidth kana
+        + ["ﾞ", "ﾟ", "a", "Ｚ", "５", " "]
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+        for _ in range(60)
+    ]
+    an = Analyzer.cjk()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, t
+
+
 def test_cjk_positions_dense_over_bigrams():
     an = Analyzer.cjk()
     # positions advance per emission (bigram stream), stop holes preserved
