@@ -1597,6 +1597,25 @@ def _q_surround_parse(query_text: str, k: int):
     return run
 
 
+def _q_complex_phrase(query_text: str, k: int):
+    """ComplexPhraseQueryParser gate (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:85-135 phrase re-parse, :258-363 span
+    rewrite): ``"(s* -spark) join"~1`` parses to SpanNear(SpanNot(SpanOr(
+    s-prefixed dictionary terms), spark), join, slop=1, ordered).  Over
+    unit spans the SpanNot is a pure position filter — an s-prefixed token
+    that is not literally 'spark' — so the span-near twin with a filtered
+    first-slot predicate applies verbatim."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import ComplexPhraseQueryParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = ComplexPhraseQueryParser(searcher=searcher).parse(query_text)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
 def _q_span_near(t0: str, t1: str, slop: int, k: int):
     """SpanNearQuery(ordered, slop) — rewrites to maxgaps(slop,
     ordered(...)), riding the interval plan (spans surface)."""
@@ -1611,9 +1630,18 @@ def _q_span_near(t0: str, t1: str, slop: int, k: int):
 
 
 def _span_near_sql(t0: str, t1: str, slop: int, k: int) -> str:
-    """2-term ordered minimal intervals (pred + no intervening occurrence
-    of either term), gap filter <= slop, freq = sum 1/(q-p), saturation
-    score — the engine's span-over-intervals scoring."""
+    return _span_near_pred_sql(f"{{t}} = '{t0}'", f"{{t}} = '{t1}'", slop, k)
+
+
+def _span_near_pred_sql(pred0: str, pred1: str, slop: int, k: int) -> str:
+    """2-slot ordered minimal intervals (pred + no intervening position of
+    either slot's source), gap filter <= slop, freq = sum 1/(q-p),
+    saturation score — the engine's span-over-intervals scoring.  Each
+    slot is a predicate template over a token placeholder ``{t}``
+    (equality for plain terms; set predicates for SpanOr/SpanNot-filtered
+    slots, whose unit spans reduce to position filters)."""
+    p0 = pred0.format(t="arr[i]")
+    p1 = pred1.format(t="arr[i]")
     return (
         _PRELUDE
         + f""",
@@ -1624,13 +1652,13 @@ parr2 AS (
 pa AS (
   SELECT conv_id, turn_idx,
          unnest(list_transform(list_filter(range(1, len(arr) + 1),
-                i -> arr[i] = '{t0}'), i -> i - 1)) AS pos
+                i -> {p0}), i -> i - 1)) AS pos
   FROM parr2
 ),
 pb AS (
   SELECT conv_id, turn_idx,
          unnest(list_transform(list_filter(range(1, len(arr) + 1),
-                i -> arr[i] = '{t1}'), i -> i - 1)) AS pos
+                i -> {p1}), i -> i - 1)) AS pos
   FROM parr2
 ),
 fq AS (
@@ -4989,6 +5017,7 @@ _GATE_PRIORITY = [
     "nrt_generation_topk",
     "hybrid_calibrated_topk",
     "surround_parse_topk",
+    "complex_phrase_topk",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5119,6 +5148,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_before_topk": _q_intervals_before("customer", "join", 10),
         "span_near_topk": _q_span_near("customer", "join", 2, 10),
         "surround_parse_topk": _q_surround_parse("customer 3w join", 10),
+        "complex_phrase_topk": _q_complex_phrase('"(s* -spark) join"~1', 10),
         "simple_parse_topk": _q_simple_parse("data customer -slow", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -5274,6 +5304,9 @@ def oracle_sql() -> dict[str, str]:
         "intervals_before_topk": _intervals_before_sql("customer", "join", 10),
         "span_near_topk": _span_near_sql("customer", "join", 2, 10),
         "surround_parse_topk": _span_near_sql("customer", "join", 2, 10),
+        "complex_phrase_topk": _span_near_pred_sql(
+            "({t} LIKE 's%' AND {t} <> 'spark')", "{t} = 'join'", 1, 10
+        ),
         "simple_parse_topk": _simple_parse_sql("data", "customer", "slow", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),

@@ -30,3 +30,6 @@ from lucene_spark.search.surround import (  # noqa: F401
     SurroundQueryParser,
     TooManyBasicQueries,
 )
+from lucene_spark.search.complexphrase import (  # noqa: F401
+    ComplexPhraseQueryParser,
+)

@@ -80,7 +80,8 @@ class QueryParser:
 
     def __init__(self, field: str = "text", default_operator: str = "OR",
                  analyzer=None, synonyms=None,
-                 keyword_fields: tuple = ("role", "tool")):
+                 keyword_fields: tuple = ("role", "tool"),
+                 fuzzy_prefix_length: int = 0):
         if default_operator not in ("OR", "AND"):
             raise QueryParseError("default_operator must be OR or AND")
         self.field = field
@@ -92,6 +93,9 @@ class QueryParser:
         self.keyword_fields = tuple(keyword_fields)
         self.default_occur = Occur.SHOULD if default_operator == "OR" else Occur.MUST
         self.analyzer = analyzer
+        # QueryParserBase.setFuzzyPrefixLength: fuzzy terms require this
+        # many leading characters to match literally
+        self.fuzzy_prefix_length = fuzzy_prefix_length
         # QueryTimeSynonyms: query-side graph expansion (QueryBuilder.java
         # analyzeGraphBoolean) — single-token rules become SynonymQuery,
         # multi-token alternatives become phrase SHOULD-groups
@@ -241,7 +245,10 @@ class QueryParser:
             pos += 1
         else:
             raise QueryParseError(f"unexpected {kind}")
-        # ^boost suffix
+        return self._boost_suffix(toks, pos, q)
+
+    def _boost_suffix(self, toks, pos, q):
+        # ^boost suffix (handleBoost)
         if pos < len(toks) and toks[pos][0] == "caret":
             if pos + 1 >= len(toks) or toks[pos + 1][0] != "word":
                 raise QueryParseError("^ must be followed by a number")
@@ -277,7 +284,8 @@ class QueryParser:
             base = self._analyze_word(fuzzy.group("base"))
             if len(base) != 1:
                 raise QueryParseError(f"bad fuzzy term {word!r}")
-            return FuzzyQuery(base[0], max_edits=int(fuzzy.group("edits") or 2))
+            return FuzzyQuery(base[0], max_edits=int(fuzzy.group("edits") or 2),
+                              prefix_length=self.fuzzy_prefix_length)
         if "*" in word or "?" in word:
             pat = word.lower()
             if re.fullmatch(r"[^*?]+\*", pat):
