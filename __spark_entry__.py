@@ -1616,6 +1616,38 @@ def _q_complex_phrase(query_text: str, k: int):
     return run
 
 
+_XML_GATE_QUERY = """
+<BooleanQuery fieldName="text">
+  <Clause occurs="must">
+    <SpanNear slop="2" inOrder="true">
+      <SpanTerm>customer</SpanTerm>
+      <SpanTerm>join</SpanTerm>
+    </SpanNear>
+  </Clause>
+  <Clause occurs="mustNot">
+    <TermQuery>slow</TermQuery>
+  </Clause>
+</BooleanQuery>
+"""
+
+
+def _q_xml_parse(k: int):
+    """XML query-parser gate (queryparser/xml/CoreParser.java +
+    builders/): BooleanQuery element with a MUST SpanNear child (ordered,
+    slop=2) and a MUST_NOT TermQuery — the MUST_NOT side is match-only, so
+    the score is the span-near saturation score and the twin is the
+    span-near SQL with a not-term anti-join."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import CoreParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = CoreParser().parse(_XML_GATE_QUERY)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
 def _q_span_near(t0: str, t1: str, slop: int, k: int):
     """SpanNearQuery(ordered, slop) — rewrites to maxgaps(slop,
     ordered(...)), riding the interval plan (spans surface)."""
@@ -1633,15 +1665,24 @@ def _span_near_sql(t0: str, t1: str, slop: int, k: int) -> str:
     return _span_near_pred_sql(f"{{t}} = '{t0}'", f"{{t}} = '{t1}'", slop, k)
 
 
-def _span_near_pred_sql(pred0: str, pred1: str, slop: int, k: int) -> str:
+def _span_near_pred_sql(pred0: str, pred1: str, slop: int, k: int,
+                        not_term: str | None = None) -> str:
     """2-slot ordered minimal intervals (pred + no intervening position of
     either slot's source), gap filter <= slop, freq = sum 1/(q-p),
     saturation score — the engine's span-over-intervals scoring.  Each
     slot is a predicate template over a token placeholder ``{t}``
     (equality for plain terms; set predicates for SpanOr/SpanNot-filtered
-    slots, whose unit spans reduce to position filters)."""
+    slots, whose unit spans reduce to position filters).  ``not_term``
+    adds a doc-level MUST_NOT anti-join (match-only — score unchanged)."""
     p0 = pred0.format(t="arr[i]")
     p1 = pred1.format(t="arr[i]")
+    not_clause = (
+        ""
+        if not_term is None
+        else f""" AND NOT EXISTS (SELECT 1 FROM toks tx
+       WHERE tx.conv_id = fq.conv_id AND tx.turn_idx = fq.turn_idx
+         AND tx.term = '{not_term}')"""
+    )
     return (
         _PRELUDE
         + f""",
@@ -1676,7 +1717,7 @@ fq AS (
 ),
 scored AS (
   SELECT conv_id, turn_idx, 1.0 * (1 - 1.0 / (1 + freq)) AS score
-  FROM fq WHERE freq > 0
+  FROM fq WHERE freq > 0{not_clause}
 ),
 ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
@@ -5018,6 +5059,7 @@ _GATE_PRIORITY = [
     "hybrid_calibrated_topk",
     "surround_parse_topk",
     "complex_phrase_topk",
+    "xml_parse_topk",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5149,6 +5191,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_topk": _q_span_near("customer", "join", 2, 10),
         "surround_parse_topk": _q_surround_parse("customer 3w join", 10),
         "complex_phrase_topk": _q_complex_phrase('"(s* -spark) join"~1', 10),
+        "xml_parse_topk": _q_xml_parse(10),
         "simple_parse_topk": _q_simple_parse("data customer -slow", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -5306,6 +5349,9 @@ def oracle_sql() -> dict[str, str]:
         "surround_parse_topk": _span_near_sql("customer", "join", 2, 10),
         "complex_phrase_topk": _span_near_pred_sql(
             "({t} LIKE 's%' AND {t} <> 'spark')", "{t} = 'join'", 1, 10
+        ),
+        "xml_parse_topk": _span_near_pred_sql(
+            "{t} = 'customer'", "{t} = 'join'", 2, 10, not_term="slow"
         ),
         "simple_parse_topk": _simple_parse_sql("data", "customer", "slow", 10),
         "monitor_matches": _MONITOR_SQL,

@@ -33,3 +33,7 @@ from lucene_spark.search.surround import (  # noqa: F401
 from lucene_spark.search.complexphrase import (  # noqa: F401
     ComplexPhraseQueryParser,
 )
+from lucene_spark.search.xmlparser import (  # noqa: F401
+    CoreParser,
+    ParserException,
+)

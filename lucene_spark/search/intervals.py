@@ -176,6 +176,26 @@ class EndingBefore(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class PositionRange(IntervalsSource):
+    """Spans' SpanPositionRangeQuery filter (queries/.../spans/
+    SpanPositionRangeQuery.java:47-53): intervals with start >= ``start``
+    and (exclusive span) end <= ``end`` ≡ inclusive interval end < end."""
+
+    source: IntervalsSource
+    start: int
+    end: int
+
+    def terms(self):
+        return self.source.terms()
+
+    def min_extent(self):
+        return self.source.min_extent()
+
+    def required_terms(self):
+        return self.source.required_terms()
+
+
+@dataclass(frozen=True)
 class MaxWidth(IntervalsSource):
     source: IntervalsSource
     width: int
@@ -966,6 +986,14 @@ def build_iter(source: IntervalsSource, pos_map: dict):
         sub = build_iter(source.source, pos_map)
         e = source.end
         return None if sub is None else _FilteredIter(sub, lambda it: it.end < e)
+    if isinstance(source, PositionRange):
+        sub = build_iter(source.source, pos_map)
+        s, e = source.start, source.end
+        return (
+            None
+            if sub is None
+            else _FilteredIter(sub, lambda it: it.start >= s and it.end < e)
+        )
     raise TypeError(f"unknown source {source!r}")
 
 

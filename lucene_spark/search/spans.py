@@ -129,6 +129,20 @@ class SpanFirstQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """spans/SpanPositionRangeQuery.java:47-53 — spans fully inside the
+    position window [start, end) (span end exclusive ≡ interval end <
+    ``end``)."""
+
+    match: SpanQuery
+    start: int
+    end: int
+
+    def to_source(self):
+        return iv.PositionRange(self.match.to_source(), self.start, self.end)
+
+
+@dataclass(frozen=True)
 class SpanNotQuery(SpanQuery):
     """spans/SpanNotQuery.java:47-71 — include spans with no exclude span
     overlapping them, the exclude side widened by ``pre`` tokens on the
