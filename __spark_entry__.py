@@ -1616,6 +1616,44 @@ def _q_complex_phrase(query_text: str, k: int):
     return run
 
 
+def _q_sampled_facets(term: str, dim: str, fraction: float, seed: int):
+    """Sampled facet counts (facets/RandomSamplingFacetsCollector +
+    amortized correction): counts over a deterministic key-hash subset of
+    the matches, scaled back by 1/fraction.  Sampling by document-key hash
+    (not df.sample) makes the estimate reproducible across partition
+    layouts and engines — the twin replays the identical md5 predicate."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import sampled_facet_counts
+
+        _, searcher = _searcher(spark, sf_dir)
+        out = sampled_facet_counts(
+            searcher, TermQuery(term), dim, fraction, seed=seed
+        )
+        return out.orderBy("value")
+
+    return run
+
+
+def _sampled_facets_sql(term: str, dim: str, fraction: float, seed: int) -> str:
+    from lucene_spark.pipeline.hashes import seeded_sql
+
+    key = seeded_sql("conv_id || '|' || CAST(turn_idx AS VARCHAR)", seed)
+    thr = int(fraction * 1_000_000_000)
+    return (
+        _PRELUDE
+        + f""",
+m AS (SELECT DISTINCT conv_id, turn_idx FROM toks WHERE term = '{term}'),
+md AS (SELECT m.conv_id, m.turn_idx, tr.{dim}
+       FROM m JOIN tr USING (conv_id, turn_idx)),
+s AS (SELECT * FROM md WHERE ({key}) % 1000000000 < {thr})
+SELECT {dim} AS value,
+       CAST(round(count(*) / {fraction}) AS BIGINT) AS n_est
+FROM s GROUP BY 1 ORDER BY value"""
+    )
+
+
 _XML_GATE_QUERY = """
 <BooleanQuery fieldName="text">
   <Clause occurs="must">
@@ -5060,6 +5098,7 @@ _GATE_PRIORITY = [
     "surround_parse_topk",
     "complex_phrase_topk",
     "xml_parse_topk",
+    "sampled_facets",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5192,6 +5231,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_parse_topk": _q_surround_parse("customer 3w join", 10),
         "complex_phrase_topk": _q_complex_phrase('"(s* -spark) join"~1', 10),
         "xml_parse_topk": _q_xml_parse(10),
+        "sampled_facets": _q_sampled_facets("customer", "role", 0.2, 7),
         "simple_parse_topk": _q_simple_parse("data customer -slow", 10),
         "monitor_matches": _q_monitor,
         "feature_saturation_topk": _q_feature("spark", 30.0, 10),
@@ -5353,6 +5393,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_parse_topk": _span_near_pred_sql(
             "{t} = 'customer'", "{t} = 'join'", 2, 10, not_term="slow"
         ),
+        "sampled_facets": _sampled_facets_sql("customer", "role", 0.2, 7),
         "simple_parse_topk": _simple_parse_sql("data", "customer", "slow", 10),
         "monitor_matches": _MONITOR_SQL,
         "feature_saturation_topk": _feature_sql("spark", 30.0, 10),

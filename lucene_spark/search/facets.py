@@ -75,15 +75,28 @@ def drill_sideways(searcher, query: Query, filters: dict) -> dict[str, DataFrame
 
 
 def sampled_facet_counts(
-    searcher, query: Query, dim: str, sample_fraction: float, seed: int = 7
+    searcher, query: Query, dim: str, sample_fraction: float, seed: int = 7,
+    key_cols=("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """(value, n_est): facet counts over a Bernoulli sample of the matches,
-    scaled back by 1/fraction (RandomSamplingFacetsCollector +
+    """(value, n_est): facet counts over a ``sample_fraction`` subset of the
+    matches, scaled back by 1/fraction (RandomSamplingFacetsCollector +
     amortized-correction analog).  One sampled aggregation — the 100 TB
-    facet path when exact counts aren't needed."""
-    sampled = _matches_with_docs(searcher, query).sample(
-        fraction=sample_fraction, seed=seed
-    )
+    facet path when exact counts aren't needed.
+
+    The subset is selected by deterministic document-key hash
+    (pipeline.hashes, same scheme as pipeline.sample), NOT ``df.sample`` —
+    Spark's Bernoulli sampler draws from per-partition RNG streams, so its
+    selection changes with partition layout; the key hash makes the sampled
+    counts reproducible across runs, cluster layouts, and engines (the
+    reference's random sampler is seeded per-segment and has the same
+    layout sensitivity; determinism-by-key is the distributed-correct
+    reading of its repeatable-seed contract)."""
+    from lucene_spark.pipeline.hashes import seeded
+    from lucene_spark.pipeline.sample import SPACE
+
+    thr = int(sample_fraction * SPACE)
+    key = seeded(F.concat_ws("|", *[F.col(c) for c in key_cols]), seed)
+    sampled = _matches_with_docs(searcher, query).filter((key % SPACE) < thr)
     return sampled.groupBy(F.col(dim).alias("value")).agg(
         F.round(F.count("*") / F.lit(sample_fraction)).cast("long").alias("n_est")
     )

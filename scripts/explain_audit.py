@@ -397,6 +397,30 @@ def main():
         ),
     ]
 
+    # round-5 surfaces: the query-language dialects are PARSE-TIME only —
+    # whatever the syntax (surround, complex phrase, XML), the physical
+    # plan is the already-audited span/interval shape
+    from lucene_spark.search import ComplexPhraseQueryParser
+
+    sections += [
+        (
+            "Complex-phrase parse (dialects add no physical operators)",
+            "'\"(t* -the) data\"~1' parses to SpanNear(SpanNot(SpanOr(...), "
+            "the), data) and rides the SAME single-Exchange position-gather "
+            "plan as the span-near section above — term-dictionary "
+            "expansion happened at parse time (a k-row collect of the "
+            "bucket-pruned term_stats scan), so no extra Exchange, no "
+            "expansion join, no UDF beyond the bounded per-candidate "
+            "interval iterator appears here.",
+            mem_s.search(
+                ComplexPhraseQueryParser(searcher=mem_s).parse(
+                    '"(t* -the) data"~1'
+                ),
+                10,
+            ),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
