@@ -343,6 +343,14 @@ def or_(*sources):
     return Or(tuple(_as_source(s) for s in sources))
 
 
+def unordered_no_overlaps(a, b):
+    """Intervals.unorderedNoOverlaps (Intervals.java:355-357): both
+    sources appear and do not overlap — rewrites verbatim to
+    or(ordered(a, b), ordered(b, a))."""
+    sa, sb = _as_source(a), _as_source(b)
+    return Or((Ordered((sa, sb)), Ordered((sb, sa))))
+
+
 def containing(big, small):
     return Containing(_as_source(big), _as_source(small))
 

@@ -22,6 +22,7 @@ from lucene_spark.search.intervals import (
     ordered,
     overlapping,
     unordered,
+    unordered_no_overlaps,
     within,
 )
 from lucene_spark.search.query import IntervalQuery
@@ -225,6 +226,33 @@ def test_after_ported():
     src = after_(Term("porridge"), ordered("pease", "cold"))
     _check_intervals(src, FIELD1, [[], [7, 7], [4, 4, 7, 7], [], [7, 7], [], []])
     assert src.min_extent() == 1
+
+
+def test_unordered_no_overlaps_ported():
+    # TestIntervals.testUnorderedDistinct (:608-638): unorderedNoOverlaps
+    # rewrites to or(ordered(a,b), ordered(b,a))
+    src = unordered_no_overlaps(Term("pease"), Term("pease"))
+    _check_intervals(
+        src, FIELD1,
+        [[], [0, 3, 3, 6], [0, 3, 3, 6], [], [0, 3, 3, 6], [], []],
+    )
+    src = unordered_no_overlaps(
+        unordered(Term("pease"), Term("porridge"), Term("hot")),
+        Term("porridge"),
+    )
+    _check_intervals(
+        src, FIELD1,
+        [[], [1, 4, 2, 7, 4, 17], [1, 5, 4, 7], [], [1, 4, 2, 7, 4, 17],
+         [], []],
+    )
+    _check_intervals(src, FIELD2, [[], [], [], [], [0, 3], [], []])
+    src = unordered_no_overlaps(
+        Term("porridge"), unordered(Term("pease"), Term("porridge"))
+    )
+    _check_intervals(
+        src, FIELD1,
+        [[], [1, 4, 4, 7], [1, 4, 4, 7], [], [1, 4, 4, 7], [], []],
+    )
 
 
 def test_before_ported():
