@@ -200,6 +200,8 @@ def _commit_snapshot_locked(
         "format_version": 2,
         "latest": snapshot_id,
         "snapshots": sorted(set(meta.get("snapshots", [])) | {snapshot_id}),
+        # named refs (tags) survive commits untouched — Iceberg refs map
+        "refs": meta.get("refs", {}),
     }
     # pointer swap is the commit point: written last, after all data +
     # manifest files are durable (same ordering as segments_N / Iceberg
@@ -225,18 +227,67 @@ def list_snapshots(path: str, catalog: Catalog | None = None) -> list[dict]:
     return out
 
 
+def create_tag(
+    path: str, name: str, snapshot_id: int | None = None,
+    catalog: Catalog | None = None,
+) -> int:
+    """Name a retained snapshot (Iceberg ``manageSnapshots().createTag``;
+    ≙ a SnapshotDeletionPolicy snapshot handle the application keeps).
+    Tags are immutable pointers: a tagged snapshot survives
+    ``expire_snapshots`` until the tag is dropped.  Defaults to the latest
+    snapshot; raises if the tag exists or the snapshot is not retained."""
+    catalog = _cat(catalog)
+    with catalog.write_lock(path):
+        meta = catalog.table_meta(path)
+        if not meta:
+            raise ValueError("tags require a snapshot-mode table (v2)")
+        refs = dict(meta.get("refs", {}))
+        if name in refs:
+            raise ValueError(f"tag {name!r} already exists (drop it first)")
+        sid = int(meta["latest"] if snapshot_id is None else snapshot_id)
+        if sid not in meta.get("snapshots", []):
+            raise FileNotFoundError(f"snapshot {sid} not retained in {path}")
+        refs[name] = sid
+        meta["refs"] = refs
+        catalog.swap_pointer(path, meta)
+        return sid
+
+
+def drop_tag(path: str, name: str, catalog: Catalog | None = None) -> None:
+    """Remove a tag (Iceberg ``removeTag``).  The snapshot itself stays
+    retained until ``expire_snapshots`` collects it."""
+    catalog = _cat(catalog)
+    with catalog.write_lock(path):
+        meta = catalog.table_meta(path)
+        refs = dict(meta.get("refs", {}))
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} in {path}")
+        del refs[name]
+        meta["refs"] = refs
+        catalog.swap_pointer(path, meta)
+
+
+def list_refs(path: str, catalog: Catalog | None = None) -> dict:
+    """{tag: snapshot_id} (Iceberg ``table.refs()``)."""
+    return dict(_cat(catalog).table_meta(path).get("refs", {}))
+
+
 def expire_snapshots(
     path: str, keep: int = 1, catalog: Catalog | None = None
 ) -> list[int]:
     """Drop all but the ``keep`` newest snapshots, deleting their data
     directories (Iceberg ``expire_snapshots`` / KeepOnlyLastCommitDeletionPolicy
-    analog).  Returns the expired ids."""
+    analog).  Tag-referenced snapshots are NEVER expired (Iceberg keeps
+    every ref-reachable snapshot regardless of retention age).  Returns
+    the expired ids."""
     catalog = _cat(catalog)
     with catalog.write_lock(path):
         meta = catalog.table_meta(path)
         snaps = meta.get("snapshots", [])
-        expired = snaps[: max(0, len(snaps) - keep)]
-        meta["snapshots"] = snaps[len(expired):]
+        tagged = set(meta.get("refs", {}).values())
+        candidates = snaps[: max(0, len(snaps) - keep)]
+        expired = [s for s in candidates if s not in tagged]
+        meta["snapshots"] = [s for s in snaps if s not in expired]
         # swap the pointer BEFORE deleting data: a crash mid-delete leaves
         # orphan gen-N dirs (harmless, re-expirable), never a pointer
         # naming deleted data
@@ -250,6 +301,7 @@ def load_index(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
+    tag: str | None = None,
     catalog: Catalog | None = None,
 ) -> InvertedIndex:
     """Point-in-time open (≙ DirectoryReader.open over a commit point).
@@ -257,11 +309,19 @@ def load_index(
     With ``snapshot_id`` on a snapshot-mode table, opens that retained
     commit generation instead of the latest — time travel
     (``DirectoryReader.open(IndexCommit)``, Iceberg read-at-snapshot-id).
+    ``tag`` resolves a named ref instead (Iceberg ``VERSION AS OF 'tag'``).
 
     The logical ``postings`` view is reconstructed lazily by decoding the
     packed table; term-filtered queries hit the packed table directly with
     bucket pushdown (see LoadedIndex.packed_for_terms)."""
     catalog = _cat(catalog)
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or tag, not both")
+        refs = catalog.table_meta(path).get("refs", {})
+        if tag not in refs:
+            raise KeyError(f"no tag {tag!r} in {path}")
+        snapshot_id = refs[tag]
     commit = catalog.read_pointer(path)
     data = catalog.data_location(path, "")
     if commit.get("format_version", 1) >= 2:

@@ -2,7 +2,7 @@
 
     spark-submit --py-files lucene_spark.zip scripts/query.py \
         --index /path/to/index_checkpoint_dir/index \
-        --query '+spark "big data"~1 -slow' [--k 10] [--prune] [--snapshot-id N]
+        --query '+spark "big data"~1 -slow' [--k 10] [--prune] [--snapshot-id N | --tag NAME]
 
 Query syntax: the classic-parser subset (lucene_spark.search.parser).
 Prints one JSON line per hit: rank, conv_id, turn_idx, score.
@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--prune", action="store_true", help="block-max pruned plan")
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="time-travel read of a retained commit generation")
+    ap.add_argument("--tag", default=None,
+                    help="time-travel read of a named snapshot ref")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -42,7 +44,8 @@ def main():
     from lucene_spark.index.store import load_index
     from lucene_spark.search import IndexSearcher, QueryParser
 
-    idx = load_index(spark, args.index, snapshot_id=args.snapshot_id)
+    idx = load_index(spark, args.index, snapshot_id=args.snapshot_id,
+                     tag=args.tag)
     searcher = IndexSearcher(idx)
     q = QueryParser().parse(args.query)
     t0 = time.time()

@@ -218,6 +218,59 @@ def test_snapshot_time_travel(spark, tiny_index, tmp_path_factory):
     assert _topk(IndexSearcher(load_index(spark, path)), q) == _topk(latest, q)
 
 
+def test_snapshot_tags(spark, tiny_index, tmp_path_factory):
+    """Iceberg-style refs: create_tag names a snapshot, load_index(tag=)
+    resolves it, expire_snapshots never collects a tagged snapshot, and
+    dropping the tag releases it to retention."""
+    from lucene_spark.index.deletes import expunge, tombstones_df
+    from lucene_spark.index.store import (
+        commit_snapshot,
+        create_tag,
+        drop_tag,
+        expire_snapshots,
+        list_refs,
+        load_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("idx") / "tagged")
+    q = _or("the", "model", "query")
+    sid1 = commit_snapshot(tiny_index, path, n_buckets=8, chunk_bits=5)
+    before = _topk(IndexSearcher(tiny_index), q)
+    assert create_tag(path, "v1") == sid1  # defaults to latest
+
+    dead = [(before[0][0], before[0][1])]
+    idx2 = expunge(tiny_index, tombstones_df(spark, dead))
+    sid2 = commit_snapshot(idx2, path, n_buckets=8, chunk_bits=5)
+    assert list_refs(path) == {"v1": sid1}  # refs survive new commits
+
+    # tag read path == snapshot read path
+    assert _topk(IndexSearcher(load_index(spark, path, tag="v1")), q) == before
+
+    # a tagged snapshot survives retention; an untagged one would not
+    assert expire_snapshots(path, keep=1) == []
+    assert _topk(IndexSearcher(load_index(spark, path, tag="v1")), q) == before
+
+    # duplicate / unknown handling
+    with pytest.raises(ValueError):
+        create_tag(path, "v1")
+    with pytest.raises(FileNotFoundError):
+        create_tag(path, "vX", snapshot_id=99)
+    with pytest.raises(KeyError):
+        load_index(spark, path, tag="nope")
+    with pytest.raises(ValueError):
+        load_index(spark, path, snapshot_id=sid1, tag="v1")
+
+    # dropping the tag releases the snapshot to the next expiry pass
+    drop_tag(path, "v1")
+    assert list_refs(path) == {}
+    assert expire_snapshots(path, keep=1) == [sid1]
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, path, snapshot_id=sid1)
+    latest = IndexSearcher(load_index(spark, path))
+    assert _topk(latest, q) == _topk(IndexSearcher(idx2), q)
+    assert sid2 == 2
+
+
 def test_snapshot_write_lock(spark, tiny_index, tmp_path_factory):
     """Single-writer commit guard: a held write.lock fails fast with
     LockObtainFailedError; the lock is released after a successful commit
