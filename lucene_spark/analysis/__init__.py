@@ -23,12 +23,22 @@ from lucene_spark.analysis.lang import (  # noqa: F401
     SPANISH_STOP_WORDS,
     elide,
     elide_french,
+    finnish_light_stem,
     french_light_stem,
     german_light_stem,
     german_normalize,
     german_normalize_and_stem,
+    hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    russian_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
+)
+from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
+    FINNISH_STOP_WORDS,
+    HUNGARIAN_STOP_WORDS,
+    RUSSIAN_STOP_WORDS,
+    SWEDISH_STOP_WORDS,
 )
 from lucene_spark.analysis.porter import porter_stem  # noqa: F401

@@ -63,11 +63,21 @@ from lucene_spark.analysis.lang import (
     PORTUGUESE_STOP_WORDS,
     SPANISH_STOP_WORDS,
     elide,
+    finnish_light_stem,
     french_light_stem,
     german_normalize_and_stem,
+    hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    russian_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
+)
+from lucene_spark.analysis.lang_stopwords import (
+    FINNISH_STOP_WORDS,
+    HUNGARIAN_STOP_WORDS,
+    RUSSIAN_STOP_WORDS,
+    SWEDISH_STOP_WORDS,
 )
 from lucene_spark.analysis.kstem import kstem_stem
 from lucene_spark.analysis.porter import porter_stem
@@ -95,6 +105,10 @@ DICT_STEMMERS = {
     "spanish_light": spanish_light_stem,
     "italian_light": italian_light_stem,
     "portuguese_light": portuguese_light_stem,
+    "russian_light": russian_light_stem,
+    "swedish_light": swedish_light_stem,
+    "finnish_light": finnish_light_stem,
+    "hungarian_light": hungarian_light_stem,
 }
 
 
@@ -207,6 +221,12 @@ class Analyzer:
     # widen the tokenizer alphabet to Latin-1 letters (tokenizer.py
     # TOKEN_PATTERN_LATIN1) — the per-language presets set this
     latin1: bool = False
+    # ADDITIONAL letters appended to the token alphabet, as a raw regex
+    # char-class fragment (tokenizer.token_pattern extra): the Russian
+    # preset widens to Cyrillic ("а-яё"), the Hungarian one adds the
+    # Latin-Extended-A letters its stemmer folds ("őűũ") — the declared
+    # per-script subset of StandardTokenizer's all-Unicode-letters contract
+    extra_letters: str = ""
     # CJKBigramFilter (cjk/CJKBigramFilter.java:122-199, outputUnigrams=
     # false): CJK script runs tokenize as ONE token (tokenizer.py
     # CJK_RUN_CLASS) and expand to character bigrams (lone char ->
@@ -344,6 +364,51 @@ class Analyzer:
             latin1=True,
         )
 
+    @classmethod
+    def russian(cls) -> "Analyzer":
+        """The RussianAnalyzer chain (ru/RussianAnalyzer.java:103-116:
+        StandardTokenizer + LowerCase + russian_stop.txt) with the
+        RussianLightStemFilter variant in the stem slot
+        (ru/RussianLightStemFilter.java — the analyzer default is
+        Snowball; the light stemmer is the zoo alternative validated by
+        rulighttestdata.zip).  Cyrillic token alphabet."""
+        return cls(
+            stopwords=RUSSIAN_STOP_WORDS,
+            stemmer="russian_light",
+            extra_letters="а-яё",
+        )
+
+    @classmethod
+    def swedish(cls) -> "Analyzer":
+        """The SwedishAnalyzer chain (sv/SwedishAnalyzer.java:107-120) with
+        the SwedishLightStemFilter variant in the stem slot
+        (sv/SwedishLightStemFilter.java, svlighttestdata.zip)."""
+        return cls(
+            stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light", latin1=True
+        )
+
+    @classmethod
+    def finnish(cls) -> "Analyzer":
+        """The FinnishAnalyzer chain (fi/FinnishAnalyzer.java:107-120) with
+        the FinnishLightStemFilter variant in the stem slot
+        (fi/FinnishLightStemFilter.java, filighttestdata.zip)."""
+        return cls(
+            stopwords=FINNISH_STOP_WORDS, stemmer="finnish_light", latin1=True
+        )
+
+    @classmethod
+    def hungarian(cls) -> "Analyzer":
+        """The HungarianAnalyzer chain (hu/HungarianAnalyzer.java:107-120)
+        with the HungarianLightStemFilter variant in the stem slot
+        (hu/HungarianLightStemFilter.java, hulighttestdata.zip).  Adds the
+        Latin-Extended-A letters the stemmer folds to the alphabet."""
+        return cls(
+            stopwords=HUNGARIAN_STOP_WORDS,
+            stemmer="hungarian_light",
+            latin1=True,
+            extra_letters="őűũ",
+        )
+
     @property
     def syn_map(self) -> dict[str, list[str]]:
         m: dict[str, list[str]] = {}
@@ -374,6 +439,7 @@ class Analyzer:
             and not self.possessive
             and not self.elision
             and not self.latin1
+            and not self.extra_letters
             and not self.cjk_bigrams
             and not self.width_fold
         )
@@ -393,6 +459,7 @@ class Analyzer:
             "possessive": self.possessive,
             "elision": self.elision,
             "latin1": self.latin1,
+            "extra_letters": self.extra_letters,
             "cjk_bigrams": self.cjk_bigrams,
             "width_fold": self.width_fold,
         }
@@ -415,6 +482,7 @@ class Analyzer:
             possessive=d.get("possessive", False),
             elision=d.get("elision") or None,
             latin1=d.get("latin1", False),
+            extra_letters=d.get("extra_letters", ""),
             cjk_bigrams=d.get("cjk_bigrams", False),
             width_fold=d.get("width_fold", False),
         )
@@ -456,7 +524,12 @@ class Analyzer:
             text = cjk_width_fold(text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
-        toks = tokenize_text(text, latin1=self.latin1, cjk=self.cjk_bigrams)
+        toks = tokenize_text(
+            text,
+            latin1=self.latin1,
+            cjk=self.cjk_bigrams,
+            extra=self.extra_letters,
+        )
         if self.cjk_bigrams:
             toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
         if self.possessive:
@@ -500,7 +573,12 @@ class Analyzer:
             text = cjk_width_fold(text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
-        toks = tokenize_text(text, latin1=self.latin1, cjk=self.cjk_bigrams)
+        toks = tokenize_text(
+            text,
+            latin1=self.latin1,
+            cjk=self.cjk_bigrams,
+            extra=self.extra_letters,
+        )
         if self.cjk_bigrams:
             toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
         out: list[tuple[str, int]] = []
@@ -620,7 +698,12 @@ class Analyzer:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "
             )
-        toks = tokens_expr(col, latin1=self.latin1, cjk=self.cjk_bigrams)
+        toks = tokens_expr(
+            col,
+            latin1=self.latin1,
+            cjk=self.cjk_bigrams,
+            extra=self.extra_letters,
+        )
         if self.cjk_bigrams:
             # run -> bigrams (lone char / non-CJK token pass through), all
             # JVM: the flatten keeps emission order, positions assigned next

@@ -569,3 +569,315 @@ def cjk_bigram_expand(tok: str, run_class_re) -> list:
     if len(tok) > 1 and run_class_re.match(tok):
         return [tok[i : i + 2] for i in range(len(tok) - 1)]
     return [tok]
+
+
+# ---------------------------------------------------------------------------
+# Russian (ru/RussianLightStemmer.java:67-148: Dolamic & Savoy, "Indexing
+# and Searching Strategies for the Russian Language" — case-ending removal
+# then soft-sign / double-н normalization).  The RussianLightStemFilter
+# variant of ru/RussianAnalyzer.java's chain (the analyzer default is
+# Snowball; the light stemmer is the zoo alternative with its own
+# rulighttestdata.zip vector archive).
+
+_RU_CASE4 = ("иями", "оями")
+_RU_CASE3 = (
+    "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему", "ери",
+    "ими", "ого", "ому", "ыми", "оев",
+)
+_RU_CASE2 = (
+    "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою", "ую",
+    "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им", "ое", "ой",
+    "ом", "ов", "ые", "ый", "ым", "ми",
+)
+_RU_CASE1 = frozenset("аеиоуйыяь")
+
+
+def russian_light_stem(w: str) -> str:
+    n = len(w)
+
+    def ends(suf: str) -> bool:
+        return w[:n].endswith(suf)
+
+    # removeCase (java:84-146)
+    if n > 6 and any(ends(s) for s in _RU_CASE4):
+        n -= 4
+    elif n > 5 and any(ends(s) for s in _RU_CASE3):
+        n -= 3
+    elif n > 4 and any(ends(s) for s in _RU_CASE2):
+        n -= 2
+    elif n > 3 and w[n - 1] in _RU_CASE1:
+        n -= 1
+    # normalize (java:72-82)
+    if n > 3:
+        if w[n - 1] in ("ь", "и"):
+            n -= 1
+        elif w[n - 1] == "н" and w[n - 2] == "н":
+            n -= 1
+    return w[:n]
+
+
+# ---------------------------------------------------------------------------
+# Swedish (sv/SwedishLightStemmer.java:63-100: Savoy, CLEF-2003).  The
+# SwedishLightStemFilter variant of sv/SwedishAnalyzer.java's chain
+# (analyzer default is Snowball; vectors: svlighttestdata.zip).
+
+_SV_SUF5 = ("elser", "heten")
+_SV_SUF4 = ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+_SV_SUF3 = ("are", "ast", "het")
+_SV_SUF2 = ("ar", "er", "or", "en", "at", "te", "et")
+
+
+def swedish_light_stem(w: str) -> str:
+    n = len(w)
+    if n > 4 and w[n - 1] == "s":
+        n -= 1
+
+    def ends(suf: str) -> bool:
+        return w[:n].endswith(suf)
+
+    if n > 7 and any(ends(s) for s in _SV_SUF5):
+        return w[: n - 5]
+    if n > 6 and any(ends(s) for s in _SV_SUF4):
+        return w[: n - 4]
+    if n > 5 and any(ends(s) for s in _SV_SUF3):
+        return w[: n - 3]
+    if n > 4 and any(ends(s) for s in _SV_SUF2):
+        return w[: n - 2]
+    if n > 3 and w[n - 1] in ("t", "a", "e", "n"):
+        n -= 1
+    return w[:n]
+
+
+# ---------------------------------------------------------------------------
+# Finnish (fi/FinnishLightStemmer.java:63-233: Savoy, CLEF-2003 — vowel
+# fold, particle strip (step1, recursive), possessive (step2), case
+# (step3), then two normalization passes incl. the k/p/t doubled-consonant
+# dedup loop).  The FinnishLightStemFilter variant of
+# fi/FinnishAnalyzer.java's chain (vectors: filighttestdata.zip).
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: list, n: int) -> int:
+    if n > 8:
+        if s[n - 3 : n] == list("kin"):
+            return _fi_step1(s, n - 3)
+        if s[n - 2 : n] == list("ko"):
+            return _fi_step1(s, n - 2)
+    if n > 11:
+        if s[n - 8 : n] == list("dellinen"):
+            return n - 8
+        if s[n - 9 : n] == list("dellisuus"):
+            return n - 9
+    return n
+
+
+def _fi_step2(s: list, n: int) -> int:
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 5:
+        if ends("lla") or ends("tse") or ends("sti"):
+            return n - 3
+        if ends("ni"):
+            return n - 2
+        if ends("aa"):
+            return n - 1
+    return n
+
+
+def _fi_step3(s: list, n: int) -> int:
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 8:
+        if ends("nnen"):
+            s[n - 4] = "s"
+            return n - 3
+        if ends("ntena"):
+            s[n - 5] = "s"
+            return n - 4
+        if ends("tten"):
+            return n - 4
+        if ends("eiden"):
+            return n - 5
+    if n > 6:
+        if ends("neen") or ends("niin") or ends("seen") or ends("teen") or ends("inen"):
+            return n - 4
+        if s[n - 3] == "h" and s[n - 2] in _FI_VOWELS and s[n - 1] == "n":
+            return n - 3
+        if ends("den"):
+            s[n - 3] = "s"
+            return n - 2
+        if ends("ksen"):
+            s[n - 4] = "s"
+            return n - 3
+        if (
+            ends("ssa") or ends("sta") or ends("lla") or ends("lta")
+            or ends("tta") or ends("ksi") or ends("lle")
+        ):
+            return n - 3
+    if n > 5:
+        if ends("na") or ends("ne"):
+            return n - 2
+        if ends("nei"):
+            return n - 3
+    if n > 4:
+        if ends("ja") or ends("ta"):
+            return n - 2
+        if s[n - 1] == "a":
+            return n - 1
+        if s[n - 1] == "n" and s[n - 2] in _FI_VOWELS:
+            return n - 2
+        if s[n - 1] == "n":
+            return n - 1
+    return n
+
+
+def _fi_norm1(s: list, n: int) -> int:
+    if n > 5 and s[n - 3 : n] == list("hde"):
+        s[n - 3], s[n - 2], s[n - 1] = "k", "s", "i"
+    if n > 4 and (s[n - 2 : n] == list("ei") or s[n - 2 : n] == list("at")):
+        return n - 2
+    if n > 3 and s[n - 1] in ("t", "s", "j", "e", "a", "i"):
+        return n - 1
+    return n
+
+
+def _fi_norm2(s: list, n: int) -> int:
+    if n > 8 and s[n - 1] in ("e", "o", "u"):
+        n -= 1
+    if n > 4:
+        if s[n - 1] == "i":
+            n -= 1
+        if n > 4:
+            # doubled k/p/t dedup: delete the repeat, keep comparing the
+            # shifted-in char against the SAME ch (java:232-238 i-- idiom)
+            ch = s[0]
+            i = 1
+            while i < n:
+                if s[i] == ch and ch in ("k", "p", "t"):
+                    del s[i]
+                    n -= 1
+                else:
+                    ch = s[i]
+                    i += 1
+    return n
+
+
+def finnish_light_stem(w: str) -> str:
+    if len(w) < 4:
+        return w
+    s = [{"ä": "a", "å": "a", "ö": "o"}.get(c, c) for c in w]
+    n = len(s)
+    n = _fi_step1(s, n)
+    n = _fi_step2(s, n)
+    n = _fi_step3(s, n)
+    n = _fi_norm1(s, n)
+    n = _fi_norm2(s, n)
+    return "".join(s[:n])
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (hu/HungarianLightStemmer.java:61-242: Savoy's UniNE light
+# stemmer, "Light Stemming Approaches for the French, Portuguese, German
+# and Hungarian Languages" — vowel fold, case, possessive, plural,
+# normalize).  The HungarianLightStemFilter variant of
+# hu/HungarianAnalyzer.java's chain (vectors: hulighttestdata.zip).
+
+_HU_FOLD = {
+    "á": "a",
+    "ë": "e", "é": "e",
+    "í": "i",
+    "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+    "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+}
+_HU_VOWELS = frozenset("aeiouy")
+_HU_CASE3 = (
+    "nak", "nek", "val", "vel", "ert", "rol", "ban", "ben", "bol", "nal",
+    "nel", "hoz", "hez", "tol",
+)
+_HU_CASE2 = ("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be", "ul", "ig")
+
+
+def _hu_remove_case(s: list, n: int) -> int:
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 6 and ends("kent"):
+        return n - 4
+    if n > 5:
+        if any(ends(suf) for suf in _HU_CASE3):
+            return n - 3
+        if (ends("al") or ends("el")) and s[n - 3] not in _HU_VOWELS and s[n - 3] == s[n - 4]:
+            return n - 3
+    if n > 4:
+        if any(ends(suf) for suf in _HU_CASE2):
+            return n - 2
+        if (ends("on") or ends("en")) and s[n - 3] not in _HU_VOWELS:
+            return n - 2
+        if s[n - 1] in ("t", "n"):
+            return n - 1
+        if s[n - 1] in ("a", "e") and s[n - 2] == s[n - 3] and s[n - 2] not in _HU_VOWELS:
+            return n - 2
+    return n
+
+
+def _hu_remove_possessive(s: list, n: int) -> int:
+    def ends(suf: str) -> bool:
+        return n >= len(suf) and s[n - len(suf) : n] == list(suf)
+
+    if n > 6:
+        if s[n - 5] not in _HU_VOWELS and (ends("atok") or ends("otok") or ends("etek")):
+            return n - 4
+        if ends("itek") or ends("itok"):
+            return n - 4
+    if n > 5:
+        if s[n - 4] not in _HU_VOWELS and (ends("unk") or ends("tok") or ends("tek")):
+            return n - 3
+        if s[n - 4] in _HU_VOWELS and ends("juk"):
+            return n - 3
+        if ends("ink"):
+            return n - 3
+    if n > 4:
+        if s[n - 3] not in _HU_VOWELS and (
+            ends("am") or ends("em") or ends("om") or ends("ad")
+            or ends("ed") or ends("od") or ends("uk")
+        ):
+            return n - 2
+        if s[n - 3] in _HU_VOWELS and (ends("nk") or ends("ja") or ends("je")):
+            return n - 2
+        if ends("im") or ends("id") or ends("ik"):
+            return n - 2
+    if n > 3:
+        c = s[n - 1]
+        if c in ("a", "e"):
+            if s[n - 2] not in _HU_VOWELS:
+                return n - 1
+        elif c in ("m", "d"):
+            if s[n - 2] in _HU_VOWELS:
+                return n - 1
+        elif c == "i":
+            return n - 1
+    return n
+
+
+def _hu_remove_plural(s: list, n: int) -> int:
+    # java:207-217 — the a/o/e cases FALL THROUGH to default when len <= 4
+    if n > 3 and s[n - 1] == "k":
+        if s[n - 2] in ("a", "o", "e") and n > 4:
+            return n - 2
+        return n - 1
+    return n
+
+
+def hungarian_light_stem(w: str) -> str:
+    s = [_HU_FOLD.get(c, c) for c in w]
+    n = len(s)
+    n = _hu_remove_case(s, n)
+    n = _hu_remove_possessive(s, n)
+    n = _hu_remove_plural(s, n)
+    # normalize (java:220-229)
+    if n > 3 and s[n - 1] in ("a", "e", "i", "o"):
+        n -= 1
+    return "".join(s[:n])

@@ -75,14 +75,36 @@ def _cjk_pattern(base: str) -> str:
     return rf"(?:{base})|[{CJK_RUN_CLASS}]+"
 
 
+def _base_pattern(letters: str) -> str:
+    """The word pattern over an arbitrary letter char-class fragment —
+    same shape as TOKEN_PATTERN (maximal letter/digit runs + the UAX#29
+    mid-token joiners); the lookarounds stay fixed-width for Java parity."""
+    return (
+        rf"[{letters}0-9]+"
+        rf"(?:(?<=[{letters}])'(?=[{letters}])[{letters}0-9]+"
+        rf"|(?<=[0-9])[.,](?=[0-9])[{letters}0-9]+)*"
+    )
+
+
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 _TOKEN_RE_LATIN1 = re.compile(TOKEN_PATTERN_LATIN1)
 _TOKEN_RE_CJK = re.compile(_cjk_pattern(TOKEN_PATTERN))
 _TOKEN_RE_CJK_LATIN1 = re.compile(_cjk_pattern(TOKEN_PATTERN_LATIN1))
+_EXTRA_RE_CACHE: dict = {}
 
 
-def token_pattern(latin1: bool = False, cjk: bool = False) -> str:
-    base = TOKEN_PATTERN_LATIN1 if latin1 else TOKEN_PATTERN
+def token_pattern(latin1: bool = False, cjk: bool = False, extra: str = "") -> str:
+    """``extra`` is a raw regex char-class fragment of ADDITIONAL letters
+    appended to the base alphabet (e.g. ``"а-яё"`` for Cyrillic, ``"őűũ"``
+    for the Hungarian Latin-Extended-A letters) — the per-language presets
+    widen StandardTokenizer's all-Unicode-letters contract to their
+    declared script subset this way.  Same literal class in Java (Spark),
+    RE2 (DuckDB twins), and Python."""
+    if extra:
+        letters = ("a-zà-öø-ÿß" if latin1 else "a-z") + extra
+        base = _base_pattern(letters)
+    else:
+        base = TOKEN_PATTERN_LATIN1 if latin1 else TOKEN_PATTERN
     return _cjk_pattern(base) if cjk else base
 
 
@@ -91,17 +113,26 @@ def tokenize_text(
     max_token_length: int = MAX_TOKEN_LENGTH,
     latin1: bool = False,
     cjk: bool = False,
+    extra: str = "",
 ) -> list[str]:
     """Reference tokenizer (oracle path). Returns tokens in order."""
     if not text:
         return []
     out: list[str] = []
-    rx = {
-        (False, False): _TOKEN_RE,
-        (True, False): _TOKEN_RE_LATIN1,
-        (False, True): _TOKEN_RE_CJK,
-        (True, True): _TOKEN_RE_CJK_LATIN1,
-    }[(latin1, cjk)]
+    if extra:
+        key = (latin1, cjk, extra)
+        rx = _EXTRA_RE_CACHE.get(key)
+        if rx is None:
+            rx = _EXTRA_RE_CACHE[key] = re.compile(
+                token_pattern(latin1=latin1, cjk=cjk, extra=extra)
+            )
+    else:
+        rx = {
+            (False, False): _TOKEN_RE,
+            (True, False): _TOKEN_RE_LATIN1,
+            (False, True): _TOKEN_RE_CJK,
+            (True, True): _TOKEN_RE_CJK_LATIN1,
+        }[(latin1, cjk)]
     for run in rx.findall(text.lower()):
         if len(run) <= max_token_length:
             out.append(run)
@@ -118,6 +149,7 @@ def tokens_expr(
     max_token_length: int = MAX_TOKEN_LENGTH,
     latin1: bool = False,
     cjk: bool = False,
+    extra: str = "",
 ):
     """JVM-side tokenizer: Column(string) -> Column(array<string>).
 
@@ -127,7 +159,7 @@ def tokens_expr(
     """
     from pyspark.sql import functions as F
 
-    pattern = token_pattern(latin1=latin1, cjk=cjk)
+    pattern = token_pattern(latin1=latin1, cjk=cjk, extra=extra)
     runs = F.regexp_extract_all(F.lower(col), F.lit(pattern), 0)
     m = max_token_length
     # chop each run into <=m-char chunks; fast path (no chop) is the common case

@@ -5,6 +5,9 @@ oracle rank+f32-score parity for the presets."""
 import numpy as np
 import pytest
 
+import os
+import zipfile
+
 from lucene_spark.analysis import (
     Analyzer,
     FRENCH_STOP_WORDS,
@@ -12,12 +15,16 @@ from lucene_spark.analysis import (
     SPANISH_STOP_WORDS,
     elide,
     elide_french,
+    finnish_light_stem,
     french_light_stem,
     german_light_stem,
     german_normalize,
+    hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    russian_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
     tokenize_text,
 )
 from lucene_spark.oracle import OracleIndex
@@ -111,6 +118,36 @@ def test_light_stemmer_vectors(fn, vectors):
         assert fn(w) == s, (w, fn(w), s)
 
 
+# -- round 5: ru/sv/fi/hu light stemmers, FULL archive replay ----------------
+# (like tests/test_kstem.py: every (word, stem) pair the reference ships)
+
+_REF_ANALYSIS_TEST = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+)
+
+
+@pytest.mark.parametrize(
+    "fn,zip_rel,member,count",
+    [
+        (russian_light_stem, "ru/rulighttestdata.zip", "rulight.txt", 49673),
+        (swedish_light_stem, "sv/svlighttestdata.zip", "svlight.txt", 30623),
+        (finnish_light_stem, "fi/filighttestdata.zip", "filight.txt", 50000),
+        (hungarian_light_stem, "hu/hulighttestdata.zip", "hulight.txt", 30000),
+    ],
+    ids=["ru", "sv", "fi", "hu"],
+)
+def test_light_stemmer_full_archive(fn, zip_rel, member, count):
+    path = os.path.join(_REF_ANALYSIS_TEST, zip_rel)
+    if not os.path.exists(path):
+        pytest.skip("reference vectors absent")
+    with zipfile.ZipFile(path) as z:
+        lines = z.read(member).decode("utf-8").splitlines()
+    pairs = [ln.split("\t") for ln in lines if ln.strip()]
+    assert len(pairs) == count
+    bad = [(w, e, fn(w)) for w, e in pairs if fn(w) != e]
+    assert bad == [], bad[:20]
+
+
 def test_german_normalization_fsm():
     """TestGermanNormalizationFilter.java cases: ae/oe/ue fold like umlauts,
     'ue' survives after a vowel or q, ß -> ss."""
@@ -177,8 +214,9 @@ def test_elision_italian():
 
 @pytest.mark.parametrize(
     "preset",
-    ["french", "german", "spanish", "italian", "portuguese"],
-    ids=["fr", "de", "es", "it", "pt"],
+    ["french", "german", "spanish", "italian", "portuguese",
+     "russian", "swedish", "finnish", "hungarian"],
+    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu"],
 )
 def test_preset_roundtrip_and_noop(preset):
     an = getattr(Analyzer, preset)()
@@ -197,8 +235,12 @@ def test_preset_roundtrip_and_noop(preset):
         ("spanish", ["las consultas rápidas y únicas", "el niño"]),
         ("italian", ["le tabelle dell'analisi ottimizzate", "un'ora"]),
         ("portuguese", ["as consultas rápidas e otimizadas", "ações"]),
+        ("russian", ["быстрые запросы к таблицам", "СИСТЕМА и Ёлка", ""]),
+        ("swedish", ["snabba frågor om tabeller", "större hus"]),
+        ("finnish", ["nopeat kyselyt tauluista", "yhdessä ja erikseen"]),
+        ("hungarian", ["gyors lekérdezések a táblákról", "tükörképe őrült"]),
     ],
-    ids=["fr", "de", "es", "it", "pt"],
+    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu"],
 )
 def test_preset_entries_expr_matches_python_chain(spark, preset, texts):
     """entries_expr (stem stage deferred) == analyze_text with stemmer
@@ -284,8 +326,48 @@ def _mk_rows(texts):
             ],
             "consultas tabelas",
         ),
+        (
+            "russian",
+            [
+                "быстрые запросы к таблицам с данными",
+                "один медленный запрос без данных",
+                "таблицы и запросы вместе",
+                "ничего интересного здесь",
+            ],
+            "запросы таблицы",
+        ),
+        (
+            "swedish",
+            [
+                "snabba frågor om optimerade tabeller",
+                "en långsam fråga",
+                "tabeller och frågor tillsammans",
+                "inget intressant",
+            ],
+            "frågor tabeller",
+        ),
+        (
+            "finnish",
+            [
+                "nopeat kyselyt optimoiduista tauluista",
+                "yksi hidas kysely",
+                "taulut ja kyselyt yhdessä",
+                "ei mitään kiinnostavaa",
+            ],
+            "kyselyt taulut",
+        ),
+        (
+            "hungarian",
+            [
+                "gyors lekérdezések az optimalizált táblákról",
+                "egy lassú lekérdezés",
+                "táblák és lekérdezések együtt",
+                "semmi érdekes",
+            ],
+            "lekérdezések táblák",
+        ),
     ],
-    ids=["fr", "de", "es", "it", "pt"],
+    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu"],
 )
 def test_preset_search_parity(spark, preset, texts, query):
     from lucene_spark.fixtures import transcripts_df
