@@ -626,6 +626,46 @@ _LANG_GATES = {
         ),
         query="consultas tabelas otimizadas",
     ),
+    # ru/sv/fi/hu (round 5): like it/pt, not planted in the corpus's lang
+    # column — analyzers run over the whole documents table, tails plant
+    # the inflected words (Cyrillic / Latin-Ext-A alphabets via the
+    # preset's extra_letters)
+    "ru": dict(
+        preset="russian",
+        filter=None,
+        tails=(
+            " быстрые запросы к таблицам с данными",
+            " таблицы и запросы вместе",
+        ),
+        query="запросы таблицы данные",
+    ),
+    "sv": dict(
+        preset="swedish",
+        filter=None,
+        tails=(
+            " de snabbaste frågorna om stora tabeller",
+            " frågor och tabeller tillsammans",
+        ),
+        query="frågor tabeller stora",
+    ),
+    "fi": dict(
+        preset="finnish",
+        filter=None,
+        tails=(
+            " nopeat kyselyt suurista tauluista",
+            " taulut ja kyselyt yhdessä",
+        ),
+        query="kyselyt taulut",
+    ),
+    "hu": dict(
+        preset="hungarian",
+        filter=None,
+        tails=(
+            " gyors lekérdezések az optimalizált táblákról",
+            " táblák és lekérdezések együtt",
+        ),
+        query="lekérdezések táblák",
+    ),
     # zh: CJKAnalyzer (script-run bigrams).  Tails plant Han runs, a lone
     # char (unigram path), and a run break — the twin replays the bigram
     # expansion in SQL (no stem map).
@@ -717,9 +757,14 @@ def _prelude_lang(lang: str) -> str:
         pat = ELISION_PATTERN.replace("'", "''")
         elide = f", '{pat}', ' ', 'gi'" if an.elision else None
 
+        # joiner-free token class for THIS preset's alphabet (base +
+        # extra_letters — Cyrillic for ru, Latin-Ext-A for hu)
+        letters = ("a-zà-öø-ÿß" if an.latin1 else "a-z") + an.extra_letters
+        tok_class = f"[{letters}0-9]+"
+
         def _tok_sql(expr: str) -> str:
             inner = f"regexp_replace({expr}{elide})" if elide else expr
-            return f"regexp_extract_all(lower({inner}), '{_L1_CLASS}')"
+            return f"regexp_extract_all(lower({inner}), '{tok_class}')"
 
         con = duckdb.connect()
         vocab: set[str] = set()
@@ -736,7 +781,9 @@ def _prelude_lang(lang: str) -> str:
             }
         # tail words: PRE-stem surface forms (what the twin's tokenizer
         # emits), via the same chain minus stop/stem
-        surface = Analyzer(elision=an.elision, latin1=True)
+        surface = Analyzer(
+            elision=an.elision, latin1=an.latin1, extra_letters=an.extra_letters
+        )
         for tail in _LANG_GATES[lang]["tails"]:
             vocab |= {t for t, _ in surface.analyze_text(tail)}
         pairs = sorted((t, stem(t)) for t in vocab if stem(t) != t)
@@ -5099,6 +5146,10 @@ _GATE_PRIORITY = [
     "complex_phrase_topk",
     "xml_parse_topk",
     "sampled_facets",
+    "bm25_topk_russian",
+    "bm25_topk_swedish",
+    "bm25_topk_finnish",
+    "bm25_topk_hungarian",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5152,6 +5203,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_italian": _q_topk_lang("it", 20),
         "bm25_topk_portuguese": _q_topk_lang("pt", 20),
         "bm25_topk_cjk": _q_topk_lang("zh", 20),
+        "bm25_topk_russian": _q_topk_lang("ru", 20),
+        "bm25_topk_swedish": _q_topk_lang("sv", 20),
+        "bm25_topk_finnish": _q_topk_lang("fi", 20),
+        "bm25_topk_hungarian": _q_topk_lang("hu", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -5291,6 +5346,10 @@ def oracle_sql() -> dict[str, str]:
             ["query", "join", "table"], 20, stemmer="kstem"
         ),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
+        "bm25_topk_russian": _lang_topk_sql("ru", 20),
+        "bm25_topk_swedish": _lang_topk_sql("sv", 20),
+        "bm25_topk_finnish": _lang_topk_sql("fi", 20),
+        "bm25_topk_hungarian": _lang_topk_sql("hu", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),
         "bm25_topk_spanish": _lang_topk_sql("es", 20),
         "bm25_topk_italian": _lang_topk_sql("it", 20),
