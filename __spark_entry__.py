@@ -666,6 +666,25 @@ _LANG_GATES = {
         ),
         query="lekérdezések táblák",
     ),
+    # gl / pt-RSLP (round 5, analysis/rslp.py rule engine)
+    "gl": dict(
+        preset="galician",
+        filter=None,
+        tails=(
+            " as consultas rápidas sobre táboas optimizadas",
+            " táboas e consultas combinadas",
+        ),
+        query="consultas táboas",
+    ),
+    "ptr": dict(
+        preset="portuguese_rslp",
+        filter=None,
+        tails=(
+            " as consultas rápidas e otimizadas",
+            " tabelas e consultas combinadas",
+        ),
+        query="consultas tabelas otimizadas",
+    ),
     # zh: CJKAnalyzer (script-run bigrams).  Tails plant Han runs, a lone
     # char (unigram path), and a run break — the twin replays the bigram
     # expansion in SQL (no stem map).
@@ -5150,6 +5169,8 @@ _GATE_PRIORITY = [
     "bm25_topk_swedish",
     "bm25_topk_finnish",
     "bm25_topk_hungarian",
+    "bm25_topk_galician",
+    "bm25_topk_pt_rslp",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5207,6 +5228,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_swedish": _q_topk_lang("sv", 20),
         "bm25_topk_finnish": _q_topk_lang("fi", 20),
         "bm25_topk_hungarian": _q_topk_lang("hu", 20),
+        "bm25_topk_galician": _q_topk_lang("gl", 20),
+        "bm25_topk_pt_rslp": _q_topk_lang("ptr", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -5350,6 +5373,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),
         "bm25_topk_finnish": _lang_topk_sql("fi", 20),
         "bm25_topk_hungarian": _lang_topk_sql("hu", 20),
+        "bm25_topk_galician": _lang_topk_sql("gl", 20),
+        "bm25_topk_pt_rslp": _lang_topk_sql("ptr", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),
         "bm25_topk_spanish": _lang_topk_sql("es", 20),
         "bm25_topk_italian": _lang_topk_sql("it", 20),

@@ -37,8 +37,13 @@ from lucene_spark.analysis.lang import (  # noqa: F401
 )
 from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
     FINNISH_STOP_WORDS,
+    GALICIAN_STOP_WORDS,
     HUNGARIAN_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     SWEDISH_STOP_WORDS,
 )
 from lucene_spark.analysis.porter import porter_stem  # noqa: F401
+from lucene_spark.analysis.rslp import (  # noqa: F401
+    galician_stem,
+    portuguese_rslp_stem,
+)

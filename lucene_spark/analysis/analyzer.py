@@ -75,11 +75,13 @@ from lucene_spark.analysis.lang import (
 )
 from lucene_spark.analysis.lang_stopwords import (
     FINNISH_STOP_WORDS,
+    GALICIAN_STOP_WORDS,
     HUNGARIAN_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     SWEDISH_STOP_WORDS,
 )
 from lucene_spark.analysis.kstem import kstem_stem
+from lucene_spark.analysis.rslp import galician_stem, portuguese_rslp_stem
 from lucene_spark.analysis.porter import porter_stem
 from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS, tokenize_text
 
@@ -109,6 +111,8 @@ DICT_STEMMERS = {
     "swedish_light": swedish_light_stem,
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
+    "galician": galician_stem,
+    "portuguese_rslp": portuguese_rslp_stem,
 }
 
 
@@ -355,13 +359,35 @@ class Analyzer:
         )
 
     @classmethod
-    def portuguese(cls) -> "Analyzer":
+    def portuguese(cls, stemmer: str = "light") -> "Analyzer":
         """The PortugueseAnalyzer preset (pt/PortugueseAnalyzer.java:112-119):
-        portuguese_stop.txt + PortugueseLightStemFilter."""
+        portuguese_stop.txt + PortugueseLightStemFilter.
+
+        ``stemmer="rslp"`` swaps the stem stage for the original Orengo RSLP
+        (pt/PortugueseStemFilter.java + pt/PortugueseStemmer.java — the zoo
+        alternative validated by ptrslptestdata.zip; see analysis/rslp.py)."""
+        if stemmer not in ("light", "rslp"):
+            raise ValueError(
+                f"portuguese() stemmer must be light|rslp, got {stemmer!r}"
+            )
         return cls(
             stopwords=PORTUGUESE_STOP_WORDS,
-            stemmer="portuguese_light",
+            stemmer="portuguese_light" if stemmer == "light" else "portuguese_rslp",
             latin1=True,
+        )
+
+    @classmethod
+    def portuguese_rslp(cls) -> "Analyzer":
+        """Alias preset for the gate/CLI surface: portuguese(stemmer="rslp")."""
+        return cls.portuguese(stemmer="rslp")
+
+    @classmethod
+    def galician(cls) -> "Analyzer":
+        """The GalicianAnalyzer preset (gl/GalicianAnalyzer.java:103-116):
+        gl/stopwords.txt + GalicianStemFilter (the RSLG rule engine,
+        analysis/rslp.py, validated by gltestdata.zip)."""
+        return cls(
+            stopwords=GALICIAN_STOP_WORDS, stemmer="galician", latin1=True
         )
 
     @classmethod
