@@ -685,6 +685,17 @@ _LANG_GATES = {
         ),
         query="consultas tabelas otimizadas",
     ),
+    # ckb: SoraniAnalyzer (Arabic-script alphabet, normalize+stem at the
+    # dictionary stage)
+    "ckb": dict(
+        preset="sorani",
+        filter=None,
+        tails=(
+            " پیاوەکان لە هۆتیلێکی گەورە",
+            " دەرگاکان و پیاوان پێکەوە",
+        ),
+        query="پیاوان هۆتیلی دەرگایەک",
+    ),
     # zh: CJKAnalyzer (script-run bigrams).  Tails plant Han runs, a lone
     # char (unigram path), and a run break — the twin replays the bigram
     # expansion in SQL (no stem map).
@@ -5171,6 +5182,7 @@ _GATE_PRIORITY = [
     "bm25_topk_hungarian",
     "bm25_topk_galician",
     "bm25_topk_pt_rslp",
+    "bm25_topk_sorani",
     # (c) regression canaries (fill to 50)
     "term_vector_doc",
     "bm25_topk_term",
@@ -5230,6 +5242,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_hungarian": _q_topk_lang("hu", 20),
         "bm25_topk_galician": _q_topk_lang("gl", 20),
         "bm25_topk_pt_rslp": _q_topk_lang("ptr", 20),
+        "bm25_topk_sorani": _q_topk_lang("ckb", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -5375,6 +5388,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_hungarian": _lang_topk_sql("hu", 20),
         "bm25_topk_galician": _lang_topk_sql("gl", 20),
         "bm25_topk_pt_rslp": _lang_topk_sql("ptr", 20),
+        "bm25_topk_sorani": _lang_topk_sql("ckb", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),
         "bm25_topk_spanish": _lang_topk_sql("es", 20),
         "bm25_topk_italian": _lang_topk_sql("it", 20),

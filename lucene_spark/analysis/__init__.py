@@ -39,6 +39,7 @@ from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
     FINNISH_STOP_WORDS,
     GALICIAN_STOP_WORDS,
     HUNGARIAN_STOP_WORDS,
+    SORANI_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     SWEDISH_STOP_WORDS,
 )
@@ -46,4 +47,9 @@ from lucene_spark.analysis.porter import porter_stem  # noqa: F401
 from lucene_spark.analysis.rslp import (  # noqa: F401
     galician_stem,
     portuguese_rslp_stem,
+)
+from lucene_spark.analysis.sorani import (  # noqa: F401
+    sorani_normalize,
+    sorani_normalize_and_stem,
+    sorani_stem,
 )

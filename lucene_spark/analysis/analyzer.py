@@ -76,12 +76,14 @@ from lucene_spark.analysis.lang import (
 from lucene_spark.analysis.lang_stopwords import (
     FINNISH_STOP_WORDS,
     GALICIAN_STOP_WORDS,
+    SORANI_STOP_WORDS,
     HUNGARIAN_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     SWEDISH_STOP_WORDS,
 )
 from lucene_spark.analysis.kstem import kstem_stem
 from lucene_spark.analysis.rslp import galician_stem, portuguese_rslp_stem
+from lucene_spark.analysis.sorani import SORANI_LETTERS, sorani_normalize_and_stem
 from lucene_spark.analysis.porter import porter_stem
 from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS, tokenize_text
 
@@ -113,6 +115,7 @@ DICT_STEMMERS = {
     "hungarian_light": hungarian_light_stem,
     "galician": galician_stem,
     "portuguese_rslp": portuguese_rslp_stem,
+    "sorani": sorani_normalize_and_stem,
 }
 
 
@@ -433,6 +436,20 @@ class Analyzer:
             stemmer="hungarian_light",
             latin1=True,
             extra_letters="őűũ",
+        )
+
+    @classmethod
+    def sorani(cls) -> "Analyzer":
+        """The SoraniAnalyzer preset (ckb/SoraniAnalyzer.java:112-121):
+        ckb/stopwords.txt + SoraniNormalizationFilter + SoraniStemFilter
+        (analysis/sorani.py — normalize+stem compose as one dictionary-stage
+        stemmer; the stop list ships pre-normalized, see the module
+        docstring for the declared stop-order subset).  Arabic-script token
+        alphabet incl. the marks/ZWNJ the normalizer consumes."""
+        return cls(
+            stopwords=SORANI_STOP_WORDS,
+            stemmer="sorani",
+            extra_letters=SORANI_LETTERS,
         )
 
     @property

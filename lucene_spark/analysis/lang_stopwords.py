@@ -212,3 +212,14 @@ GALICIAN_STOP_WORDS = frozenset(
     ti tido tiña tiven túa túas un unha unhas uns vos vosa vosas voso
     vosos vós""".split()
 )
+
+
+# ckb/stopwords.txt — SoraniAnalyzer.java DEFAULT_STOPWORD_FILE (plain list,
+# pre-normalized per the file's own header note)
+SORANI_STOP_WORDS = frozenset(
+    """و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم من ئێمە تۆ
+    ئێوە ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە بەرەوی بەرەوە بەردەم بێ
+    بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ لەبەر لەبەینی لەبابەت لەبارەی
+    لەباتی لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی
+    لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
+)
