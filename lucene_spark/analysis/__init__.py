@@ -25,7 +25,9 @@ from lucene_spark.analysis.lang import (  # noqa: F401
     elide_french,
     finnish_light_stem,
     french_light_stem,
+    french_minimal_stem,
     german_light_stem,
+    german_minimal_stem,
     german_normalize,
     german_normalize_and_stem,
     hungarian_light_stem,
@@ -33,6 +35,7 @@ from lucene_spark.analysis.lang import (  # noqa: F401
     portuguese_light_stem,
     russian_light_stem,
     spanish_light_stem,
+    spanish_plural_stem,
     swedish_light_stem,
 )
 from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
@@ -45,7 +48,9 @@ from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
 )
 from lucene_spark.analysis.porter import porter_stem  # noqa: F401
 from lucene_spark.analysis.rslp import (  # noqa: F401
+    galician_minimal_stem,
     galician_stem,
+    portuguese_minimal_stem,
     portuguese_rslp_stem,
 )
 from lucene_spark.analysis.sorani import (  # noqa: F401

@@ -65,12 +65,15 @@ from lucene_spark.analysis.lang import (
     elide,
     finnish_light_stem,
     french_light_stem,
+    french_minimal_stem,
+    german_minimal_stem,
     german_normalize_and_stem,
     hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
     russian_light_stem,
     spanish_light_stem,
+    spanish_plural_stem,
     swedish_light_stem,
 )
 from lucene_spark.analysis.lang_stopwords import (
@@ -82,7 +85,12 @@ from lucene_spark.analysis.lang_stopwords import (
     SWEDISH_STOP_WORDS,
 )
 from lucene_spark.analysis.kstem import kstem_stem
-from lucene_spark.analysis.rslp import galician_stem, portuguese_rslp_stem
+from lucene_spark.analysis.rslp import (
+    galician_minimal_stem,
+    galician_stem,
+    portuguese_minimal_stem,
+    portuguese_rslp_stem,
+)
 from lucene_spark.analysis.sorani import SORANI_LETTERS, sorani_normalize_and_stem
 from lucene_spark.analysis.porter import porter_stem
 from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS, tokenize_text
@@ -116,6 +124,13 @@ DICT_STEMMERS = {
     "galician": galician_stem,
     "portuguese_rslp": portuguese_rslp_stem,
     "sorani": sorani_normalize_and_stem,
+    # minimal / plural-only variants (the *MinimalStemFilter zoo): fewer
+    # conflations, same dictionary-stage plumbing
+    "french_minimal": french_minimal_stem,
+    "german_minimal": german_minimal_stem,
+    "spanish_plural": spanish_plural_stem,
+    "portuguese_minimal": portuguese_minimal_stem,
+    "galician_minimal": galician_minimal_stem,
 }
 
 
@@ -311,32 +326,50 @@ class Analyzer:
         )
 
     @classmethod
-    def french(cls) -> "Analyzer":
+    def french(cls, stemmer: str = "light") -> "Analyzer":
         """The FrenchAnalyzer preset (fr/FrenchAnalyzer.java:129-137):
         elision (DEFAULT_ARTICLES) + french_stop.txt (position holes) +
-        FrenchLightStemFilter."""
+        FrenchLightStemFilter.
+
+        ``stemmer="minimal"`` swaps in FrenchMinimalStemFilter
+        (fr/FrenchMinimalStemmer.java — Savoy's minimal stemmer,
+        frminimaltestdata.zip)."""
+        if stemmer not in ("light", "minimal"):
+            raise ValueError(f"french() stemmer must be light|minimal, got {stemmer!r}")
         return cls(
             stopwords=FRENCH_STOP_WORDS,
-            stemmer="french_light",
+            stemmer=f"french_{stemmer}",
             elision="fr",
             latin1=True,
         )
 
     @classmethod
-    def german(cls) -> "Analyzer":
+    def german(cls, stemmer: str = "light") -> "Analyzer":
         """The GermanAnalyzer preset (de/GermanAnalyzer.java:129-137):
         german_stop.txt + GermanNormalizationFilter + GermanLightStemFilter
-        (both normalization and stem run at the dictionary stage)."""
+        (both normalization and stem run at the dictionary stage).
+
+        ``stemmer="minimal"`` swaps in GermanMinimalStemFilter
+        (de/GermanMinimalStemmer.java, deminimaltestdata.zip — folds its
+        own umlauts, so no separate normalization pass)."""
+        if stemmer not in ("light", "minimal"):
+            raise ValueError(f"german() stemmer must be light|minimal, got {stemmer!r}")
         return cls(
-            stopwords=GERMAN_STOP_WORDS, stemmer="german_light", latin1=True
+            stopwords=GERMAN_STOP_WORDS, stemmer=f"german_{stemmer}", latin1=True
         )
 
     @classmethod
-    def spanish(cls) -> "Analyzer":
+    def spanish(cls, stemmer: str = "light") -> "Analyzer":
         """The SpanishAnalyzer preset (es/SpanishAnalyzer.java:113-119):
-        spanish_stop.txt + SpanishLightStemFilter."""
+        spanish_stop.txt + SpanishLightStemFilter.
+
+        ``stemmer="plural"`` swaps in SpanishPluralStemFilter
+        (es/SpanishPluralStemmer.java — plural-only reduction with the
+        invariant/special word lists, espluraltestdata.zip)."""
+        if stemmer not in ("light", "plural"):
+            raise ValueError(f"spanish() stemmer must be light|plural, got {stemmer!r}")
         return cls(
-            stopwords=SPANISH_STOP_WORDS, stemmer="spanish_light", latin1=True
+            stopwords=SPANISH_STOP_WORDS, stemmer=f"spanish_{stemmer}", latin1=True
         )
 
     @classmethod
@@ -369,13 +402,13 @@ class Analyzer:
         ``stemmer="rslp"`` swaps the stem stage for the original Orengo RSLP
         (pt/PortugueseStemFilter.java + pt/PortugueseStemmer.java — the zoo
         alternative validated by ptrslptestdata.zip; see analysis/rslp.py)."""
-        if stemmer not in ("light", "rslp"):
+        if stemmer not in ("light", "rslp", "minimal"):
             raise ValueError(
-                f"portuguese() stemmer must be light|rslp, got {stemmer!r}"
+                f"portuguese() stemmer must be light|rslp|minimal, got {stemmer!r}"
             )
         return cls(
             stopwords=PORTUGUESE_STOP_WORDS,
-            stemmer="portuguese_light" if stemmer == "light" else "portuguese_rslp",
+            stemmer=f"portuguese_{stemmer}",
             latin1=True,
         )
 
@@ -385,12 +418,21 @@ class Analyzer:
         return cls.portuguese(stemmer="rslp")
 
     @classmethod
-    def galician(cls) -> "Analyzer":
+    def galician(cls, stemmer: str = "rslg") -> "Analyzer":
         """The GalicianAnalyzer preset (gl/GalicianAnalyzer.java:103-116):
         gl/stopwords.txt + GalicianStemFilter (the RSLG rule engine,
-        analysis/rslp.py, validated by gltestdata.zip)."""
+        analysis/rslp.py, validated by gltestdata.zip).
+
+        ``stemmer="minimal"`` swaps in GalicianMinimalStemFilter
+        (gl/GalicianMinimalStemmer.java — the Plural step only)."""
+        if stemmer not in ("rslg", "minimal"):
+            raise ValueError(
+                f"galician() stemmer must be rslg|minimal, got {stemmer!r}"
+            )
         return cls(
-            stopwords=GALICIAN_STOP_WORDS, stemmer="galician", latin1=True
+            stopwords=GALICIAN_STOP_WORDS,
+            stemmer="galician" if stemmer == "rslg" else "galician_minimal",
+            latin1=True,
         )
 
     @classmethod

@@ -881,3 +881,123 @@ def hungarian_light_stem(w: str) -> str:
     if n > 3 and s[n - 1] in ("a", "e", "i", "o"):
         n -= 1
     return "".join(s[:n])
+
+
+# ---------------------------------------------------------------------------
+# Minimal / plural-only stemmer variants (round 5) — each validated against
+# the reference's own archive (tests/test_lang_analyzers.py):
+# * french_minimal_stem  ≙ fr/FrenchMinimalStemmer.java:46-62 (Savoy's
+#   minimal stemmer for French, frminimaltestdata.zip)
+# * german_minimal_stem  ≙ de/GermanMinimalStemmer.java:46-82 (morphology
+#   by Savoy/UniNE, deminimaltestdata.zip)
+# * spanish_plural_stem  ≙ es/SpanishPluralStemmer.java:169-245 (plural
+#   reduction with invariant/special word lists, espluraltestdata.zip)
+
+
+def french_minimal_stem(w: str) -> str:
+    n = len(w)
+    if n < 6:
+        return w
+    s = list(w)
+    if s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u":
+            s[n - 2] = "l"
+        return "".join(s[: n - 1])
+    if s[n - 1] == "s":
+        n -= 1
+    if s[n - 1] == "r":
+        n -= 1
+    if s[n - 1] == "e":
+        n -= 1
+    if s[n - 1] == "é":
+        n -= 1
+    if s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+        n -= 1
+    return "".join(s[:n])
+
+
+def german_minimal_stem(w: str) -> str:
+    if len(w) < 5:
+        return w
+    s = [{"ä": "a", "ö": "o", "ü": "u"}.get(c, c) for c in w]
+    n = len(s)
+    if n > 6 and s[n - 3 :] == ["n", "e", "n"]:
+        return "".join(s[: n - 3])
+    if n > 5 and (
+        (s[n - 1] == "n" and s[n - 2] == "e")
+        or (s[n - 1] == "e" and s[n - 2] == "s")
+        or (s[n - 1] == "s" and s[n - 2] == "e")
+        or (s[n - 1] == "r" and s[n - 2] == "e")
+    ):
+        return "".join(s[: n - 2])
+    if s[n - 1] in ("n", "e", "s", "r"):
+        return "".join(s[: n - 1])
+    return "".join(s)
+
+
+# es/SpanishPluralStemmer.java:34-145 invariantsList (matched AFTER the
+# accent fold) and :150-164 specialCasesList (stem = word minus 2 chars)
+SPANISH_PLURAL_INVARIANTS = frozenset(
+    """abrebotellas abrecartas abrelatas afueras albatros albricias aledaños
+    alexis alicates analisis andurriales antitesis añicos apendicitis
+    apocalipsis arcoiris aries bilis boletus boris brindis cactus canutas
+    caries cascanueces cascarrabias ciempies cifosis cortaplumas corpus
+    cosmos cosquillas creces crisis cuatrocientas cuatrocientos
+    cuelgacapas cuentacuentos cuentapasos cumpleaños doscientas doscientos
+    dosis enseres entonces esponsales estatus exequias fauces forceps
+    fotosintesis gafas gafotas gargaras gris honorarios ictus jueves
+    lapsus lavacoches lavaplatos limpiabotas lunes maitines martes
+    mondadientes novecientas novecientos nupcias ochocientas ochocientos
+    pais paris parabrisas paracaidas parachoques paraguas pararrayos
+    pisapapeles piscis portaaviones portamaletas portamantas quinientas
+    quinientos quitamanchas recogepelotas rictus rompeolas sacacorchos
+    sacapuntas saltamontes salvavidas seis seiscientas seiscientos
+    setecientas setecientos sintesis tenis tifus trabalenguas vacaciones
+    venus versus viacrucis virus viveres volandas""".split()
+)
+SPANISH_PLURAL_SPECIAL = frozenset(
+    """yoes noes sies clubes faralaes albalaes itemes albumes sandwiches
+    relojes bojes contrarreloj carcajes""".split()
+)
+
+_ES_PLURAL_VOWELS = frozenset("aeiou")
+
+
+def spanish_plural_stem(w: str) -> str:
+    if len(w) < 4:
+        return w
+    s = [_ES_FOLD.get(c, c) for c in w]
+    n = len(s)
+    word = "".join(s)
+    if word in SPANISH_PLURAL_INVARIANTS:
+        return word
+    if word in SPANISH_PLURAL_SPECIAL:
+        return word[: n - 2]
+    if s[n - 1] != "s":
+        return word
+    v = _ES_PLURAL_VOWELS
+    if s[n - 2] not in v:
+        return word[: n - 1]
+    if s[n - 4] == "q" or (
+        s[n - 4] == "g" and s[n - 3] == "u" and s[n - 2] in ("i", "e")
+    ):
+        return word[: n - 1]
+    if s[n - 4] in v and s[n - 3] == "r" and s[n - 2] == "e":
+        return word[: n - 2]
+    if s[n - 4] in v and s[n - 3] in ("d", "l", "n", "x") and s[n - 2] == "e":
+        return word[: n - 2]
+    if s[n - 3] in ("y", "u") and s[n - 2] == "e":
+        return word[: n - 2]
+    if s[n - 4] in ("u", "l", "r", "t", "n") and s[n - 3] == "i" and s[n - 2] == "e":
+        return word[: n - 2]
+    if s[n - 3] == "s" and s[n - 2] == "e":
+        return word[: n - 2]
+    if s[n - 3] in v and s[n - 2] == "i":
+        return word[: n - 2] + "y"
+    if s[n - 3] == "d" and s[n - 2] == "i":
+        return word[: n - 2] + "y"
+    if s[n - 2] == "e" and s[n - 3] == "c":
+        return word[: n - 3] + "z"
+    if s[n - 2] in v:
+        return word[: n - 1]
+    return word

@@ -212,3 +212,21 @@ def galician_stem(w: str) -> str:
         w = st["Verb"].apply(w)
     w = st["Vowel"].apply(w)
     return "".join(_GL_FOLD.get(c, c) for c in w)
+
+
+def portuguese_minimal_stem(w: str) -> str:
+    """pt/PortugueseMinimalStemmer.java:36-44 — RSLP-S: the Plural step of
+    portuguese.rslp only (ptminimaltestdata.zip)."""
+    global _PT_STEPS
+    if _PT_STEPS is None:
+        _PT_STEPS = _load("portuguese.rslp.gz")
+    return _PT_STEPS["Plural"].apply(w)
+
+
+def galician_minimal_stem(w: str) -> str:
+    """gl/GalicianMinimalStemmer.java:30-38 — the Plural step of
+    galician.rslp only."""
+    global _GL_STEPS
+    if _GL_STEPS is None:
+        _GL_STEPS = _load("galician.rslp.gz")
+    return _GL_STEPS["Plural"].apply(w)

@@ -17,13 +17,18 @@ from lucene_spark.analysis import (
     elide_french,
     finnish_light_stem,
     french_light_stem,
+    french_minimal_stem,
+    galician_minimal_stem,
     german_light_stem,
+    german_minimal_stem,
     german_normalize,
     hungarian_light_stem,
     italian_light_stem,
     portuguese_light_stem,
+    portuguese_minimal_stem,
     russian_light_stem,
     spanish_light_stem,
+    spanish_plural_stem,
     swedish_light_stem,
     tokenize_text,
 )
@@ -133,8 +138,13 @@ _REF_ANALYSIS_TEST = (
         (swedish_light_stem, "sv/svlighttestdata.zip", "svlight.txt", 30623),
         (finnish_light_stem, "fi/filighttestdata.zip", "filight.txt", 50000),
         (hungarian_light_stem, "hu/hulighttestdata.zip", "hulight.txt", 30000),
+        # minimal / plural-only variants (round 5)
+        (french_minimal_stem, "fr/frminimaltestdata.zip", "frminimal.txt", 20403),
+        (german_minimal_stem, "de/deminimaltestdata.zip", "deminimal.txt", 35033),
+        (spanish_plural_stem, "es/espluraltestdata.zip", "esplural.txt", 28754),
+        (portuguese_minimal_stem, "pt/ptminimaltestdata.zip", "ptminimal.txt", 32016),
     ],
-    ids=["ru", "sv", "fi", "hu"],
+    ids=["ru", "sv", "fi", "hu", "fr_min", "de_min", "es_plural", "pt_min"],
 )
 def test_light_stemmer_full_archive(fn, zip_rel, member, count):
     path = os.path.join(_REF_ANALYSIS_TEST, zip_rel)
@@ -146,6 +156,31 @@ def test_light_stemmer_full_archive(fn, zip_rel, member, count):
     assert len(pairs) == count
     bad = [(w, e, fn(w)) for w, e in pairs if fn(w) != e]
     assert bad == [], bad[:20]
+
+
+def test_galician_minimal_vectors():
+    """TestGalicianMinimalStemFilter.java:53-64 (no archive ships for this
+    one — the reference tests it with spot vectors only)."""
+    assert galician_minimal_stem("elefantes") == "elefante"
+    assert galician_minimal_stem("elefante") == "elefante"
+    assert galician_minimal_stem("kalóres") == "kalór"
+    assert galician_minimal_stem("kalór") == "kalór"
+    assert galician_minimal_stem("mas") == "mas"
+    assert galician_minimal_stem("barcelonês") == "barcelonês"
+
+
+def test_minimal_stemmer_presets():
+    """The stemmer= variant presets bind the minimal/plural stemmers into
+    the dictionary stage."""
+    assert Analyzer.french(stemmer="minimal").stemmer == "french_minimal"
+    assert Analyzer.german(stemmer="minimal").stemmer == "german_minimal"
+    assert Analyzer.spanish(stemmer="plural").stemmer == "spanish_plural"
+    assert Analyzer.portuguese(stemmer="minimal").stemmer == "portuguese_minimal"
+    assert Analyzer.galician(stemmer="minimal").stemmer == "galician_minimal"
+    with pytest.raises(ValueError):
+        Analyzer.french(stemmer="plural")
+    with pytest.raises(ValueError):
+        Analyzer.galician(stemmer="light")
 
 
 def test_german_normalization_fsm():
