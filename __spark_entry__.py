@@ -685,6 +685,101 @@ _LANG_GATES = {
         ),
         query="consultas tabelas otimizadas",
     ),
+    # round-5 international wave (analysis/intl.py, analysis/greek.py):
+    # like it/pt, analyzers run over the whole documents table with
+    # deterministic tails planting the inflected words; fa/el exercise
+    # the char_fold translate on BOTH sides (F.translate / DuckDB
+    # translate in the twin's _tok_sql)
+    "ar": dict(
+        preset="arabic",
+        filter=None,
+        tails=(
+            " الكتاب الجديد في المكتبة",
+            " كتب المكتبات والكتاب معا",
+        ),
+        query="بالكتاب مكتبة",
+    ),
+    "fa": dict(
+        preset="persian",
+        filter=None,
+        tails=(
+            " کتابهای خوب برای دوستان",
+            " دوستها و کتابها پیشتر",
+        ),
+        query="کتاب دوستان",
+    ),
+    "cs": dict(
+        preset="czech",
+        filter=None,
+        tails=(
+            " velcí páni a staré hrady",
+            " hrady a páni spolu",
+        ),
+        query="pánům hradech",
+    ),
+    "bg": dict(
+        preset="bulgarian",
+        filter=None,
+        tails=(
+            " градът и новите чудеса",
+            " градовете и чудесата заедно",
+        ),
+        query="града чудесата",
+    ),
+    "el": dict(
+        preset="greek",
+        filter=None,
+        tails=(
+            " ο άνθρωπος και τα βιβλία μεγάλα",
+            " οι άνθρωποι και τα βιβλία μαζί",
+        ),
+        query="ανθρώπου βιβλία",
+    ),
+    "hi": dict(
+        preset="hindi",
+        filter=None,
+        tails=(
+            " लडके और किताबों में",
+            " किताबें और लडका साथ",
+        ),
+        query="लडकों किताबें",
+    ),
+    "bn": dict(
+        preset="bengali",
+        filter=None,
+        tails=(
+            " মেয়েরা এবং বইগুলো পরে",
+            " বই এবং মেয়েদের সাথে",
+        ),
+        query="মেয়েদেরকে বইগুলি",
+    ),
+    "id": dict(
+        preset="indonesian",
+        filter=None,
+        tails=(
+            " bukukah dan kepastian besar",
+            " buku dan kepastiannya juga",
+        ),
+        query="bukunya kepastian",
+    ),
+    "lv": dict(
+        preset="latvian",
+        filter=None,
+        tails=(
+            " tēvi un lielie cilvēki",
+            " cilvēku un tēvu kopā",
+        ),
+        query="tēvs cilvēkiem",
+    ),
+    "no": dict(
+        preset="norwegian",
+        filter=None,
+        tails=(
+            " hemmeligheten og de fine kakene",
+            " kaker og hemmeligheter sammen",
+        ),
+        query="hemmelighetens kake",
+    ),
     # ckb: SoraniAnalyzer (Arabic-script alphabet, normalize+stem at the
     # dictionary stage)
     "ckb": dict(
@@ -793,6 +888,11 @@ def _prelude_lang(lang: str) -> str:
         tok_class = f"[{letters}0-9]+"
 
         def _tok_sql(expr: str) -> str:
+            if an.char_fold:
+                # pre-tokenize char fold (el/fa presets): DuckDB translate
+                # shares the delete-unmapped-tail contract with F.translate
+                frm, to = (x.replace("'", "''") for x in an.char_fold)
+                expr = f"translate({expr}, '{frm}', '{to}')"
             inner = f"regexp_replace({expr}{elide})" if elide else expr
             return f"regexp_extract_all(lower({inner}), '{tok_class}')"
 
@@ -812,7 +912,10 @@ def _prelude_lang(lang: str) -> str:
         # tail words: PRE-stem surface forms (what the twin's tokenizer
         # emits), via the same chain minus stop/stem
         surface = Analyzer(
-            elision=an.elision, latin1=an.latin1, extra_letters=an.extra_letters
+            elision=an.elision,
+            latin1=an.latin1,
+            extra_letters=an.extra_letters,
+            char_fold=an.char_fold,
         )
         for tail in _LANG_GATES[lang]["tails"]:
             vocab |= {t for t, _ in surface.analyze_text(tail)}
@@ -5183,7 +5286,23 @@ _GATE_PRIORITY = [
     "bm25_topk_galician",
     "bm25_topk_pt_rslp",
     "bm25_topk_sorani",
-    # (c) regression canaries (fill to 50)
+    # (b continued) second round-5 wave: the international analyzers fill
+    # the remaining 10 driver slots (23 + 17 + 10 = 50).  No canary block
+    # this round — every slot buys a FIRST driver row, and regression
+    # coverage comes from the judge-run contract suite, which replays all
+    # registered gates with the driver's exact canonicalization.
+    "bm25_topk_arabic",
+    "bm25_topk_persian",
+    "bm25_topk_czech",
+    "bm25_topk_bulgarian",
+    "bm25_topk_greek",
+    "bm25_topk_hindi",
+    "bm25_topk_bengali",
+    "bm25_topk_indonesian",
+    "bm25_topk_latvian",
+    "bm25_topk_norwegian",
+    # (c) regression canaries (positions 51+ — outside the driver window
+    # unless slots free up; kept for explicit ordering)
     "term_vector_doc",
     "bm25_topk_term",
     "bm25_topk_english",
@@ -5243,6 +5362,16 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_galician": _q_topk_lang("gl", 20),
         "bm25_topk_pt_rslp": _q_topk_lang("ptr", 20),
         "bm25_topk_sorani": _q_topk_lang("ckb", 20),
+        "bm25_topk_arabic": _q_topk_lang("ar", 20),
+        "bm25_topk_persian": _q_topk_lang("fa", 20),
+        "bm25_topk_czech": _q_topk_lang("cs", 20),
+        "bm25_topk_bulgarian": _q_topk_lang("bg", 20),
+        "bm25_topk_greek": _q_topk_lang("el", 20),
+        "bm25_topk_hindi": _q_topk_lang("hi", 20),
+        "bm25_topk_bengali": _q_topk_lang("bn", 20),
+        "bm25_topk_indonesian": _q_topk_lang("id", 20),
+        "bm25_topk_latvian": _q_topk_lang("lv", 20),
+        "bm25_topk_norwegian": _q_topk_lang("no", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -5389,6 +5518,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_galician": _lang_topk_sql("gl", 20),
         "bm25_topk_pt_rslp": _lang_topk_sql("ptr", 20),
         "bm25_topk_sorani": _lang_topk_sql("ckb", 20),
+        "bm25_topk_arabic": _lang_topk_sql("ar", 20),
+        "bm25_topk_persian": _lang_topk_sql("fa", 20),
+        "bm25_topk_czech": _lang_topk_sql("cs", 20),
+        "bm25_topk_bulgarian": _lang_topk_sql("bg", 20),
+        "bm25_topk_greek": _lang_topk_sql("el", 20),
+        "bm25_topk_hindi": _lang_topk_sql("hi", 20),
+        "bm25_topk_bengali": _lang_topk_sql("bn", 20),
+        "bm25_topk_indonesian": _lang_topk_sql("id", 20),
+        "bm25_topk_latvian": _lang_topk_sql("lv", 20),
+        "bm25_topk_norwegian": _lang_topk_sql("no", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),
         "bm25_topk_spanish": _lang_topk_sql("es", 20),
         "bm25_topk_italian": _lang_topk_sql("it", 20),

@@ -46,6 +46,34 @@ from lucene_spark.analysis.lang_stopwords import (  # noqa: F401
     RUSSIAN_STOP_WORDS,
     SWEDISH_STOP_WORDS,
 )
+from lucene_spark.analysis.greek import (  # noqa: F401
+    GREEK_FOLD,
+    greek_fold,
+    greek_fold_and_stem,
+    greek_stem,
+)
+from lucene_spark.analysis.intl import (  # noqa: F401
+    PERSIAN_FOLD,
+    arabic_normalize,
+    arabic_normalize_and_stem,
+    arabic_stem,
+    bengali_normalize,
+    bengali_normalize_and_stem,
+    bengali_stem,
+    bulgarian_stem,
+    czech_stem,
+    hindi_normalize,
+    hindi_normalize_and_stem,
+    hindi_stem,
+    indonesian_stem,
+    latvian_stem,
+    norwegian_light_stem,
+    norwegian_light_stem_nn,
+    norwegian_minimal_stem,
+    norwegian_minimal_stem_nn,
+    persian_normalize,
+    persian_stem,
+)
 from lucene_spark.analysis.porter import porter_stem  # noqa: F401
 from lucene_spark.analysis.rslp import (  # noqa: F401
     galician_minimal_stem,

@@ -77,12 +77,47 @@ from lucene_spark.analysis.lang import (
     swedish_light_stem,
 )
 from lucene_spark.analysis.lang_stopwords import (
+    ARABIC_STOP_WORDS,
+    BENGALI_STOP_WORDS,
+    BULGARIAN_STOP_WORDS,
+    CZECH_STOP_WORDS,
     FINNISH_STOP_WORDS,
     GALICIAN_STOP_WORDS,
+    GREEK_STOP_WORDS,
+    HINDI_STOP_WORDS,
+    INDONESIAN_STOP_WORDS,
+    LATVIAN_STOP_WORDS,
+    NORWEGIAN_STOP_WORDS,
+    PERSIAN_STOP_WORDS,
     SORANI_STOP_WORDS,
     HUNGARIAN_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     SWEDISH_STOP_WORDS,
+)
+from lucene_spark.analysis.greek import (
+    GREEK_FOLD,
+    GREEK_LETTERS,
+    greek_fold_and_stem,
+)
+from lucene_spark.analysis.intl import (
+    ARABIC_LETTERS,
+    BENGALI_LETTERS,
+    BULGARIAN_LETTERS,
+    CZECH_LETTERS,
+    HINDI_LETTERS,
+    LATVIAN_LETTERS,
+    PERSIAN_FOLD,
+    PERSIAN_LETTERS,
+    arabic_normalize_and_stem,
+    bengali_normalize_and_stem,
+    bulgarian_stem,
+    czech_stem,
+    hindi_normalize_and_stem,
+    indonesian_stem,
+    latvian_stem,
+    norwegian_light_stem,
+    norwegian_minimal_stem,
+    persian_stem,
 )
 from lucene_spark.analysis.kstem import kstem_stem
 from lucene_spark.analysis.rslp import (
@@ -131,6 +166,18 @@ DICT_STEMMERS = {
     "spanish_plural": spanish_plural_stem,
     "portuguese_minimal": portuguese_minimal_stem,
     "galician_minimal": galician_minimal_stem,
+    # round-5 international wave (analysis/intl.py, analysis/greek.py)
+    "arabic": arabic_normalize_and_stem,
+    "persian": persian_stem,  # normalization = the preset's char_fold
+    "czech": czech_stem,
+    "bulgarian": bulgarian_stem,
+    "hindi": hindi_normalize_and_stem,
+    "bengali": bengali_normalize_and_stem,
+    "indonesian": indonesian_stem,
+    "latvian": latvian_stem,
+    "norwegian_light": norwegian_light_stem,
+    "norwegian_minimal": norwegian_minimal_stem,
+    "greek": greek_fold_and_stem,  # idempotent over the preset's char_fold
 }
 
 
@@ -201,6 +248,9 @@ def ascii_fold(text: str) -> str:
     return text.translate(_FOLD_TABLE)
 
 
+_CHAR_FOLD_CACHE: dict = {}
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Immutable analyzer spec shared by engine, oracle, and SQL twins.
@@ -258,6 +308,14 @@ class Analyzer:
     # the FULL CJKWidthFilter as a pre-tokenize char filter: fullwidth
     # ASCII -> latin, halfwidth katakana -> kana, voiced-mark combining
     width_fold: bool = False
+    # generic per-char fold as a pre-tokenize char filter: (from, to)
+    # translate pair, chars beyond len(to) are DELETED (F.translate /
+    # str.maketrans / DuckDB translate all share this contract).  Lowers
+    # the char-for-char normalizer filters that run BEFORE StopFilter in
+    # their reference chains — GreekLowerCaseFilter (el), ArabicNormalizer
+    # + PersianNormalizer (fa) — so stop matching sees folded tokens
+    # exactly like the reference
+    char_fold: tuple = ()
 
     def __post_init__(self):
         if self.stemmer not in (None, "s", *DICT_STEMMERS):
@@ -481,6 +539,134 @@ class Analyzer:
         )
 
     @classmethod
+    def arabic(cls) -> "Analyzer":
+        """The ArabicAnalyzer preset (ar/ArabicAnalyzer.java:131-143):
+        ar/stopwords.txt (matched on RAW tokens — the reference stops
+        BEFORE ArabicNormalizationFilter, ":135 the stopword list is not
+        normalized!") + ArabicNormalizationFilter + ArabicStemFilter
+        composed at the dictionary stage (analysis/intl.py)."""
+        return cls(
+            stopwords=ARABIC_STOP_WORDS,
+            stemmer="arabic",
+            extra_letters=ARABIC_LETTERS,
+        )
+
+    @classmethod
+    def persian(cls) -> "Analyzer":
+        """The PersianAnalyzer preset (fa/PersianAnalyzer.java:128-144,
+        :156-160): PersianCharFilter (ZWNJ = token break, lowered by
+        EXCLUDING ZWNJ from the token alphabet) + Arabic+Persian
+        normalization as ONE pre-tokenize char_fold translate (both are
+        1:1 maps/deletions) + fa/stopwords.txt on the FOLDED tokens
+        (":136 the stopword list is normalized") + PersianStemFilter at
+        the dictionary stage.  DecimalDigitFilter declared out of scope
+        (intl.py module docstring)."""
+        return cls(
+            stopwords=PERSIAN_STOP_WORDS,
+            stemmer="persian",
+            char_fold=PERSIAN_FOLD,
+            extra_letters=PERSIAN_LETTERS,
+        )
+
+    @classmethod
+    def czech(cls) -> "Analyzer":
+        """The CzechAnalyzer preset (cz/CzechAnalyzer.java:113-124):
+        cz/stopwords.txt + CzechStemFilter."""
+        return cls(
+            stopwords=CZECH_STOP_WORDS,
+            stemmer="czech",
+            latin1=True,
+            extra_letters=CZECH_LETTERS,
+        )
+
+    @classmethod
+    def bulgarian(cls) -> "Analyzer":
+        """The BulgarianAnalyzer preset (bg/BulgarianAnalyzer.java:
+        110-121): bg/stopwords.txt + BulgarianStemFilter.  Cyrillic
+        token alphabet."""
+        return cls(
+            stopwords=BULGARIAN_STOP_WORDS,
+            stemmer="bulgarian",
+            extra_letters=BULGARIAN_LETTERS,
+        )
+
+    @classmethod
+    def greek(cls) -> "Analyzer":
+        """The GreekAnalyzer preset (el/GreekAnalyzer.java:100-109):
+        GreekLowerCaseFilter as a pre-tokenize char_fold (1:1 on letters,
+        analysis/greek.py) + el/stopwords.txt on the FOLDED tokens (the
+        shipped list is post-fold: "τησ") + GreekStemFilter."""
+        return cls(
+            stopwords=GREEK_STOP_WORDS,
+            stemmer="greek",
+            char_fold=GREEK_FOLD,
+            extra_letters=GREEK_LETTERS,
+        )
+
+    @classmethod
+    def hindi(cls) -> "Analyzer":
+        """The HindiAnalyzer preset (hi/HindiAnalyzer.java:121-131):
+        hi/stopwords.txt + IndicNormalization (Devanagari subset) +
+        HindiNormalization + HindiStem composed at the dictionary stage.
+        Declared-subset deviation: stopwords match RAW tokens (the
+        reference stops after normalization) — same contract as the
+        Sorani preset (analysis/sorani.py docstring)."""
+        return cls(
+            stopwords=HINDI_STOP_WORDS,
+            stemmer="hindi",
+            extra_letters=HINDI_LETTERS,
+        )
+
+    @classmethod
+    def bengali(cls) -> "Analyzer":
+        """The BengaliAnalyzer preset (bn/BengaliAnalyzer.java:119-130):
+        bn/stopwords.txt + IndicNormalization (Bengali subset) +
+        BengaliNormalization + BengaliStem at the dictionary stage.
+        Same raw-token stopword subset note as hindi()."""
+        return cls(
+            stopwords=BENGALI_STOP_WORDS,
+            stemmer="bengali",
+            extra_letters=BENGALI_LETTERS,
+        )
+
+    @classmethod
+    def indonesian(cls) -> "Analyzer":
+        """The IndonesianAnalyzer preset (id/IndonesianAnalyzer.java:
+        110-121): id/stopwords.txt + IndonesianStemFilter
+        (stemDerivational=true, the filter default)."""
+        return cls(stopwords=INDONESIAN_STOP_WORDS, stemmer="indonesian")
+
+    @classmethod
+    def latvian(cls) -> "Analyzer":
+        """The LatvianAnalyzer preset (lv/LatvianAnalyzer.java:107-118):
+        lv/stopwords.txt + LatvianStemFilter."""
+        return cls(
+            stopwords=LATVIAN_STOP_WORDS,
+            stemmer="latvian",
+            latin1=True,
+            extra_letters=LATVIAN_LETTERS,
+        )
+
+    @classmethod
+    def norwegian(cls, stemmer: str = "light") -> "Analyzer":
+        """The NorwegianAnalyzer chain (no/NorwegianAnalyzer.java:
+        107-120: StandardTokenizer + LowerCase + snowball
+        norwegian_stop.txt) with the light/minimal stemmer variants in
+        the stem slot (no/NorwegianLightStemFilter.java BOKMAAL default;
+        no/NorwegianMinimalStemFilter.java — the analyzer default is
+        Snowball, these are the zoo alternatives validated by
+        nb_light.txt / nb_minimal.txt)."""
+        if stemmer not in ("light", "minimal"):
+            raise ValueError(
+                f"norwegian() stemmer must be light|minimal, got {stemmer!r}"
+            )
+        return cls(
+            stopwords=NORWEGIAN_STOP_WORDS,
+            stemmer=f"norwegian_{stemmer}",
+            latin1=True,
+        )
+
+    @classmethod
     def sorani(cls) -> "Analyzer":
         """The SoraniAnalyzer preset (ckb/SoraniAnalyzer.java:112-121):
         ckb/stopwords.txt + SoraniNormalizationFilter + SoraniStemFilter
@@ -493,6 +679,15 @@ class Analyzer:
             stemmer="sorani",
             extra_letters=SORANI_LETTERS,
         )
+
+    def _char_fold_trans(self) -> dict:
+        key = self.char_fold
+        if key not in _CHAR_FOLD_CACHE:
+            frm, to = key
+            _CHAR_FOLD_CACHE[key] = str.maketrans(
+                frm[: len(to)], to, frm[len(to):]
+            )
+        return _CHAR_FOLD_CACHE[key]
 
     @property
     def syn_map(self) -> dict[str, list[str]]:
@@ -527,6 +722,7 @@ class Analyzer:
             and not self.extra_letters
             and not self.cjk_bigrams
             and not self.width_fold
+            and not self.char_fold
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -547,6 +743,7 @@ class Analyzer:
             "extra_letters": self.extra_letters,
             "cjk_bigrams": self.cjk_bigrams,
             "width_fold": self.width_fold,
+            "char_fold": list(self.char_fold),
         }
 
     @classmethod
@@ -570,6 +767,7 @@ class Analyzer:
             extra_letters=d.get("extra_letters", ""),
             cjk_bigrams=d.get("cjk_bigrams", False),
             width_fold=d.get("width_fold", False),
+            char_fold=tuple(d.get("char_fold", ())),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -607,6 +805,8 @@ class Analyzer:
             text = ascii_fold(text)
         if self.width_fold and text is not None:
             text = cjk_width_fold(text)
+        if self.char_fold and text is not None:
+            text = text.translate(self._char_fold_trans())
         if self.elision and text is not None:
             text = elide(text, self.elision)
         toks = tokenize_text(
@@ -656,6 +856,8 @@ class Analyzer:
             text = ascii_fold(text)
         if self.width_fold and text is not None:
             text = cjk_width_fold(text)
+        if self.char_fold and text is not None:
+            text = text.translate(self._char_fold_trans())
         if self.elision and text is not None:
             text = elide(text, self.elision)
         toks = tokenize_text(
@@ -779,6 +981,8 @@ class Analyzer:
             for pat, rep in KANA_COMBINE_PAIRS:
                 col = F.replace(col, F.lit(pat), F.lit(rep))
             col = F.translate(col, WIDTH_MARK_FROM, WIDTH_MARK_TO)
+        if self.char_fold:
+            col = F.translate(col, self.char_fold[0], self.char_fold[1])
         if self.elision:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "

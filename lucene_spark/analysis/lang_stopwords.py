@@ -223,3 +223,46 @@ SORANI_STOP_WORDS = frozenset(
     لەباتی لەبن لەبرێتی لەدەم لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی
     لەرێ لەرێگا لەسەر لەژێر ناو نێوان پاش پێش وەک""".split()
 )
+
+
+# -- round 5: vendored stopword resources -------------------------------------
+# The ar/fa/bg/bn/cz/el/hi/id/lv stopwords.txt resources and the snowball
+# norwegian_stop.txt are vendored VERBATIM as gzipped package data (same
+# treatment as the RSLP rule tables / KStem dictionary — the word lists ARE
+# the stop contract) and parsed with the matching WordlistLoader semantics:
+# '#'-comment lines for plain wordlist files, '|'-comments with
+# whitespace-separated words for the snowball format.
+
+import gzip as _gzip
+import os as _os
+
+_DATA = _os.path.join(_os.path.dirname(__file__), "data")
+
+
+def _load_stopwords(code: str, snowball: bool = False) -> frozenset:
+    path = _os.path.join(_DATA, f"stopwords_{code}.txt.gz")
+    words: set[str] = set()
+    with _gzip.open(path, "rt", encoding="utf-8") as f:
+        for ln in f:
+            if snowball:
+                ln = ln.split("|", 1)[0]
+                words.update(ln.split())
+            else:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    words.add(ln)
+    return frozenset(words)
+
+
+ARABIC_STOP_WORDS = _load_stopwords("ar")          # ar/stopwords.txt (UN-normalized;
+#   ArabicAnalyzer.java:135 stops BEFORE ArabicNormalizationFilter)
+PERSIAN_STOP_WORDS = _load_stopwords("fa")         # fa/stopwords.txt (pre-normalized;
+#   PersianAnalyzer.java:136-139 stops AFTER both normalizers)
+BULGARIAN_STOP_WORDS = _load_stopwords("bg")       # bg/stopwords.txt
+BENGALI_STOP_WORDS = _load_stopwords("bn")         # bn/stopwords.txt
+CZECH_STOP_WORDS = _load_stopwords("cs")           # cz/stopwords.txt
+GREEK_STOP_WORDS = _load_stopwords("el")           # el/stopwords.txt (post-fold forms)
+HINDI_STOP_WORDS = _load_stopwords("hi")           # hi/stopwords.txt
+INDONESIAN_STOP_WORDS = _load_stopwords("id")      # id/stopwords.txt
+LATVIAN_STOP_WORDS = _load_stopwords("lv")         # lv/stopwords.txt
+NORWEGIAN_STOP_WORDS = _load_stopwords("no", snowball=True)  # snowball format

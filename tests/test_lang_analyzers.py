@@ -250,8 +250,11 @@ def test_elision_italian():
 @pytest.mark.parametrize(
     "preset",
     ["french", "german", "spanish", "italian", "portuguese",
-     "russian", "swedish", "finnish", "hungarian"],
-    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu"],
+     "russian", "swedish", "finnish", "hungarian",
+     "arabic", "persian", "czech", "bulgarian", "greek", "hindi",
+     "bengali", "indonesian", "latvian", "norwegian"],
+    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu",
+         "ar", "fa", "cs", "bg", "el", "hi", "bn", "id", "lv", "no"],
 )
 def test_preset_roundtrip_and_noop(preset):
     an = getattr(Analyzer, preset)()
@@ -274,8 +277,21 @@ def test_preset_roundtrip_and_noop(preset):
         ("swedish", ["snabba frågor om tabeller", "större hus"]),
         ("finnish", ["nopeat kyselyt tauluista", "yhdessä ja erikseen"]),
         ("hungarian", ["gyors lekérdezések a táblákról", "tükörképe őrült"]),
+        # round-5 international wave — fa/el exercise the char_fold
+        # translate (JVM F.translate vs python str.translate)
+        ("arabic", ["الكتاب والحسن فاطمة", "ولداً ونلْسون", ""]),
+        ("persian", ["این کتابها و دوستان", "كتابۀ زادہ های"]),
+        ("czech", ["velcí páni a hrady", "stavení mužů"]),
+        ("bulgarian", ["градът и чудесата", "вестникът на краищата"]),
+        ("greek", ["ο άνθρωπος και οι άνθρωποι", "ΜΆΪΟΣ ΰϊ σοφός"]),
+        ("hindi", ["लडके और किताबों में", "अँगरेज़ी"]),
+        ("bengali", ["মেয়েরা এবং বাড়ী", "কলকাতা থেকে"]),
+        ("indonesian", ["bukukah dan kepastian", "memberikan pembunuhan"]),
+        ("latvian", ["tēvi un cilvēki", "lielākais valstis"]),
+        ("norwegian", ["hemmeligheten på bilens", "de fineste kakene"]),
     ],
-    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu"],
+    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu",
+         "ar", "fa", "cs", "bg", "el", "hi", "bn", "id", "lv", "no"],
 )
 def test_preset_entries_expr_matches_python_chain(spark, preset, texts):
     """entries_expr (stem stage deferred) == analyze_text with stemmer
@@ -401,8 +417,109 @@ def _mk_rows(texts):
             ],
             "lekérdezések táblák",
         ),
+        (
+            "arabic",
+            [
+                "الكتاب الجديد في المكتبة",
+                "كتاب قديم",
+                "الكتب والمكتبات معا",
+                "لا شيء مهم",
+            ],
+            "كتاب مكتبة",
+        ),
+        (
+            "persian",
+            [
+                "کتابهای خوب و دوستان",
+                "یک کتاب تنها",
+                "دوستها و کتابها",
+                "هیچ چیز",
+            ],
+            "کتابها دوست",
+        ),
+        (
+            "czech",
+            [
+                "velcí páni a staré hrady",
+                "jeden pán bez hradu",
+                "hrady a páni spolu",
+                "nic zajímavého",
+            ],
+            "páni hrady",
+        ),
+        (
+            "bulgarian",
+            [
+                "градът и новите чудеса",
+                "един град без чудо",
+                "градовете и чудесата заедно",
+                "нищо интересно",
+            ],
+            "градът чудесата",
+        ),
+        (
+            "greek",
+            [
+                "ο άνθρωπος και τα βιβλία",
+                "ένας άνθρωπος μόνος",
+                "οι άνθρωποι και τα βιβλία μαζί",
+                "τίποτα ενδιαφέρον",
+            ],
+            "άνθρωπος βιβλία",
+        ),
+        (
+            "hindi",
+            [
+                "लडके और किताबों में",
+                "एक लडका अकेला",
+                "किताबें और लडके साथ",
+                "कुछ नहीं",
+            ],
+            "लडके किताबों",
+        ),
+        (
+            "bengali",
+            [
+                "মেয়েরা এবং বইগুলো",
+                "একটি মেয়ে একা",
+                "বই এবং মেয়েদের সাথে",
+                "কিছুই না",
+            ],
+            "মেয়েরা বইগুলো",
+        ),
+        (
+            "indonesian",
+            [
+                "bukukah dan kepastian besar",
+                "sebuah buku tunggal",
+                "buku-buku dan kepastiannya",
+                "tidak ada apa-apa",
+            ],
+            "bukukah kepastian",
+        ),
+        (
+            "latvian",
+            [
+                "tēvi un lielie cilvēki",
+                "viens tēvs viens",
+                "cilvēki un tēvi kopā",
+                "nekas interesants",
+            ],
+            "tēvi cilvēki",
+        ),
+        (
+            "norwegian",
+            [
+                "hemmeligheten og de fine kakene",
+                "en hemmelig kake",
+                "kaker og hemmeligheter sammen",
+                "ingenting interessant",
+            ],
+            "hemmeligheten kakene",
+        ),
     ],
-    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu"],
+    ids=["fr", "de", "es", "it", "pt", "ru", "sv", "fi", "hu",
+         "ar", "fa", "cs", "bg", "el", "hi", "bn", "id", "lv", "no"],
 )
 def test_preset_search_parity(spark, preset, texts, query):
     from lucene_spark.fixtures import transcripts_df
