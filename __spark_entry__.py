@@ -802,6 +802,130 @@ _LANG_GATES = {
         ),
         query="数据库 引擎",
     ),
+    # round-5 wave 3 (analysis/wave3.py + analysis/snowball/): the
+    # Snowball-stemmed chains.  Like the earlier unplanted languages the
+    # analyzers run over the whole documents table (filter=None) with
+    # deterministic tails planting the inflected words; tr/ga exercise the
+    # pre_sub lowering on BOTH sides (F.regexp_replace / DuckDB
+    # regexp_replace in the twin's _tok_sql), ca/ga the new elision
+    # patterns, ne/ta the digit-row char_fold
+    "da": dict(
+        preset="danish",
+        filter=None,
+        tails=(
+            " undersøgelse af kvinderne og bøgerne",
+            " kvinder og undersøgelser sammen",
+        ),
+        query="undersøgelse kvinderne",
+    ),
+    "nl": dict(
+        preset="dutch",
+        filter=None,
+        tails=(
+            " lichamelijke opheffingen van de besturen",
+            " besturen en lichamen samen",
+        ),
+        query="lichamelijke besturen",
+    ),
+    "ro": dict(
+        preset="romanian",
+        filter=None,
+        tails=(
+            " absența copiilor din țară",
+            " țara și absențele împreună",
+        ),
+        query="absența țară",
+    ),
+    "ca": dict(
+        preset="catalan",
+        filter=None,
+        tails=(
+            " l'institut d'estudis i les llengües",
+            " les llengües i els instituts",
+        ),
+        query="llengües institut",
+    ),
+    "lt": dict(
+        preset="lithuanian",
+        filter=None,
+        tails=(
+            " vaikų ir mergaitės knygos",
+            " knygos ir vaikai kartu",
+        ),
+        query="vaikų knygos",
+    ),
+    "ga": dict(
+        preset="irish",
+        filter=None,
+        tails=(
+            " siopadóireacht m'athair sa bhaile",
+            " na siopadóirí agus na haithreacha",
+        ),
+        query="siopadóireacht m'athair",
+    ),
+    "hy": dict(
+        preset="armenian",
+        filter=None,
+        tails=(
+            " արծիվներ և գիրքեր մեծ",
+            " գիրքերը և արծիվները միասին",
+        ),
+        query="արծիվներ գիրքեր",
+    ),
+    "eu": dict(
+        preset="basque",
+        filter=None,
+        tails=(
+            " zaldiak eta mendiari buruz",
+            " mendiak eta zaldiek batera",
+        ),
+        query="zaldiak mendiari",
+    ),
+    "ne": dict(
+        preset="nepali",
+        filter=None,
+        tails=(
+            " मित्रहरु र किताबहरू १२३४",
+            " किताबहरू र मित्रहरूसँग",
+        ),
+        query="मित्रहरु किताबहरू",
+    ),
+    "et": dict(
+        preset="estonian",
+        filter=None,
+        tails=(
+            " teadaolevalt ja raamatud",
+            " raamatute ja teadaolevate",
+        ),
+        query="teadaolevalt raamatud",
+    ),
+    "ta": dict(
+        preset="tamil",
+        filter=None,
+        tails=(
+            " நண்பர்கள் மற்றும் புத்தகங்கள்",
+            " புத்தகங்களும் நண்பர்களும்",
+        ),
+        query="நண்பர்கள் புத்தகங்கள்",
+    ),
+    "tr": dict(
+        preset="turkish",
+        filter=None,
+        tails=(
+            " Kıbrıs'ta büyük ağacı gördük",
+            " ağaçlar ve Kıbrıs birlikte",
+        ),
+        query="ağacı Kıbrıs'ta",
+    ),
+    "sr": dict(
+        preset="serbian",
+        filter=None,
+        tails=(
+            " децимални бројеви и ђубриште",
+            " ђубришта и децимале заједно",
+        ),
+        query="децимални ђубриште",
+    ),
 }
 
 # joiner-free Latin-1 token class (declared-subset simplification of
@@ -875,12 +999,14 @@ def _prelude_lang(lang: str) -> str:
 
         from lucene_spark.analysis import Analyzer
         from lucene_spark.analysis.analyzer import DICT_STEMMERS
-        from lucene_spark.analysis.lang import ELISION_PATTERN
+        from lucene_spark.analysis.lang import ELISION_PATTERNS
 
         an = getattr(Analyzer, _LANG_GATES[lang]["preset"])()
         stem = DICT_STEMMERS[an.stemmer]
-        pat = ELISION_PATTERN.replace("'", "''")
-        elide = f", '{pat}', ' ', 'gi'" if an.elision else None
+        elide = None
+        if an.elision:
+            pat = ELISION_PATTERNS[an.elision].replace("'", "''")
+            elide = f", '{pat}', ' ', 'gi'"
 
         # joiner-free token class for THIS preset's alphabet (base +
         # extra_letters — Cyrillic for ru, Latin-Ext-A for hu)
@@ -893,6 +1019,11 @@ def _prelude_lang(lang: str) -> str:
                 # shares the delete-unmapped-tail contract with F.translate
                 frm, to = (x.replace("'", "''") for x in an.char_fold)
                 expr = f"translate({expr}, '{frm}', '{to}')"
+            for p, r in an.pre_sub:
+                # pre-tokenize substitutions (tr apostrophe, ga eclipsis):
+                # the \1-backref subset is shared by Python re and RE2
+                p, r = (x.replace("'", "''") for x in (p, r))
+                expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
             inner = f"regexp_replace({expr}{elide})" if elide else expr
             return f"regexp_extract_all(lower({inner}), '{tok_class}')"
 
@@ -916,6 +1047,7 @@ def _prelude_lang(lang: str) -> str:
             latin1=an.latin1,
             extra_letters=an.extra_letters,
             char_fold=an.char_fold,
+            pre_sub=an.pre_sub,
         )
         for tail in _LANG_GATES[lang]["tails"]:
             vocab |= {t for t, _ in surface.analyze_text(tail)}
@@ -5301,8 +5433,25 @@ _GATE_PRIORITY = [
     "bm25_topk_indonesian",
     "bm25_topk_latvian",
     "bm25_topk_norwegian",
-    # (c) regression canaries (positions 51+ — outside the driver window
-    # unless slots free up; kept for explicit ordering)
+    # (b continued) third round-5 wave: the Snowball-stemmed chains.
+    # Positions 51+ — outside the driver window (the 50 slots above all
+    # buy FIRST rows); certified by the judge-run contract suite, which
+    # replays every registered gate with the driver's canonicalization.
+    "bm25_topk_danish",
+    "bm25_topk_dutch",
+    "bm25_topk_romanian",
+    "bm25_topk_catalan",
+    "bm25_topk_lithuanian",
+    "bm25_topk_irish",
+    "bm25_topk_armenian",
+    "bm25_topk_basque",
+    "bm25_topk_nepali",
+    "bm25_topk_estonian",
+    "bm25_topk_tamil",
+    "bm25_topk_turkish",
+    "bm25_topk_serbian",
+    # (c) regression canaries (outside the driver window unless slots
+    # free up; kept for explicit ordering)
     "term_vector_doc",
     "bm25_topk_term",
     "bm25_topk_english",
@@ -5372,6 +5521,19 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indonesian": _q_topk_lang("id", 20),
         "bm25_topk_latvian": _q_topk_lang("lv", 20),
         "bm25_topk_norwegian": _q_topk_lang("no", 20),
+        "bm25_topk_danish": _q_topk_lang("da", 20),
+        "bm25_topk_dutch": _q_topk_lang("nl", 20),
+        "bm25_topk_romanian": _q_topk_lang("ro", 20),
+        "bm25_topk_catalan": _q_topk_lang("ca", 20),
+        "bm25_topk_lithuanian": _q_topk_lang("lt", 20),
+        "bm25_topk_irish": _q_topk_lang("ga", 20),
+        "bm25_topk_armenian": _q_topk_lang("hy", 20),
+        "bm25_topk_basque": _q_topk_lang("eu", 20),
+        "bm25_topk_nepali": _q_topk_lang("ne", 20),
+        "bm25_topk_estonian": _q_topk_lang("et", 20),
+        "bm25_topk_tamil": _q_topk_lang("ta", 20),
+        "bm25_topk_turkish": _q_topk_lang("tr", 20),
+        "bm25_topk_serbian": _q_topk_lang("sr", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
         "phrase_with_stopword_hole": _q_phrase_hole("part the key", 10),
         "bm25_topk_after_delete": _q_topk_after_delete(["spark", "query"], 10, 3),
@@ -5528,6 +5690,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_indonesian": _lang_topk_sql("id", 20),
         "bm25_topk_latvian": _lang_topk_sql("lv", 20),
         "bm25_topk_norwegian": _lang_topk_sql("no", 20),
+        "bm25_topk_danish": _lang_topk_sql("da", 20),
+        "bm25_topk_dutch": _lang_topk_sql("nl", 20),
+        "bm25_topk_romanian": _lang_topk_sql("ro", 20),
+        "bm25_topk_catalan": _lang_topk_sql("ca", 20),
+        "bm25_topk_lithuanian": _lang_topk_sql("lt", 20),
+        "bm25_topk_irish": _lang_topk_sql("ga", 20),
+        "bm25_topk_armenian": _lang_topk_sql("hy", 20),
+        "bm25_topk_basque": _lang_topk_sql("eu", 20),
+        "bm25_topk_nepali": _lang_topk_sql("ne", 20),
+        "bm25_topk_estonian": _lang_topk_sql("et", 20),
+        "bm25_topk_tamil": _lang_topk_sql("ta", 20),
+        "bm25_topk_turkish": _lang_topk_sql("tr", 20),
+        "bm25_topk_serbian": _lang_topk_sql("sr", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),
         "bm25_topk_spanish": _lang_topk_sql("es", 20),
         "bm25_topk_italian": _lang_topk_sql("it", 20),

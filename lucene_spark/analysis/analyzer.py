@@ -127,6 +127,50 @@ from lucene_spark.analysis.rslp import (
     portuguese_rslp_stem,
 )
 from lucene_spark.analysis.sorani import SORANI_LETTERS, sorani_normalize_and_stem
+from lucene_spark.analysis.wave3 import (
+    APOSTROPHE_SUB,
+    ARMENIAN_LETTERS,
+    DEVANAGARI_DIGIT_FOLD,
+    ESTONIAN_LETTERS,
+    IRISH_ECLIPSIS_SUB,
+    IRISH_HYPHENATIONS,
+    LITHUANIAN_LETTERS,
+    ROMANIAN_LETTERS,
+    SERBIAN_LETTERS,
+    TAMIL_DIGIT_FOLD,
+    TAMIL_LETTERS,
+    TURKISH_I_FOLD,
+    TURKISH_LETTERS,
+    armenian_stem,
+    basque_stem,
+    catalan_stem,
+    danish_stem,
+    dutch_stem,
+    english_snowball_stem,
+    estonian_stem,
+    irish_stem,
+    lithuanian_stem,
+    nepali_stem,
+    romanian_stem,
+    serbian_stem,
+    tamil_stem,
+    turkish_stem,
+)
+from lucene_spark.analysis.lang_stopwords import (
+    ARMENIAN_STOP_WORDS,
+    BASQUE_STOP_WORDS,
+    CATALAN_STOP_WORDS,
+    DANISH_STOP_WORDS,
+    DUTCH_STOP_WORDS,
+    ESTONIAN_STOP_WORDS,
+    IRISH_STOP_WORDS,
+    LITHUANIAN_STOP_WORDS,
+    NEPALI_STOP_WORDS,
+    ROMANIAN_STOP_WORDS,
+    SERBIAN_STOP_WORDS,
+    TAMIL_STOP_WORDS,
+    TURKISH_STOP_WORDS,
+)
 from lucene_spark.analysis.porter import porter_stem
 from lucene_spark.analysis.tokenizer import CJK_RUN_CLASS, tokenize_text
 
@@ -178,6 +222,23 @@ DICT_STEMMERS = {
     "norwegian_light": norwegian_light_stem,
     "norwegian_minimal": norwegian_minimal_stem,
     "greek": greek_fold_and_stem,  # idempotent over the preset's char_fold
+    # round-5 wave 3: the Snowball-stemmed chains (analysis/wave3.py,
+    # analysis/snowball/ — 503k-vector parity with the compiled
+    # reference stemmers; composition notes in the wave3 docstring)
+    "danish": danish_stem,
+    "dutch": dutch_stem,  # StemmerOverrideFilter dict + Snowball
+    "romanian": romanian_stem,  # RomanianNormalizer + Snowball
+    "catalan": catalan_stem,
+    "lithuanian": lithuanian_stem,
+    "irish": irish_stem,
+    "armenian": armenian_stem,
+    "basque": basque_stem,
+    "nepali": nepali_stem,  # IndicNormalizer(Devanagari) + Snowball
+    "estonian": estonian_stem,
+    "tamil": tamil_stem,  # IndicNormalizer(Tamil) + Snowball
+    "turkish": turkish_stem,
+    "serbian": serbian_stem,  # Snowball + SerbianNormalizationFilter
+    "english_snowball": english_snowball_stem,  # Porter2
 }
 
 
@@ -316,6 +377,15 @@ class Analyzer:
     # + PersianNormalizer (fa) — so stop matching sees folded tokens
     # exactly like the reference
     char_fold: tuple = ()
+    # generic pre-tokenize regex substitutions: tuple of (pattern,
+    # replacement) pairs in Python backref syntax, applied after
+    # char_fold and before elision.  Lowers the raw-case-dependent
+    # per-token filters that cannot be 1:1 translates — ApostropheFilter
+    # (tr/ApostropheFilter.java) and the Irish eclipsis split
+    # (wave3.py).  Patterns stay inside the shared Python-re / Java /
+    # RE2 subset (no lookaround, numbered backrefs only) so the JVM
+    # lowering and the DuckDB oracle twins replay them verbatim.
+    pre_sub: tuple = ()
 
     def __post_init__(self):
         if self.stemmer not in (None, "s", *DICT_STEMMERS):
@@ -376,12 +446,16 @@ class Analyzer:
 
         ``stemmer="kstem"`` swaps the stem stage for Krovetz' KStem
         (en/KStemFilter.java — the chain several reference English
-        analyzers default to; see analysis/kstem.py)."""
-        if stemmer not in ("porter", "kstem"):
-            raise ValueError(f"english() stemmer must be porter|kstem, got {stemmer!r}")
-        return cls(
-            stopwords=ENGLISH_STOP_WORDS, stemmer=stemmer, possessive=True
-        )
+        analyzers default to; see analysis/kstem.py).  ``stemmer=
+        "snowball"`` swaps in Porter2 (org.tartarus.snowball.ext.
+        EnglishStemmer via SnowballPorterFilterFactory — the third
+        English stem stage the reference ships; analysis/snowball/)."""
+        if stemmer not in ("porter", "kstem", "snowball"):
+            raise ValueError(
+                f"english() stemmer must be porter|kstem|snowball, got {stemmer!r}"
+            )
+        key = "english_snowball" if stemmer == "snowball" else stemmer
+        return cls(stopwords=ENGLISH_STOP_WORDS, stemmer=key, possessive=True)
 
     @classmethod
     def french(cls, stemmer: str = "light") -> "Analyzer":
@@ -680,6 +754,161 @@ class Analyzer:
             extra_letters=SORANI_LETTERS,
         )
 
+    # -- round-5 wave 3: Snowball-stemmed chains (analysis/wave3.py) ------
+
+    @classmethod
+    def danish(cls) -> "Analyzer":
+        """The DanishAnalyzer preset (da/DanishAnalyzer.java:104-111):
+        snowball danish_stop.txt + SnowballFilter(DanishStemmer)."""
+        return cls(stopwords=DANISH_STOP_WORDS, stemmer="danish", latin1=True)
+
+    @classmethod
+    def dutch(cls) -> "Analyzer":
+        """The DutchAnalyzer preset (nl/DutchAnalyzer.java:146-155):
+        snowball dutch_stop.txt + StemmerOverrideFilter(DEFAULT_STEM_DICT,
+        :80-84) + SnowballFilter(DutchStemmer) — the override dict and
+        stemmer compose at the dictionary stage (wave3.dutch_stem)."""
+        return cls(stopwords=DUTCH_STOP_WORDS, stemmer="dutch", latin1=True)
+
+    @classmethod
+    def romanian(cls) -> "Analyzer":
+        """The RomanianAnalyzer preset (ro/RomanianAnalyzer.java:123-131):
+        ro/stopwords.txt matched BEFORE normalization (the reference's
+        chain order — replicated exactly since the dictionary stage runs
+        after stop) + RomanianNormalizationFilter (cedilla -> comma-below)
+        + SnowballFilter(RomanianStemmer)."""
+        return cls(
+            stopwords=ROMANIAN_STOP_WORDS,
+            stemmer="romanian",
+            latin1=True,
+            extra_letters=ROMANIAN_LETTERS,
+        )
+
+    @classmethod
+    def catalan(cls) -> "Analyzer":
+        """The CatalanAnalyzer preset (ca/CatalanAnalyzer.java:121-129):
+        elision (DEFAULT_ARTICLES d/l/m/n/s/t, :48-50) + ca/stopwords.txt
+        + SnowballFilter(CatalanStemmer)."""
+        return cls(
+            stopwords=CATALAN_STOP_WORDS,
+            stemmer="catalan",
+            elision="ca",
+            latin1=True,
+        )
+
+    @classmethod
+    def lithuanian(cls) -> "Analyzer":
+        """The LithuanianAnalyzer preset (lt/LithuanianAnalyzer.java:
+        104-112): lt/stopwords.txt + SnowballFilter(LithuanianStemmer)."""
+        return cls(
+            stopwords=LITHUANIAN_STOP_WORDS,
+            stemmer="lithuanian",
+            latin1=True,
+            extra_letters=LITHUANIAN_LETTERS,
+        )
+
+    @classmethod
+    def irish(cls) -> "Analyzer":
+        """The IrishAnalyzer preset (ga/IrishAnalyzer.java:127-134):
+        HYPHENATIONS stop (h/n/t fragments, :56-57) + elision
+        (DEFAULT_ARTICLES d/m/b) + IrishLowerCaseFilter + irish_stop.txt
+        + SnowballFilter(IrishStemmer).  The eclipsis branch of the
+        lowercase filter is lowered as a pre-tokenize split + the h/n/t
+        stop entries (wave3.IRISH_ECLIPSIS_SUB docstring — declared
+        subset: both "tAthair" and "t-athair" index as "athair")."""
+        return cls(
+            stopwords=IRISH_STOP_WORDS | IRISH_HYPHENATIONS,
+            stemmer="irish",
+            elision="ga",
+            latin1=True,
+            pre_sub=(IRISH_ECLIPSIS_SUB,),
+        )
+
+    @classmethod
+    def armenian(cls) -> "Analyzer":
+        """The ArmenianAnalyzer preset (hy/ArmenianAnalyzer.java:104-112):
+        hy/stopwords.txt + SnowballFilter(ArmenianStemmer).  Armenian
+        token alphabet."""
+        return cls(
+            stopwords=ARMENIAN_STOP_WORDS,
+            stemmer="armenian",
+            extra_letters=ARMENIAN_LETTERS,
+        )
+
+    @classmethod
+    def basque(cls) -> "Analyzer":
+        """The BasqueAnalyzer preset (eu/BasqueAnalyzer.java:104-112):
+        eu/stopwords.txt + SnowballFilter(BasqueStemmer)."""
+        return cls(stopwords=BASQUE_STOP_WORDS, stemmer="basque", latin1=True)
+
+    @classmethod
+    def nepali(cls) -> "Analyzer":
+        """The NepaliAnalyzer preset (ne/NepaliAnalyzer.java:117-126):
+        DecimalDigitFilter (Devanagari digit row as char_fold) +
+        IndicNormalization (Devanagari) + ne/stopwords.txt +
+        SnowballFilter(NepaliStemmer).  Raw-token stopword subset as in
+        hindi() (the reference stops after normalization)."""
+        return cls(
+            stopwords=NEPALI_STOP_WORDS,
+            stemmer="nepali",
+            extra_letters=HINDI_LETTERS,
+            char_fold=DEVANAGARI_DIGIT_FOLD,
+        )
+
+    @classmethod
+    def estonian(cls) -> "Analyzer":
+        """The EstonianAnalyzer preset (et/EstonianAnalyzer.java:104-112):
+        et/stopwords.txt + SnowballFilter(EstonianStemmer)."""
+        return cls(
+            stopwords=ESTONIAN_STOP_WORDS,
+            stemmer="estonian",
+            latin1=True,
+            extra_letters=ESTONIAN_LETTERS,
+        )
+
+    @classmethod
+    def tamil(cls) -> "Analyzer":
+        """The TamilAnalyzer preset (ta/TamilAnalyzer.java:117-126):
+        DecimalDigitFilter (Tamil digit row as char_fold) +
+        IndicNormalization (Tamil block) + ta/stopwords.txt +
+        SnowballFilter(TamilStemmer).  Raw-token stopword subset as in
+        hindi()."""
+        return cls(
+            stopwords=TAMIL_STOP_WORDS,
+            stemmer="tamil",
+            extra_letters=TAMIL_LETTERS,
+            char_fold=TAMIL_DIGIT_FOLD,
+        )
+
+    @classmethod
+    def turkish(cls) -> "Analyzer":
+        """The TurkishAnalyzer preset (tr/TurkishAnalyzer.java:108-116):
+        ApostropheFilter (pre_sub) + TurkishLowerCaseFilter (İ/I char_fold
+        before the generic lowercase; NFC subset, wave3.TURKISH_I_FOLD) +
+        tr/stopwords.txt + SnowballFilter(TurkishStemmer)."""
+        return cls(
+            stopwords=TURKISH_STOP_WORDS,
+            stemmer="turkish",
+            latin1=True,
+            extra_letters=TURKISH_LETTERS,
+            char_fold=TURKISH_I_FOLD,
+            pre_sub=(APOSTROPHE_SUB,),
+        )
+
+    @classmethod
+    def serbian(cls) -> "Analyzer":
+        """The SerbianAnalyzer preset (sr/SerbianAnalyzer.java:118-126):
+        sr/stopwords.txt + SnowballFilter(SerbianStemmer) +
+        SerbianNormalizationFilter (normalization AFTER the stemmer —
+        composed in wave3.serbian_stem).  Cyrillic + Latin-diacritic
+        token alphabet."""
+        return cls(
+            stopwords=SERBIAN_STOP_WORDS,
+            stemmer="serbian",
+            latin1=True,
+            extra_letters=SERBIAN_LETTERS,
+        )
+
     def _char_fold_trans(self) -> dict:
         key = self.char_fold
         if key not in _CHAR_FOLD_CACHE:
@@ -723,6 +952,7 @@ class Analyzer:
             and not self.cjk_bigrams
             and not self.width_fold
             and not self.char_fold
+            and not self.pre_sub
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -744,6 +974,7 @@ class Analyzer:
             "cjk_bigrams": self.cjk_bigrams,
             "width_fold": self.width_fold,
             "char_fold": list(self.char_fold),
+            "pre_sub": [list(p) for p in self.pre_sub],
         }
 
     @classmethod
@@ -768,6 +999,7 @@ class Analyzer:
             cjk_bigrams=d.get("cjk_bigrams", False),
             width_fold=d.get("width_fold", False),
             char_fold=tuple(d.get("char_fold", ())),
+            pre_sub=tuple((p, r) for p, r in d.get("pre_sub", ())),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -807,6 +1039,9 @@ class Analyzer:
             text = cjk_width_fold(text)
         if self.char_fold and text is not None:
             text = text.translate(self._char_fold_trans())
+        if self.pre_sub and text is not None:
+            for pat, rep in self.pre_sub:
+                text = _re.sub(pat, rep, text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
         toks = tokenize_text(
@@ -858,6 +1093,9 @@ class Analyzer:
             text = cjk_width_fold(text)
         if self.char_fold and text is not None:
             text = text.translate(self._char_fold_trans())
+        if self.pre_sub and text is not None:
+            for pat, rep in self.pre_sub:
+                text = _re.sub(pat, rep, text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
         toks = tokenize_text(
@@ -983,6 +1221,9 @@ class Analyzer:
             col = F.translate(col, WIDTH_MARK_FROM, WIDTH_MARK_TO)
         if self.char_fold:
             col = F.translate(col, self.char_fold[0], self.char_fold[1])
+        for pat, rep in self.pre_sub:
+            # Python backref syntax -> Java's $N
+            col = F.regexp_replace(col, pat, _re.sub(r"\\(\d)", r"$\1", rep))
         if self.elision:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "

@@ -70,6 +70,10 @@ ELISION_PATTERNS = {
         r"\b(dagl|degl|negl|sugl|all|dall|dell|nell|sull|coll|pell"
         r"|agl|gl|un|[clmtsvd])'"
     ),
+    # CatalanAnalyzer.DEFAULT_ARTICLES (ca/CatalanAnalyzer.java:48-50)
+    "ca": r"\b([dlmnst])'",
+    # IrishAnalyzer.DEFAULT_ARTICLES (ga/IrishAnalyzer.java:47-48)
+    "ga": r"\b([dmb])'",
 }
 # back-compat alias (the French pattern was first)
 ELISION_PATTERN = ELISION_PATTERNS["fr"]

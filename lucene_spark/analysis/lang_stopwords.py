@@ -266,3 +266,18 @@ HINDI_STOP_WORDS = _load_stopwords("hi")           # hi/stopwords.txt
 INDONESIAN_STOP_WORDS = _load_stopwords("id")      # id/stopwords.txt
 LATVIAN_STOP_WORDS = _load_stopwords("lv")         # lv/stopwords.txt
 NORWEGIAN_STOP_WORDS = _load_stopwords("no", snowball=True)  # snowball format
+
+# round-5 wave 3 (the Snowball-stemmed analyzer chains, analysis/wave3.py)
+DANISH_STOP_WORDS = _load_stopwords("da", snowball=True)    # snowball/danish_stop.txt
+DUTCH_STOP_WORDS = _load_stopwords("nl", snowball=True)     # snowball/dutch_stop.txt
+IRISH_STOP_WORDS = _load_stopwords("ga", snowball=True)     # snowball/irish_stop.txt
+CATALAN_STOP_WORDS = _load_stopwords("ca")                  # ca/stopwords.txt
+ROMANIAN_STOP_WORDS = _load_stopwords("ro")                 # ro/stopwords.txt
+LITHUANIAN_STOP_WORDS = _load_stopwords("lt")               # lt/stopwords.txt
+ARMENIAN_STOP_WORDS = _load_stopwords("hy")                 # hy/stopwords.txt
+BASQUE_STOP_WORDS = _load_stopwords("eu")                   # eu/stopwords.txt
+NEPALI_STOP_WORDS = _load_stopwords("ne")                   # ne/stopwords.txt
+ESTONIAN_STOP_WORDS = _load_stopwords("et")                 # et/stopwords.txt
+TAMIL_STOP_WORDS = _load_stopwords("ta")                    # ta/stopwords.txt
+TURKISH_STOP_WORDS = _load_stopwords("tr")                  # tr/stopwords.txt
+SERBIAN_STOP_WORDS = _load_stopwords("sr")                  # sr/stopwords.txt

@@ -65,7 +65,7 @@ def test_english_kstem_preset_chain():
     ]
     assert Analyzer.from_json(an.to_json()) == an
     with pytest.raises(ValueError):
-        Analyzer.english(stemmer="snowball")
+        Analyzer.english(stemmer="lovins")
 
 
 def test_english_kstem_end_to_end(spark):
