@@ -4761,6 +4761,86 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_covering(terms, k: int):
+    """CoveringQuery surface (sandbox/search/CoveringQuery.java:51): a
+    disjunction whose required clause count is the per-doc expression
+    ``1 + turn_idx % 2`` (a LongValuesSource over a doc column) — even
+    turns need 1 matching clause, odd turns need 2.  Score = sum of the
+    matching clauses' BM25 scores (CoveringScorer.java:211-217)."""
+    src = "1 + turn_idx % 2"
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import CoveringQuery, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = CoveringQuery(tuple(TermQuery(t) for t in terms), src)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _covering_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.term) >= greatest(1, 1 + turn_idx % 2)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_function_range(lower: float, upper: float, k: int):
+    """FunctionRangeQuery surface (queries/function/FunctionRangeQuery.java:44):
+    match docs whose token count falls in [lower, upper) and score each
+    match with the value itself (ValueSourceScorer.java:88) — a pure
+    docs-relation scan, range predicate pushed into the Catalyst filter."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import FunctionRangeQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = FunctionRangeQuery(
+            "length", lower=lower, upper=upper, include_upper=False
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _function_range_sql(lower: float, upper: float, k: int) -> str:
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT conv_id, turn_idx, CAST(dl AS DOUBLE) AS score
+  FROM dl
+  WHERE dl >= {lower} AND dl < {upper}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_sessionize(gap_seconds: int):
     """Gap-based sessionization (pipeline/sessionize.py): per-conversation
     session stats with a 1-hour gap — pure JVM lag/cumsum window algebra,
@@ -5586,6 +5666,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
         "add_indexes_topk": _q_add_indexes_topk("merge", 10),
         "function_score_topk": _q_function_score(["spark", "query"], 10),
+        "covering_topk": _q_covering(["spark", "query", "data"], 10),
+        "function_range_topk": _q_function_range(30, 60, 10),
         "sessionize_turns": _q_sessionize(3600),
         "nb_classify_role": _q_nb_classify(),
         "dv_update_facets": _q_dv_update_facets,
@@ -5761,6 +5843,8 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
         "add_indexes_topk": _topk_sql(["merge"], 10),
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
+        "covering_topk": _covering_sql(["spark", "query", "data"], 10),
+        "function_range_topk": _function_range_sql(30, 60, 10),
         "sessionize_turns": _sessionize_sql(3600),
         "nb_classify_role": _nb_classify_sql(),
         "dv_update_facets": _PRELUDE

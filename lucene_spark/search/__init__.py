@@ -4,7 +4,9 @@ from lucene_spark.search.query import (  # noqa: F401
     BoostQuery,
     CombinedFieldQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
+    FunctionRangeQuery,
     FunctionScoreQuery,
     FuzzyQuery,
     KnnVectorQuery,

@@ -184,6 +184,36 @@ class FunctionScoreQuery(Query):
 
 
 @dataclass(frozen=True)
+class CoveringQuery(Query):
+    """sandbox/search/CoveringQuery.java:51 — a disjunction whose required
+    number of matching clauses is a PER-DOCUMENT long value instead of a
+    constant minimumShouldMatch.  ``min_match_source`` is a Spark SQL
+    expression over the doc columns (the LongValuesSource); values < 1
+    are treated as 1 and docs where the expression is NULL never match
+    (CoveringQuery.java:66-68).  The score is the sum of the matching
+    sub-queries' scores (CoveringScorer.java:211-217)."""
+
+    queries: tuple  # tuple[Query, ...]
+    min_match_source: str
+
+
+@dataclass(frozen=True)
+class FunctionRangeQuery(Query):
+    """queries/function/FunctionRangeQuery.java:44 — match docs whose
+    function value (a ValueSource; here a Spark SQL expression over the
+    doc columns) falls within [lower, upper], scoring each match with the
+    function value itself (ValueSourceScorer.java:88 returns
+    ``values.floatVal(doc)``).  NULL expression values never match
+    (FunctionValues.getRangeScorer skips docs without a value)."""
+
+    source: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class CombinedFieldQuery(Query):
     """BM25F over a pseudo-field merging the analyzed text with weighted
     keyword doc columns — sandbox/search/CombinedFieldQuery.java:78 (which

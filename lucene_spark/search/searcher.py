@@ -879,6 +879,17 @@ class IndexSearcher:
             return self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
         if isinstance(q, RangePredicate):
             return self.index.docs.filter(_range_pred(q)).select("doc_id")
+        from lucene_spark.search.query import FunctionRangeQuery as _FRQ
+
+        if isinstance(q, _FRQ):
+            # pure value-range filter — no score expression in the plan
+            v = F.expr(q.source).cast("double")
+            pred = v.isNotNull()
+            if q.lower is not None:
+                pred = pred & (v >= q.lower if q.include_lower else v > q.lower)
+            if q.upper is not None:
+                pred = pred & (v <= q.upper if q.include_upper else v < q.upper)
+            return self.index.docs.filter(pred).select("doc_id")
         if isinstance(q, BooleanQuery):
             return self._matches_boolean(q)
         return self._scored(q).select("doc_id").distinct()
@@ -1122,13 +1133,77 @@ class IndexSearcher:
             return self._scored_dismax(q)
         if isinstance(q, KnnVectorQuery):
             return self._scored_knn(q)
-        from lucene_spark.search.query import CombinedFieldQuery, FunctionScoreQuery
+        from lucene_spark.search.query import (
+            CombinedFieldQuery,
+            CoveringQuery,
+            FunctionRangeQuery,
+            FunctionScoreQuery,
+        )
 
         if isinstance(q, FunctionScoreQuery):
             return self._scored_function(q)
         if isinstance(q, CombinedFieldQuery):
             return self._scored_combined(q)
+        if isinstance(q, CoveringQuery):
+            return self._scored_covering(q)
+        if isinstance(q, FunctionRangeQuery):
+            return self._scored_function_range(q)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _scored_covering(self, q) -> DataFrame:
+        """CoveringQuery lowering (sandbox/search/CoveringScorer.java):
+        per-doc-variable minimumNumberMatch.  Plan shape: the clause
+        disjunction is ONE union of the per-clause scored relations with a
+        clause ordinal, one hash agg computes (sum(score),
+        count_distinct(clause)) per doc — map-side partial aggregation
+        applies — and the per-doc threshold rides the final doc_id join
+        against the (column-pruned) docs relation; no per-doc Python and
+        no second pass over the postings.  Score = sum of the matching
+        clauses' scores (CoveringScorer.java:211-217); NULL threshold
+        values never match, values < 1 clamp to 1
+        (CoveringScorer.java:135-141)."""
+        parts = [
+            self._scored(sub).withColumn("_cl", F.lit(i))
+            for i, sub in enumerate(q.queries)
+        ]
+        if not parts:
+            return self._empty_scored()
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("doc_id").agg(
+            F.sum(F.col("score").cast("double")).alias("_sum"),
+            F.count_distinct("_cl").alias("_n"),
+        )
+        need = F.expr(q.min_match_source).cast("long")
+        # NULL must be tested on the RAW source (greatest(NULL, 1) = 1 in
+        # Spark, which would wrongly admit docs with no value —
+        # CoveringScorer.java:136-141 treats missing values as "never match")
+        docs = self.index.docs.filter(need.isNotNull()).select(
+            "doc_id", F.greatest(need, F.lit(1)).alias("_need")
+        )
+        return (
+            agg.join(docs, "doc_id")
+            .filter(F.col("_n") >= F.col("_need"))
+            .select("doc_id", F.col("_sum").cast(self.score_type).alias("score"))
+        )
+
+    def _scored_function_range(self, q) -> DataFrame:
+        """FunctionRangeQuery lowering (queries/function/
+        FunctionRangeQuery.java:44): a pure docs-relation scan — the range
+        predicate is a Catalyst filter over the value expression (pushed
+        to the parquet scan when the source is a bare column), and the
+        score IS the function value (ValueSourceScorer.java:88).  Zero
+        shuffles, zero joins."""
+        v = F.expr(q.source).cast("double")
+        pred = v.isNotNull()
+        if q.lower is not None:
+            pred = pred & (v >= q.lower if q.include_lower else v > q.lower)
+        if q.upper is not None:
+            pred = pred & (v <= q.upper if q.include_upper else v < q.upper)
+        return self.index.docs.filter(pred).select(
+            "doc_id", v.cast(self.score_type).alias("score")
+        )
 
     def _scored_combined(self, q) -> DataFrame:
         """BM25F pseudo-field scoring (CombinedFieldQuery docstring defines

@@ -414,3 +414,65 @@ def test_all_absent_term_clauses_match_nothing(env):
     assert matches(searcher, absent_and) == set()
     assert matches(searcher, absent_or) == set()
     assert searcher.search(absent_and, 5).count() == 0
+
+
+def test_covering_query_per_doc_min_match(env):
+    """CoveringQuery (sandbox/search/CoveringScorer.java): the required
+    clause count is a per-document value; values < 1 clamp to 1 and NULL
+    values never match; score = sum of matching clauses' scores."""
+    from lucene_spark.search import CoveringQuery
+
+    searcher, by_term, docs = env
+    terms = ["model", "data", "spark"]
+    subs = tuple(TermQuery(t) for t in terms)
+    per_term = {t: scores(searcher, TermQuery(t)) for t in terms}
+
+    q = CoveringQuery(subs, "1 + turn_idx % 2")
+    got = scores(searcher, q)
+    want = {}
+    for d in docs:
+        hits = [t for t in terms if d in per_term[t]]
+        need = max(1, 1 + docs[d].turn_idx % 2)
+        if len(hits) >= need:
+            want[d] = sum(per_term[t][d] for t in hits)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+    # clamp: a constant 0 behaves as minimumNumberMatch = 1
+    got0 = matches(searcher, CoveringQuery(subs, "0"))
+    want0 = {d for d in docs if any(d in per_term[t] for t in terms)}
+    assert got0 == want0
+
+    # NULL threshold docs never match (CoveringScorer.java:136-141)
+    gotn = matches(
+        searcher, CoveringQuery(subs, "CASE WHEN turn_idx % 2 = 0 THEN 1 END")
+    )
+    assert gotn == {d for d in want0 if docs[d].turn_idx % 2 == 0}
+
+
+def test_function_range_query_bounds_and_score(env):
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:44):
+    match = value within the bounds (each independently in/exclusive),
+    score = the function value (ValueSourceScorer.java:88)."""
+    from lucene_spark.search import FunctionRangeQuery
+
+    searcher, _, docs = env
+    lens = sorted({docs[d].length for d in docs})
+    lo, hi = lens[len(lens) // 4], lens[3 * len(lens) // 4]
+
+    got = scores(searcher, FunctionRangeQuery("length", lower=lo, upper=hi))
+    want = {d: float(docs[d].length) for d in docs if lo <= docs[d].length <= hi}
+    assert got == want
+
+    got_ex = matches(
+        searcher,
+        FunctionRangeQuery(
+            "length", lower=lo, upper=hi, include_lower=False, include_upper=False
+        ),
+    )
+    assert got_ex == {d for d in docs if lo < docs[d].length < hi}
+
+    # open-ended upper
+    got_open = matches(searcher, FunctionRangeQuery("length", lower=hi))
+    assert got_open == {d for d in docs if docs[d].length >= hi}
