@@ -4841,6 +4841,57 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_dv_stats(term: str):
+    """DocValuesStats surface (misc/search/DocValuesStats.java:29 via
+    DocValuesStatsCollector): numeric statistics of the ``length`` doc
+    column over the docs matching a term query — count/missing/min/max/
+    sum/mean/population-variance/stdev in ONE hash aggregate (mean etc.
+    rounded x10000 so both engines hash identically)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.dvstats import numeric_doc_values_stats
+
+        _, searcher = _searcher(spark, sf_dir)
+        st = numeric_doc_values_stats(searcher, TermQuery(term), "length")
+        return st.select(
+            "field",
+            "count",
+            "missing",
+            F.col("vmin").cast("long").alias("vmin"),
+            F.col("vmax").cast("long").alias("vmax"),
+            F.col("vsum").cast("long").alias("vsum"),
+            F.round(F.col("mean") * 10000).cast("long").alias("mean_i"),
+            F.round(F.col("variance") * 10000).cast("long").alias("var_i"),
+            F.round(F.col("stdev") * 10000).cast("long").alias("stdev_i"),
+        )
+
+    return run
+
+
+def _dv_stats_sql(term: str) -> str:
+    return (
+        _PRELUDE
+        + f""",
+matched AS (
+  SELECT DISTINCT conv_id, turn_idx FROM tf WHERE term = '{term}'
+),
+vals AS (
+  SELECT dl.dl FROM dl JOIN matched USING (conv_id, turn_idx)
+)
+SELECT 'length' AS field,
+       CAST(count(dl) AS BIGINT) AS count,
+       CAST(count(*) - count(dl) AS BIGINT) AS missing,
+       CAST(min(dl) AS BIGINT) AS vmin,
+       CAST(max(dl) AS BIGINT) AS vmax,
+       CAST(sum(dl) AS BIGINT) AS vsum,
+       CAST(round(avg(dl) * 10000) AS BIGINT) AS mean_i,
+       CAST(round(var_pop(dl) * 10000) AS BIGINT) AS var_i,
+       CAST(round(sqrt(var_pop(dl)) * 10000) AS BIGINT) AS stdev_i
+FROM vals"""
+    )
+
+
 def _q_sessionize(gap_seconds: int):
     """Gap-based sessionization (pipeline/sessionize.py): per-conversation
     session stats with a 1-hour gap — pure JVM lag/cumsum window algebra,
@@ -5668,6 +5719,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": _q_function_score(["spark", "query"], 10),
         "covering_topk": _q_covering(["spark", "query", "data"], 10),
         "function_range_topk": _q_function_range(30, 60, 10),
+        "dv_stats_length": _q_dv_stats("spark"),
         "sessionize_turns": _q_sessionize(3600),
         "nb_classify_role": _q_nb_classify(),
         "dv_update_facets": _q_dv_update_facets,
@@ -5845,6 +5897,7 @@ def oracle_sql() -> dict[str, str]:
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
         "covering_topk": _covering_sql(["spark", "query", "data"], 10),
         "function_range_topk": _function_range_sql(30, 60, 10),
+        "dv_stats_length": _dv_stats_sql("spark"),
         "sessionize_turns": _sessionize_sql(3600),
         "nb_classify_role": _nb_classify_sql(),
         "dv_update_facets": _PRELUDE

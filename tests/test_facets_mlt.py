@@ -233,3 +233,49 @@ def test_dynamic_range_facets(spark, tiny_index):
     for a, b in zip(rows, rows[1:]):
         assert a.bucket + 1 == b.bucket
         assert a.lo <= a.hi <= b.lo <= b.hi
+
+
+def test_doc_values_stats(spark):
+    """DocValuesStats (misc/search/DocValuesStats.java): count counts
+    matching docs WITH a value, missing counts the rest; variance is the
+    population variance (variance/count, DocValuesStats.java:130-133)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher, TermQuery
+    from lucene_spark.search.dvstats import (
+        numeric_doc_values_stats,
+        sorted_doc_values_stats,
+    )
+
+    base = transcripts_df(spark, n_convs=20, seed=11)
+    # null the tool column on odd turns to exercise `missing`
+    df = base.withColumn(
+        "tool", F.when(F.col("turn_idx") % 2 == 0, F.col("tool"))
+    )
+    idx = IndexBuilder(num_segments=2).build(df)
+    s = IndexSearcher(idx)
+    q = TermQuery("model")
+    matched = {r.doc_id for r in s._matches(q).collect()}
+    docs = {r.doc_id: r for r in idx.docs.collect()}
+
+    row = numeric_doc_values_stats(s, q, "length").collect()[0]
+    vals = [docs[d].length for d in matched]
+    assert row.field == "length"
+    assert row["count"] == len(vals) and row.missing == 0
+    assert row.vmin == min(vals) and row.vmax == max(vals)
+    assert row.vsum == sum(vals)
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / len(vals)
+    assert row.mean == pytest.approx(mean)
+    assert row.variance == pytest.approx(var)
+    assert row.stdev == pytest.approx(math.sqrt(var))
+
+    srow = sorted_doc_values_stats(s, q, "tool").collect()[0]
+    tools = [docs[d].tool for d in matched if docs[d].tool is not None]
+    assert srow["count"] == len(tools)
+    assert srow.missing == len(matched) - len(tools)
+    assert srow.vmin == min(tools) and srow.vmax == max(tools)
