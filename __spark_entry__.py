@@ -4892,6 +4892,89 @@ FROM vals"""
     )
 
 
+def _q_group_facets(term: str, group_col: str, facet_col: str):
+    """GroupFacetCollector surface (grouping/GroupFacetCollector.java:37):
+    facet counts by DISTINCT GROUP — each conversation counts once per
+    role value regardless of how many of its turns match."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import group_facet_counts
+
+        _, searcher = _searcher(spark, sf_dir)
+        return group_facet_counts(
+            searcher, TermQuery(term), group_col, facet_col
+        )
+
+    return run
+
+
+def _group_facets_sql(term: str) -> str:
+    return (
+        _PRELUDE
+        + f""",
+matched AS (
+  SELECT DISTINCT conv_id, turn_idx FROM tf WHERE term = '{term}'
+)
+SELECT role AS value, CAST(count(DISTINCT t.conv_id) AS BIGINT) AS n_groups
+FROM tr t JOIN matched USING (conv_id, turn_idx)
+WHERE role IS NOT NULL
+GROUP BY 1
+ORDER BY n_groups DESC, value"""
+    )
+
+
+def _q_parent_children(parent: str, term: str):
+    """ParentChildrenBlockJoinQuery surface (join/
+    ParentChildrenBlockJoinQuery.java:39): the matching children of ONE
+    specific parent block (a conversation), scored by the child query."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import parent_children
+
+        _, searcher = _searcher(spark, sf_dir)
+        kids = parent_children(searcher, TermQuery(term), parent)
+        w = Window.orderBy(F.desc("score_i"), F.asc("turn_idx"))
+        return (
+            kids.withColumn(
+                "score_i", F.round(F.col("score") * 10000).cast("long")
+            )
+            .select(
+                F.row_number().over(w).cast("int").alias("rank"),
+                "conv_id",
+                "turn_idx",
+                "score_i",
+            )
+            .orderBy("rank")
+        )
+
+    return run
+
+
+def _parent_children_sql(parent: str, term: str) -> str:
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term = '{term}' AND tf.conv_id = '{parent}'
+  GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY score_i DESC, turn_idx) AS INT) AS rank,
+       conv_id, turn_idx, score_i
+FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+      FROM scored)
+ORDER BY rank"""
+    )
+
+
 def _q_sessionize(gap_seconds: int):
     """Gap-based sessionization (pipeline/sessionize.py): per-conversation
     session stats with a 1-hour gap — pure JVM lag/cumsum window algebra,
@@ -5720,6 +5803,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covering_topk": _q_covering(["spark", "query", "data"], 10),
         "function_range_topk": _q_function_range(30, 60, 10),
         "dv_stats_length": _q_dv_stats("spark"),
+        "group_facets_role": _q_group_facets("data", "conv_id", "role"),
+        "parent_children_topk": _q_parent_children("conv000007", "data"),
         "sessionize_turns": _q_sessionize(3600),
         "nb_classify_role": _q_nb_classify(),
         "dv_update_facets": _q_dv_update_facets,
@@ -5898,6 +5983,8 @@ def oracle_sql() -> dict[str, str]:
         "covering_topk": _covering_sql(["spark", "query", "data"], 10),
         "function_range_topk": _function_range_sql(30, 60, 10),
         "dv_stats_length": _dv_stats_sql("spark"),
+        "group_facets_role": _group_facets_sql("data"),
+        "parent_children_topk": _parent_children_sql("conv000007", "data"),
         "sessionize_turns": _sessionize_sql(3600),
         "nb_classify_role": _nb_classify_sql(),
         "dv_update_facets": _PRELUDE

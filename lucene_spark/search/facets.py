@@ -258,3 +258,56 @@ def dynamic_range_facets(
         )
         .orderBy("bucket")
     )
+
+
+def group_facet_counts(
+    searcher,
+    query: Query,
+    group_col: str,
+    facet_col: str,
+    prefix: str | None = None,
+) -> DataFrame:
+    """(value, n_groups): facet counts BY DISTINCT GROUP — each group
+    contributes at most once per facet value, however many of its docs
+    match (grouping/GroupFacetCollector.java:37 /
+    TermGroupFacetCollector.java: per-segment (group ord, facet ord)
+    pair dedup before counting).  ``prefix`` keeps only facet values
+    with that prefix (the facetPrefix constructor arg).
+
+    Plan: match join -> ONE hash agg of count_distinct(group) per facet
+    value (Spark rewrites count_distinct as a two-level expand+agg, i.e.
+    exactly the reference's pair-dedup-then-count, distributed); ordered
+    count desc / value asc like the reference's merged top-N queue."""
+    m = _matches_with_docs(searcher, query).select(
+        F.col(facet_col).alias("value"), F.col(group_col).alias("_g")
+    )
+    if prefix is not None:
+        m = m.filter(F.col("value").startswith(prefix))
+    return (
+        m.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count_distinct("_g").cast("long").alias("n_groups"))
+        .orderBy(F.desc("n_groups"), F.asc("value"))
+    )
+
+
+def parent_children(
+    searcher, child_query: Query, parent_key, key: str = "conv_id"
+) -> DataFrame:
+    """(doc_id, <keys>, score): all child docs OF ONE SPECIFIC PARENT
+    matching the child query, scored by the child query —
+    join/ParentChildrenBlockJoinQuery.java:39 ("all the matching child
+    documents for a specific parent document"; the child query determines
+    both match and score).  Used to expand one hit of a ToParent join
+    into its matching children.
+
+    Plan: the child-query scored relation joins the parent's (tiny,
+    broadcast) child-doc set — the block is one key partition, so no
+    shuffle of the scored side."""
+    block = searcher.index.docs.filter(F.col(key) == parent_key).select(
+        "doc_id", key, "turn_idx"
+    )
+    scored = searcher.scored(child_query)
+    return scored.join(F.broadcast(block), "doc_id").select(
+        "doc_id", key, "turn_idx", "score"
+    )

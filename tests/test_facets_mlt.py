@@ -279,3 +279,47 @@ def test_doc_values_stats(spark):
     assert srow["count"] == len(tools)
     assert srow.missing == len(matched) - len(tools)
     assert srow.vmin == min(tools) and srow.vmax == max(tools)
+
+
+def test_group_facet_counts(tiny_index):
+    """GroupFacetCollector: a group with many matching docs of the same
+    facet value still counts once for that value."""
+    from lucene_spark.search.facets import group_facet_counts
+
+    s = IndexSearcher(tiny_index)
+    q = TermQuery("model")
+    matched = {r.doc_id for r in s._matches(q).collect()}
+    docs = {r.doc_id: r for r in tiny_index.docs.collect()}
+    want = {}
+    for d in matched:
+        r = docs[d]
+        if r.role is not None:
+            want.setdefault(r.role, set()).add(r.conv_id)
+    got = {r.value: r.n_groups for r in group_facet_counts(s, q, "conv_id", "role").collect()}
+    assert got == {v: len(g) for v, g in want.items()}
+
+    # prefix filter
+    got_p = {
+        r.value: r.n_groups
+        for r in group_facet_counts(s, q, "conv_id", "role", prefix="a").collect()
+    }
+    assert got_p == {v: len(g) for v, g in want.items() if v.startswith("a")}
+
+
+def test_parent_children_block_join(tiny_index):
+    """ParentChildrenBlockJoinQuery: children of exactly one parent block,
+    scored by the child query."""
+    from lucene_spark.search.facets import parent_children
+
+    s = IndexSearcher(tiny_index)
+    q = TermQuery("model")
+    child_scores = {r.doc_id: float(r.score) for r in s.scored(q).collect()}
+    docs = {r.doc_id: r for r in tiny_index.docs.collect()}
+    convs = sorted({r.conv_id for r in docs.values()})
+    parent = convs[1]
+    got = parent_children(s, q, parent).collect()
+    want = {d for d in child_scores if docs[d].conv_id == parent}
+    assert {r.doc_id for r in got} == want
+    for r in got:
+        assert r.conv_id == parent
+        assert float(r.score) == pytest.approx(child_scores[r.doc_id], rel=1e-6)
