@@ -4057,6 +4057,73 @@ ranked AS (
 SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+def _q_suggest_infix(key: str, k: int):
+    """Infix completion (AnalyzingInfixSuggester.java:627): earlier tokens
+    match anywhere in the analyzed suggestion text, the final token as a
+    token prefix; entries are the corpus turns' first-3-word surfaces
+    weighted by occurrence count."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.search.suggest import (
+            build_analyzing_suggester,
+            infix_lookup,
+        )
+
+        an = Analyzer(stopwords=_EN_STOPS)
+        tr = _transcripts_df(spark, sf_dir)
+        entries = (
+            tr.select(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 3)
+                ).alias("surface")
+            )
+            .groupBy("surface")
+            .agg(F.count("*").cast("long").alias("weight"))
+        )
+        return infix_lookup(build_analyzing_suggester(entries, an), an, key, k)
+
+    return run
+
+
+def _suggest_infix_sql(key: str, k: int) -> str:
+    from lucene_spark.analysis import Analyzer
+
+    toks = Analyzer(stopwords=_EN_STOPS).analyze_query(key)
+    conds = []
+    for t in toks[:-1]:
+        conds.append(f"len(list_filter(karr, t -> t = '{t}')) > 0")
+    if key != key.rstrip():
+        conds.append(f"len(list_filter(karr, t -> t = '{toks[-1]}')) > 0")
+    else:
+        conds.append(
+            f"len(list_filter(karr, t -> starts_with(t, '{toks[-1]}'))) > 0"
+        )
+    where = " AND ".join(conds)
+    return f"""
+WITH surf AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS surface,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM documents GROUP BY 1
+),
+keyed AS (
+  SELECT list_filter(regexp_extract_all(lower(surface), '[a-z0-9]+'),
+                     t -> t NOT IN ({_AN_STOPLIST})) AS karr,
+         surface, weight
+  FROM surf
+),
+cands AS (
+  SELECT surface, weight FROM keyed
+  WHERE len(karr) > 0 AND {where}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY weight DESC, surface) AS INT) AS rank,
+         surface, weight
+  FROM cands
+)
+SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_explain_bm25(terms: tuple):
     """Explanation oracle (CheckHits.checkExplanations analog): explain()
     must decompose the top-1 doc's BM25 score into idf/tf/clause components
@@ -5781,6 +5848,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bm25_knn_topk": _q_hybrid("spark", 50, 10),
         "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
         "suggest_analyzed": _q_suggest_analyzed("the spark", 10),
+        "suggest_infix": _q_suggest_infix("data c", 10),
         "suggest_analyzed_context": _q_suggest_analyzed_context(
             "the spark", 10, ("fr", "de")
         ),
@@ -5961,6 +6029,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_bm25_knn_topk": _hybrid_sql("spark", 50, 10),
         "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
         "suggest_analyzed": _suggest_analyzed_sql("the spark", 10),
+        "suggest_infix": _suggest_infix_sql("data c", 10),
         "suggest_analyzed_context": _suggest_analyzed_context_sql(
             "the spark", 10, ("fr", "de")
         ),

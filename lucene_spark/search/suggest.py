@@ -309,3 +309,59 @@ def spell_correct(
         )
         .orderBy("rank")
     )
+
+
+def infix_lookup(
+    suggester: DataFrame,
+    analyzer,
+    key: str,
+    k: int = 10,
+    all_terms_required: bool = True,
+) -> DataFrame:
+    """(rank, surface, weight): infix completion lookup
+    (suggest/.../analyzing/AnalyzingInfixSuggester.java:627-694) — the
+    typed key is analyzed; every token but the last must match a token
+    ANYWHERE in the suggestion's analyzed text (TermQuery clauses), and
+    the last token matches as a TOKEN PREFIX (PrefixQuery) unless the key
+    ends with discarded chars (trailing space -> exact TermQuery, the
+    reference's maxEndOffset check).  ``all_terms_required`` maps the
+    clauses to MUST vs SHOULD (AnalyzingInfixSuggester.java:639-644);
+    with SHOULD at least one clause must match.  Ranked weight desc (the
+    reference's SORT = SortField("weight", LONG, reverse)) with surface
+    asc as the deterministic tie-break.
+
+    Runs against the ``build_analyzing_suggester`` relation: the infix
+    variant needs token-anywhere matching, so there is no key-prefix
+    pruning — at scale this is the reference's design too (it searches a
+    dedicated mini Lucene index, not the FST)."""
+    from pyspark.sql import Window
+
+    toks = analyzer.analyze_query(key)
+    if not toks:
+        return suggester.select(
+            F.lit(1).alias("rank"), "surface", "weight"
+        ).limit(0)
+    last_ended = key != key.rstrip()
+    tarr = F.split(F.col("key"), " ")
+    conds = []
+    for t in toks[:-1]:
+        conds.append(F.array_contains(tarr, t))
+    last = toks[-1]
+    if last_ended:
+        conds.append(F.array_contains(tarr, last))
+    else:
+        conds.append(F.exists(tarr, lambda x: x.startswith(last)))
+    if all_terms_required:
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred & c
+    else:
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred | c
+    cands = suggester.filter(pred)
+    top = cands.orderBy(F.desc("weight"), F.asc("surface")).limit(k)
+    w = Window.orderBy(F.desc("weight"), F.asc("surface"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "surface", "weight"
+    ).orderBy("rank")

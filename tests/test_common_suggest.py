@@ -235,3 +235,47 @@ def test_spell_correct(spark, tiny_index):
     brute.sort(key=lambda x: (-x[1], -x[2], x[0]))
     assert got == brute[:5]
     assert got and got[0][0] == base  # the 1-edit source term wins
+
+
+def test_infix_lookup_semantics(spark):
+    """AnalyzingInfixSuggester: earlier tokens exact-anywhere, last token
+    is a token PREFIX unless the key has trailing whitespace (then exact);
+    allTermsRequired=False degrades the clauses to SHOULD."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.search.suggest import build_analyzing_suggester, infix_lookup
+
+    an = Analyzer()
+    entries = spark.createDataFrame(
+        [
+            ("big data customer", 5),
+            ("customer data lake", 9),
+            ("data custody chain", 7),
+            ("pure custard pie", 3),
+            ("data warehouse", 2),
+        ],
+        "surface string, weight long",
+    )
+    sug = build_analyzing_suggester(entries, an)
+
+    # "data cust": data exact anywhere, cust as token prefix
+    got = [r.surface for r in infix_lookup(sug, an, "data cust", 10).collect()]
+    assert got == ["customer data lake", "data custody chain", "big data customer"]
+
+    # trailing space -> last token exact: only full token "custody"... none
+    got_sp = [r.surface for r in infix_lookup(sug, an, "data cust ", 10).collect()]
+    assert got_sp == []
+    got_sp2 = [r.surface for r in infix_lookup(sug, an, "data custody ", 10).collect()]
+    assert got_sp2 == ["data custody chain"]
+
+    # SHOULD mode: any clause may match — custard joins via cust*
+    got_or = [
+        r.surface
+        for r in infix_lookup(sug, an, "data cust", 10, all_terms_required=False).collect()
+    ]
+    assert got_or == [
+        "customer data lake",
+        "data custody chain",
+        "big data customer",
+        "pure custard pie",
+        "data warehouse",
+    ]
