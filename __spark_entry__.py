@@ -4124,6 +4124,104 @@ ranked AS (
 SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+def _freetext_levels(key: str, grams: int = 3):
+    """Shared probe/backoff derivation for the freetext gate + its twin
+    (mirrors suggest.freetext_lookup's level loop exactly)."""
+    from lucene_spark.analysis import Analyzer
+
+    toks = Analyzer().analyze_query(key)
+    last_ended = key != key.rstrip()
+    levels = []
+    shift = 0
+    for o in range(grams, 0, -1):
+        if last_ended:
+            if o == 1 or len(toks) < o - 1:
+                continue
+            ctx = " ".join(toks[-(o - 1):])
+            probe = ctx + " "
+        else:
+            if len(toks) < o:
+                continue
+            ctx = " ".join(toks[-o:-1])
+            probe = " ".join(toks[-o:])
+        levels.append((o, probe, ctx, 0.4 ** shift))
+        shift += 1
+    return levels
+
+
+def _q_suggest_freetext(key: str, k: int):
+    """FreeTextSuggester surface (suggest/.../analyzing/
+    FreeTextSuggester.java:83-126): stupid-backoff n-gram prediction over
+    the corpus trigram model; the last typed token completes as a prefix,
+    lower-order models back off by ALPHA=0.4."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.search.suggest import (
+            build_freetext_model,
+            freetext_lookup,
+        )
+
+        an = Analyzer()
+        texts = _transcripts_df(spark, sf_dir).select("text")
+        model = build_freetext_model(texts, an, grams=3)
+        out = freetext_lookup(model, an, key, k, grams=3)
+        return out.select(
+            "rank",
+            "surface",
+            "lastfrag",
+            F.round(F.col("score") * 1000000000).cast("long").alias("score_i"),
+        )
+
+    return run
+
+
+def _suggest_freetext_sql(key: str, k: int) -> str:
+    levels = _freetext_levels(key, 3)
+    orders_sql = "\n    UNION ALL\n".join(
+        f"""    SELECT unnest(list_transform(range(1, greatest(len(arr) - {n - 1}, 0) + 1),
+           i -> array_to_string(list_slice(arr, i, i + {n - 1}), ' '))) AS gram, {n} AS ord
+    FROM toks"""
+        for n in (1, 2, 3)
+    )
+    lvl_sqls = []
+    for o, probe, ctx, backoff in levels:
+        if ctx:
+            denom = f"(SELECT cnt FROM gr WHERE ord = {o - 1} AND gram = '{ctx}')"
+        else:
+            denom = "(SELECT sum(cnt) FROM gr WHERE ord = 1)"
+        lvl_sqls.append(
+            f"""  SELECT gram AS surface, regexp_extract(gram, '[^ ]+$') AS lastfrag,
+         {backoff!r} * cnt / {denom} AS score, ord
+  FROM gr WHERE ord = {o} AND starts_with(gram, '{probe}')"""
+        )
+    union = "\n  UNION ALL\n".join(lvl_sqls)
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents
+),
+gr AS (
+  SELECT gram, ord, CAST(count(*) AS BIGINT) AS cnt FROM (
+{orders_sql}
+  ) g WHERE gram <> '' GROUP BY 1, 2
+),
+lvls AS (
+{union}
+),
+dedup AS (
+  SELECT surface, lastfrag, score,
+         row_number() OVER (PARTITION BY lastfrag ORDER BY ord DESC) AS rn
+  FROM lvls
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, surface) AS INT) AS rank,
+         surface, lastfrag,
+         CAST(round(score * 1000000000) AS BIGINT) AS score_i
+  FROM dedup WHERE rn = 1
+)
+SELECT rank, surface, lastfrag, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_explain_bm25(terms: tuple):
     """Explanation oracle (CheckHits.checkExplanations analog): explain()
     must decompose the top-1 doc's BM25 score into idf/tf/clause components
@@ -5849,6 +5947,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_fuzzy": _q_suggest_fuzzy("spar", 10),
         "suggest_analyzed": _q_suggest_analyzed("the spark", 10),
         "suggest_infix": _q_suggest_infix("data c", 10),
+        "suggest_freetext": _q_suggest_freetext("the customer s", 10),
         "suggest_analyzed_context": _q_suggest_analyzed_context(
             "the spark", 10, ("fr", "de")
         ),
@@ -6030,6 +6129,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_fuzzy": _suggest_fuzzy_sql("spar", 10),
         "suggest_analyzed": _suggest_analyzed_sql("the spark", 10),
         "suggest_infix": _suggest_infix_sql("data c", 10),
+        "suggest_freetext": _suggest_freetext_sql("the customer s", 10),
         "suggest_analyzed_context": _suggest_analyzed_context_sql(
             "the spark", 10, ("fr", "de")
         ),

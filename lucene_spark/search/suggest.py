@@ -365,3 +365,143 @@ def infix_lookup(
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "surface", "weight"
     ).orderBy("rank")
+
+
+FREETEXT_ALPHA = 0.4  # FreeTextSuggester.java:126 stupid-backoff constant
+
+
+def build_freetext_model(
+    texts: DataFrame, analyzer, grams: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(gram, ord, cnt): the n-gram language model of
+    suggest/.../analyzing/FreeTextSuggester.java:215-341 — every 1..grams
+    token shingle of the analyzed corpus with its occurrence count (the
+    reference stores the same shingles in an FST keyed by the separator-
+    joined gram with encodeWeight(totalTermFreq)).  Space is the token
+    separator.  Pure JVM: tokenize -> per-order slice/concat transforms ->
+    explode -> one hash agg; at scale write it sorted by (ord, gram) so
+    parquet min/max stats prune every prefix lookup."""
+    arr = F.transform(
+        analyzer.entries_expr(F.col(text_col)), lambda e: e["term"]
+    )
+    def _shingle(n):
+        # NOTE: a two-parameter lambda would make F.transform pass
+        # (element, index) — bind n via closure, not a default arg
+        return lambda i: F.concat_ws(" ", F.slice(arr, i, n))
+
+    per_order = []
+    for n in range(1, grams + 1):
+        # guard: Spark's sequence(1, 0) would DESCEND ([1, 0]); docs with
+        # fewer than n tokens contribute no n-grams
+        g = F.when(
+            F.size(arr) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(arr) - (n - 1)), _shingle(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        per_order.append(
+            texts.select(F.explode(g).alias("gram"))
+            .withColumn("ord", F.lit(n))
+        )
+    u = per_order[0]
+    for p in per_order[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("gram", "ord").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def freetext_lookup(
+    model: DataFrame, analyzer, key: str, k: int = 10, grams: int = 3
+) -> DataFrame:
+    """(rank, surface, lastfrag, score): stupid-backoff next-token
+    prediction (FreeTextSuggester.java:435-725, "Large language models in
+    machine translation" Brants et al. 2007).
+
+    Faithful to the reference's lookup: the analyzed key's last 1..grams
+    tokens form one probe per model order, highest order first; the final
+    token matches as a PREFIX unless the key ends with discarded chars
+    (then it upgrades to a context token and the unigram probe is
+    skipped, FreeTextSuggester.java:503-519); each descent level damps
+    the score by ALPHA=0.4 (both the no-such-prefix path and the after-
+    emitting path multiply once per level, FreeTextSuggester.java:568,
+    702); score = backoff * count(gram) / count(context) (totTokens for
+    the unigram model); a last token predicted by a higher-order model is
+    skipped in lower ones (the ``seen`` set = keep the highest-order row
+    per predicted token here); final order score desc / surface asc
+    (FreeTextSuggester.java:705-719).
+
+    Unlike the reference's per-model TopNSearcher (queue depth num+|seen|)
+    this keeps EVERY candidate per level and cuts once at the end — the
+    final top-k is identical (within one model score is proportional to
+    count with a shared denominator, so any candidate the reference's
+    queue dropped is dominated by >= k same-model survivors) and the
+    relation form avoids a driver-side iterative search."""
+    from pyspark.sql import Window
+
+    toks = analyzer.analyze_query(key)
+    if not toks:
+        raise ValueError("no tokens produced by analyzer")
+    last_ended = key != key.rstrip()
+    tot = model.filter(F.col("ord") == 1).agg(F.sum("cnt")).collect()[0][0] or 0
+
+    levels = []
+    shift = 0
+    for o in range(grams, 0, -1):
+        if last_ended:
+            # "upgrade": the whole last token becomes context; order-o probe
+            # needs o-1 context tokens, the unigram probe is skipped
+            if o == 1 or len(toks) < o - 1:
+                continue
+            ctx_toks = toks[-(o - 1):]
+            probe = " ".join(ctx_toks) + " "
+        else:
+            if len(toks) < o:
+                continue
+            ctx_toks = toks[-o:-1]
+            probe = " ".join(toks[-o:])
+        backoff = FREETEXT_ALPHA ** shift
+        shift += 1
+        lvl = model.filter(
+            (F.col("ord") == o) & F.col("gram").startswith(probe)
+        )
+        if ctx_toks:
+            ctx_gram = " ".join(ctx_toks)
+            ctx_rows = model.filter(
+                (F.col("ord") == o - 1) & (F.col("gram") == ctx_gram)
+            ).collect()
+            if not ctx_rows:
+                continue  # context unseen -> this model has no predictions
+            denom = float(ctx_rows[0]["cnt"])
+        else:
+            denom = float(tot)
+        if denom <= 0:
+            continue
+        levels.append(
+            lvl.select(
+                F.col("gram").alias("surface"),
+                F.element_at(F.split(F.col("gram"), " "), -1).alias("lastfrag"),
+                (F.lit(backoff) * F.col("cnt") / F.lit(denom)).alias("score"),
+                F.col("ord"),
+            )
+        )
+    if not levels:
+        return model.select(
+            F.lit(1).alias("rank"),
+            F.lit("").alias("surface"),
+            F.lit("").alias("lastfrag"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    u = levels[0]
+    for p in levels[1:]:
+        u = u.unionByName(p)
+    dedup = Window.partitionBy("lastfrag").orderBy(F.desc("ord"))
+    cand = (
+        u.withColumn("_rn", F.row_number().over(dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "ord")
+    )
+    top = cand.orderBy(F.desc("score"), F.asc("surface")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("surface"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "surface",
+        "lastfrag",
+        "score",
+    ).orderBy("rank")

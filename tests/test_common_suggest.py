@@ -279,3 +279,61 @@ def test_infix_lookup_semantics(spark):
         "pure custard pie",
         "data warehouse",
     ]
+
+
+def test_freetext_suggester(spark):
+    """FreeTextSuggester: stupid-backoff scores, seen-dedup keeps the
+    highest-order prediction, trailing space upgrades the last token to
+    context and skips the unigram model."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.search.suggest import build_freetext_model, freetext_lookup
+
+    an = Analyzer()
+    df = spark.createDataFrame(
+        [
+            ("foo bar baz",),
+            ("foo bar baz",),
+            ("foo bar bog",),
+            ("red bar bit",),
+            ("bar bat",),
+        ],
+        "text string",
+    )
+    m = build_freetext_model(df, an, grams=3)
+
+    # "foo bar b": trigram probe "foo bar b" -> baz (2/3 of ctx "foo bar"=3),
+    # bog (1/3); bigram probe "bar b" backs off x0.4: bat (1/5 of ctx
+    # "bar"=5), bit (1/5) — baz/bog already seen at the higher order
+    got = {(r.surface, r.lastfrag): r.score for r in freetext_lookup(m, an, "foo bar b", 10).collect()}
+    import pytest as _pt
+
+    assert got[("foo bar baz", "baz")] == _pt.approx(2 / 3)
+    assert got[("foo bar bog", "bog")] == _pt.approx(1 / 3)
+    assert got[("bar bat", "bat")] == _pt.approx(0.4 * 1 / 5)
+    assert got[("bar bit", "bit")] == _pt.approx(0.4 * 1 / 5)
+    # the unigram model still predicts "bar" itself (nothing filters the
+    # context token; the reference behaves the same): 0.4^2 * 5/14
+    assert got[("bar", "bar")] == _pt.approx(0.16 * 5 / 14)
+    assert len(got) == 5
+
+    # ranking: score desc, surface asc on ties
+    ranked = [r.surface for r in freetext_lookup(m, an, "foo bar b", 10).collect()]
+    assert ranked == ["foo bar baz", "foo bar bog", "bar bat", "bar bit", "bar"]
+
+    # trailing space: "bar " predicts continuations of bar as context —
+    # trigram skipped (needs 2 ctx tokens... only 1), bigram "bar *",
+    # unigram skipped entirely (FreeTextSuggester.java:503-519)
+    got_sp = {r.lastfrag: r.score for r in freetext_lookup(m, an, "bar ", 10).collect()}
+    assert got_sp == {
+        "baz": _pt.approx(2 / 5),
+        "bog": _pt.approx(1 / 5),
+        "bit": _pt.approx(1 / 5),
+        "bat": _pt.approx(1 / 5),
+    }
+
+    # unseen context at the top order: backoff still consumed
+    # "zzz bar b": trigram ctx "zzz bar" unseen -> 0 preds but shift; bigram
+    # at 0.4
+    got_z = {r.lastfrag: r.score for r in freetext_lookup(m, an, "zzz bar b", 10).collect()}
+    assert got_z["bat"] == _pt.approx(0.4 * 1 / 5)
+    assert set(got_z) == {"baz", "bog", "bit", "bat", "bar"}
