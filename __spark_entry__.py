@@ -4124,6 +4124,89 @@ ranked AS (
 SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+def _q_geo_distance(lat: float, lon: float, radius_m: float, k: int):
+    """LatLonPoint surface (core/document/LatLonPoint.java:295
+    newDistanceQuery + LatLonDocValuesField.newDistanceSort): docs within
+    a distance circle, k nearest first.  Coordinates are derived
+    deterministically from doc_id (integer arithmetic, identical in the
+    twin); distance = haversine on SloppyMath's mean earth radius."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = d.select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("conv"),
+                F.lpad(
+                    (F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"),
+                    6,
+                    "0",
+                ),
+            ).alias("conv_id"),
+            (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+            ((F.col("doc_id") * 7919 % 16000) / 100.0 - 80.0).alias("lat"),
+            ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+        from lucene_spark.search.geo import distance_predicate, haversine_meters
+
+        matched = docs.filter(
+            distance_predicate("lat", "lon", lat, lon, radius_m)
+        ).withColumn(
+            "dist_m",
+            haversine_meters(
+                F.lit(float(lat)), F.lit(float(lon)), F.col("lat"), F.col("lon")
+            ),
+        )
+        # cut on the ROUNDED distance so both engines break meter-ties the
+        # same way (dist_i, conv_id, turn_idx)
+        w = Window.orderBy(F.asc("dist_i"), F.asc("conv_id"), F.asc("turn_idx"))
+        return (
+            matched.withColumn("dist_i", F.round("dist_m").cast("long"))
+            .orderBy(F.asc("dist_i"), F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+            .select(
+                F.row_number().over(w).cast("int").alias("rank"),
+                "conv_id",
+                "turn_idx",
+                "dist_i",
+            )
+            .orderBy("rank")
+        )
+
+    return run
+
+
+def _geo_distance_sql(lat: float, lon: float, radius_m: float, k: int) -> str:
+    from lucene_spark.search.geo import TO_METERS
+
+    dist = (
+        f"2.0 * {TO_METERS!r} * asin(least(1.0, sqrt("
+        f"pow(sin(radians(lat - ({lat!r})) / 2), 2)"
+        f" + cos(radians({lat!r})) * cos(radians(lat))"
+        f" * pow(sin(radians(lon - ({lon!r})) / 2), 2))))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         (doc_id * 7919 % 16000) / 100.0 - 80.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+dists AS (
+  SELECT conv_id, turn_idx, {dist} AS dist_m FROM pts
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY dist_i, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, dist_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(dist_m) AS BIGINT) AS dist_i
+        FROM dists WHERE dist_m <= {radius_m!r})
+)
+SELECT rank, conv_id, turn_idx, dist_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _freetext_levels(key: str, grams: int = 3):
     """Shared probe/backoff derivation for the freetext gate + its twin
     (mirrors suggest.freetext_lookup's level loop exactly)."""
@@ -5948,6 +6031,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_analyzed": _q_suggest_analyzed("the spark", 10),
         "suggest_infix": _q_suggest_infix("data c", 10),
         "suggest_freetext": _q_suggest_freetext("the customer s", 10),
+        "geo_distance_topk": _q_geo_distance(12.34, 56.78, 2000000.0, 10),
         "suggest_analyzed_context": _q_suggest_analyzed_context(
             "the spark", 10, ("fr", "de")
         ),
@@ -6130,6 +6214,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_analyzed": _suggest_analyzed_sql("the spark", 10),
         "suggest_infix": _suggest_infix_sql("data c", 10),
         "suggest_freetext": _suggest_freetext_sql("the customer s", 10),
+        "geo_distance_topk": _geo_distance_sql(12.34, 56.78, 2000000.0, 10),
         "suggest_analyzed_context": _suggest_analyzed_context_sql(
             "the spark", 10, ("fr", "de")
         ),
