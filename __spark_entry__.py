@@ -3541,6 +3541,12 @@ def _q_text_quality(spark, sf_dir):
     return ts.quality_scores(_docs(spark, sf_dir))
 
 
+def _q_text_unigram_lm(spark, sf_dir):
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.unigram_lm_scores(_docs(spark, sf_dir))
+
+
 def _q_text_langid(spark, sf_dir):
     from lucene_spark.pipeline import textstats as ts
 
@@ -6119,6 +6125,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "text_repetition": _q_text_repetition,
         "text_quality": _q_text_quality,
+        "text_unigram_lm": _q_text_unigram_lm,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "binary_stats": _q_binary_stats,
@@ -6402,6 +6409,7 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         ),
         "text_repetition": _pl_text.repetition_scores_sql(_DOCS_REL),
         "text_quality": _pl_text.quality_scores_sql(_DOCS_REL),
+        "text_unigram_lm": _pl_text.unigram_lm_sql(_DOCS_REL),
         "text_langid": _pl_text.lang_id_sql(_DOCS_REL),
         "text_fingerprint": _pl_text.fingerprints_sql(_DOCS_REL),
         "binary_stats": _pl_mm.binary_stats_sql(

@@ -543,3 +543,57 @@ SELECT t.doc_id,
          AS contaminated
 FROM (SELECT doc_id FROM {doc_rel}) t
 LEFT JOIN hits ON t.doc_id = hits.doc_id"""
+
+
+def unigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tok, lm_i): per-document cross-entropy under the CORPUS
+    unigram language model — the CCNet-style perplexity quality signal
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", LREC 2020 — their filter uses a wiki-trained
+    KenLM; with no external model the corpus's own unigram LM is the
+    deterministic stand-in).  lm_i = round(10000 * mean over tokens of
+    -ln(count(t)/total_tokens)); LOW values = typical text, HIGH =
+    surprising/garbled.  Zero-token docs are dropped (no distribution to
+    score under).
+
+    Scale shape: tokens explode into (doc_id, term) once; the unigram
+    model is a hash agg of that same relation; scoring joins term -> count
+    (shuffle on term, the postings key) and re-aggregates per doc.  No
+    UDF, no broadcast of anything corpus-sized."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    model = toks.groupBy("term").agg(F.count("*").cast("double").alias("_cnt"))
+    tot = toks.count()
+    scored = (
+        toks.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(-F.log(F.col("_cnt") / F.lit(float(tot)))).alias("_nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        F.round(F.col("_nll") / F.col("n_tok") * 10000).cast("long").alias("lm_i"),
+    )
+
+
+def unigram_lm_sql(doc_rel: str) -> str:
+    """DuckDB twin of unigram_lm_scores — identical expression shape."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+  FROM {doc_rel}
+),
+model AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         sum(-ln(m.cnt / tot.n)) AS nll
+  FROM toks t JOIN model m USING (term) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT doc_id, n_tok, CAST(round(nll / n_tok * 10000) AS BIGINT) AS lm_i
+FROM scored"""

@@ -632,3 +632,36 @@ def test_pack_sequences(spark):
     # every non-oversized bin respects the budget
     for (cid, b), (_, tokens) in stats.items():
         assert tokens <= 130
+
+
+def test_unigram_lm_scores(docs, con):
+    """Corpus-unigram cross-entropy (CCNet-style perplexity signal):
+    Spark == DuckDB row-for-row, rarer vocabulary -> higher lm_i."""
+    import math
+
+    from lucene_spark.pipeline import textstats as ts
+
+    n = assert_match(
+        ts.unigram_lm_scores(docs), con, ts.unigram_lm_sql(DOCS_REL)
+    )
+    assert n > 0
+
+    # brute-force pin on a handful of docs
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    toks = {d: __import__("re").findall("[a-z0-9]+", (t or "").lower()) for d, t in rows}
+    cnt: dict = {}
+    for ts_ in toks.values():
+        for t in ts_:
+            cnt[t] = cnt.get(t, 0) + 1
+    tot = sum(cnt.values())
+    got = {
+        r.doc_id: (r.n_tok, r.lm_i)
+        for r in ts.unigram_lm_scores(docs).collect()
+    }
+    import itertools
+
+    for d, t in itertools.islice(((d, t) for d, t in toks.items() if t), 20):
+        nll = sum(-math.log(cnt[x] / tot) for x in t) / len(t)
+        assert got[d][0] == len(t)
+        assert got[d][1] == round(nll * 10000)
+    assert all(not t for d, t in toks.items() if d not in got)
