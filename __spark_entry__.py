@@ -2115,9 +2115,11 @@ def _fuzzy_sql(term: str, max_edits: int, k: int) -> str:
         _PRELUDE
         + f""",
 fz AS (
+  -- damerau_levenshtein == the engine's OSA acceptance for max_edits <= 1
+  -- (a DL/OSA divergence needs >= 2 edits with an edit inside a swap)
   SELECT term FROM dfreq
   WHERE abs(length(term) - {len(term)}) <= {max_edits}
-    AND levenshtein(term, '{term}') <= {max_edits}
+    AND damerau_levenshtein(term, '{term}') <= {max_edits}
   ORDER BY doc_freq DESC, term LIMIT 50
 ),
 scored AS (

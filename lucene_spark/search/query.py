@@ -345,14 +345,20 @@ class RegexpQuery(Query):
 
 @dataclass(frozen=True)
 class FuzzyQuery(Query):
-    """core/search/FuzzyQuery.java:52-54 — Levenshtein distance <= max_edits
-    (<=2), top maxExpansions terms by df kept (TopTermsRewrite)."""
+    """core/search/FuzzyQuery.java:52-54 — edit distance <= max_edits
+    (<=2), top maxExpansions terms by df kept (TopTermsRewrite).
+    ``transpositions`` (the reference's default, FuzzyQuery.java:82 —
+    ``defaultTranspositions = true``) counts an adjacent swap as ONE
+    primitive edit: the Levenshtein-automaton-with-transpositions
+    acceptance = optimal string alignment (OSA) distance.  False gives
+    classic Levenshtein."""
 
     term: str
     max_edits: int = 2
     prefix_length: int = 0
     max_expansions: int = 50
     boost: float = 1.0
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 import re
+
+import pandas as pd
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -1313,16 +1315,25 @@ class IndexSearcher:
     def _scored_fuzzy(self, q: FuzzyQuery) -> DataFrame:
         """FuzzyQuery.java:52-54 with TopTermsScoringBooleanQueryRewrite:
         expand to the top max_expansions dictionary terms by doc_freq within
-        edit distance, then score each as a TermQuery SHOULD clause."""
+        edit distance, then score each as a TermQuery SHOULD clause.
+
+        transpositions=True (the reference default) accepts by OSA
+        distance — the LevenshteinAutomata(..., transpositions=true)
+        acceptance set.  Spark has no OSA builtin, so the exact distance
+        runs as a vectorized Arrow batch over the (length-prefiltered)
+        DICTIONARY relation — vocabulary-stage Python like the KStem
+        dictionary pass, never per posting.  Classic Levenshtein stays
+        fully JVM (built-in)."""
         pred = F.length("term") >= 0
         if q.prefix_length > 0:
             pred = F.col("term").startswith(q.term[: q.prefix_length])
-        # cheap length pre-filter then exact levenshtein (built-in, JVM)
-        pred = (
-            pred
-            & (F.abs(F.length("term") - F.lit(len(q.term))) <= q.max_edits)
-            & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
-        )
+        # cheap length pre-filter (valid for OSA too: |len diff| <= edits)
+        pred = pred & (F.abs(F.length("term") - F.lit(len(q.term))) <= q.max_edits)
+        if getattr(q, "transpositions", False):
+            dist = _osa_distance_udf(q.term)
+            pred = pred & (dist(F.col("term")) <= q.max_edits)
+        else:
+            pred = pred & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
         expanded = (
             self._expand_terms(pred)
             .orderBy(F.desc("doc_freq"), F.asc("term"))
@@ -2306,3 +2317,37 @@ def _wildcard_to_regex(pattern: str) -> str:
         else:
             out.append(re.escape(ch))
     return "^" + "".join(out) + "$"
+
+
+def _osa_distance_udf(query: str):
+    """Vectorized optimal-string-alignment distance to ``query`` — the
+    acceptance metric of LevenshteinAutomata with transpositions
+    (core/util/automaton/LevenshteinAutomata.java; FuzzyQuery.java:82).
+    Classic DP plus the one-row-lookback transposition case; numpy over
+    an Arrow batch of dictionary terms."""
+    from pyspark.sql.functions import pandas_udf
+
+    def osa(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        prev2 = None
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (
+                    i > 1
+                    and j > 1
+                    and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]
+                ):
+                    cur[j] = min(cur[j], prev2[j - 2] + 1)
+            prev2, prev = prev, cur
+        return prev[lb]
+
+    @pandas_udf("int")
+    def dist(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: osa(t, query))
+
+    return dist

@@ -476,3 +476,73 @@ def test_function_range_query_bounds_and_score(env):
     # open-ended upper
     got_open = matches(searcher, FunctionRangeQuery("length", lower=hi))
     assert got_open == {d for d in docs if docs[d].length >= hi}
+
+
+def test_fuzzy_transpositions_osa(spark):
+    """FuzzyQuery transpositions=true (the reference default,
+    FuzzyQuery.java:82): an adjacent swap is ONE edit — 'spakr' matches
+    'spark' at max_edits=1; classic Levenshtein (transpositions=False)
+    needs 2."""
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import FuzzyQuery, IndexSearcher
+
+    rows = [
+        ("c0", 0, "a", "the spark engine", None, None),
+        ("c0", 1, "a", "a spakr typo here", None, None),
+        ("c0", 2, "a", "totally unrelated words", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    idx = IndexBuilder(num_segments=1).build(df)
+    s = IndexSearcher(idx)
+    docs = {r.doc_id: r.turn_idx for r in idx.docs.collect()}
+
+    got_osa = {docs[r.doc_id] for r in s.scored(FuzzyQuery("spark", max_edits=1)).collect()}
+    assert got_osa == {0, 1}
+
+    got_lev = {
+        docs[r.doc_id]
+        for r in s.scored(
+            FuzzyQuery("spark", max_edits=1, transpositions=False)
+        ).collect()
+    }
+    assert got_lev == {0}
+
+    # brute OSA parity on random pairs
+    import random
+
+    rnd = random.Random(9)
+
+    def brute_osa(a, b):
+        import numpy as np
+
+        la, lb = len(a), len(b)
+        d = np.zeros((la + 1, lb + 1), dtype=int)
+        d[:, 0] = range(la + 1)
+        d[0, :] = range(lb + 1)
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                c = 0 if a[i - 1] == b[j - 1] else 1
+                d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1, d[i - 1, j - 1] + c)
+                if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                    d[i, j] = min(d[i, j], d[i - 2, j - 2] + 1)
+        return int(d[la, lb])
+
+    from lucene_spark.search.searcher import _osa_distance_udf  # noqa: F401
+
+    # exercise the inner DP directly through tiny single-term scorings
+    for _ in range(8):
+        a = "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+        b = "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+        # embed b as a term, query with a at generous budget; check match
+        # set membership against the brute distance
+        df2 = spark.createDataFrame(
+            [("cx", 0, "a", b, None, None)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        i2 = IndexBuilder(num_segments=1).build(df2)
+        s2 = IndexSearcher(i2)
+        for me in (1, 2):
+            hit = bool(s2.scored(FuzzyQuery(a, max_edits=me)).collect())
+            assert hit == (brute_osa(a, b) <= me), (a, b, me)
