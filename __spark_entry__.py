@@ -3188,6 +3188,31 @@ def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_high_freq_terms(n: int, order_by: str):
+    """HighFreqTerms tool (misc/HighFreqTerms.java:33): top-N dictionary
+    terms by totalTermFreq (the -t mode), ties term-asc."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.index.tools import high_freq_terms
+
+        idx, _ = _searcher(spark, sf_dir)
+        return high_freq_terms(idx, n, order_by)
+
+    return run
+
+
+def _high_freq_terms_sql(n: int, order_by: str) -> str:
+    return (
+        _PRELUDE
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY {order_by} DESC, term) AS INT) AS rank,
+       term, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_term_freq AS BIGINT) AS total_term_freq
+FROM dfreq
+ORDER BY rank LIMIT {n}"""
+    )
+
+
 def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, _ = _searcher(spark, sf_dir)
     s = idx.stats
@@ -6105,6 +6130,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_sideways_role": _q_drill_sideways("spark", "src3"),
         "grouping_all_groups": _q_all_groups("spark"),
         "term_dictionary": _q_term_dictionary,
+        "high_freq_terms": _q_high_freq_terms(25, "total_term_freq"),
         "collection_stats": _q_collection_stats,
         "doc_norms": _q_doc_norms,
         "prefix_match": _q_prefix_match,
@@ -6307,6 +6333,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_all_groups": _all_groups_sql("spark"),
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
+        "high_freq_terms": _high_freq_terms_sql(25, "total_term_freq"),
         "collection_stats": _PRELUDE
         + """SELECT doc_count,
                     CAST(sttf AS BIGINT) AS sum_total_term_freq,
