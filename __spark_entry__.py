@@ -3213,6 +3213,46 @@ ORDER BY rank LIMIT {n}"""
     )
 
 
+def _q_range_facet_overlap(term: str):
+    """Overlapping LongRange facets (facet/range/LongRange.java): each
+    range counts independently — 'short' [0,30], 'mid' [20,60), 'all'
+    [0,1000) — over docs matching a term query."""
+    ranges = [
+        ("short", 0, 30, True, True),
+        ("mid", 20, 60, True, False),
+        ("all", 0, 1000, True, False),
+    ]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import range_facet_counts_ranges
+
+        _, searcher = _searcher(spark, sf_dir)
+        return range_facet_counts_ranges(searcher, TermQuery(term), "length", ranges)
+
+    return run
+
+
+def _range_facet_overlap_sql(term: str) -> str:
+    return (
+        _PRELUDE
+        + f"""
+, matched AS (
+  SELECT DISTINCT conv_id, turn_idx FROM tf WHERE term = '{term}'
+),
+vals AS (SELECT dl.dl FROM dl JOIN matched USING (conv_id, turn_idx)),
+wide AS (
+  SELECT CAST(count(*) FILTER (WHERE dl >= 0 AND dl <= 30) AS BIGINT) AS short,
+         CAST(count(*) FILTER (WHERE dl >= 20 AND dl < 60) AS BIGINT) AS mid,
+         CAST(count(*) FILTER (WHERE dl >= 0 AND dl < 1000) AS BIGINT) AS "all"
+  FROM vals
+)
+SELECT 'short' AS label, short AS n FROM wide
+UNION ALL SELECT 'mid', mid FROM wide
+UNION ALL SELECT 'all', "all" FROM wide"""
+    )
+
+
 def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, _ = _searcher(spark, sf_dir)
     s = idx.stats
@@ -6138,6 +6178,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_topk_blockjoin": _q_conv_topk,
         "turns_of_matching_convs": _q_turns_of_matching_convs,
         "range_facet_events": _q_range_facet_events,
+        "range_facet_overlap": _q_range_facet_overlap("data"),
         "bm25_topk_or_pruned": _q_topk_or_pruned(["spark", "query", "data"], 20),
         "grouping_topk": _q_grouping_topk,
         "dedup_exact": _q_dedup_exact,
@@ -6334,6 +6375,7 @@ def oracle_sql() -> dict[str, str]:
         "term_dictionary": _PRELUDE
         + "SELECT term, doc_freq, total_term_freq FROM dfreq",
         "high_freq_terms": _high_freq_terms_sql(25, "total_term_freq"),
+        "range_facet_overlap": _range_facet_overlap_sql("data"),
         "collection_stats": _PRELUDE
         + """SELECT doc_count,
                     CAST(sttf AS BIGINT) AS sum_total_term_freq,

@@ -311,3 +311,39 @@ def parent_children(
     return scored.join(F.broadcast(block), "doc_id").select(
         "doc_id", key, "turn_idx", "score"
     )
+
+
+def range_facet_counts_ranges(
+    searcher, query: Query, col: str, ranges: list
+) -> DataFrame:
+    """(label, n): counts per ARBITRARY (possibly overlapping) numeric
+    range — the reference's actual LongRangeFacetCounts surface
+    (facet/range/LongRange.java: each range is independent with its own
+    min/max and inclusivity, and a doc counts in EVERY range containing
+    it; the boundaries-based variant above is the common non-overlapping
+    special case).  ``ranges`` = (label, lo, hi, min_incl, max_incl).
+
+    One pass: a single aggregate of one conditional count per range —
+    no explode, no per-range scan."""
+    c = F.col(col)
+    m = _matches_with_docs(searcher, query)
+    aggs = []
+    for label, lo, hi, min_incl, max_incl in ranges:
+        pred = (c >= lo) if min_incl else (c > lo)
+        pred = pred & ((c <= hi) if max_incl else (c < hi))
+        aggs.append(
+            F.count(F.when(pred, 1)).cast("long").alias(str(label))
+        )
+    wide = m.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(label)).alias("label"), F.col(str(label)).alias("n")
+            )
+            for label, *_ in ranges
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("p"))
+        .select("p.label", "p.n")
+    )

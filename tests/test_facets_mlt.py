@@ -323,3 +323,31 @@ def test_parent_children_block_join(tiny_index):
     for r in got:
         assert r.conv_id == parent
         assert float(r.score) == pytest.approx(child_scores[r.doc_id], rel=1e-6)
+
+
+def test_range_facet_counts_overlapping(tiny_index):
+    """LongRange facets: a doc counts in EVERY range containing it;
+    inclusivity flags respected."""
+    from lucene_spark.search.facets import range_facet_counts_ranges
+
+    s = IndexSearcher(tiny_index)
+    q = TermQuery("model")
+    matched = {r.doc_id for r in s._matches(q).collect()}
+    docs = {r.doc_id: r for r in tiny_index.docs.collect()}
+    lens = [docs[d].length for d in matched]
+    ranges = [
+        ("a", 0, 20, True, True),
+        ("b", 10, 40, True, False),
+        ("c", 0, 10**6, True, False),
+        ("excl", 10, 20, False, False),
+    ]
+    got = {
+        r.label: r.n
+        for r in range_facet_counts_ranges(s, q, "length", ranges).collect()
+    }
+    assert got == {
+        "a": sum(1 for v in lens if 0 <= v <= 20),
+        "b": sum(1 for v in lens if 10 <= v < 40),
+        "c": len(lens),
+        "excl": sum(1 for v in lens if 10 < v < 20),
+    }
