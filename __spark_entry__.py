@@ -4280,6 +4280,72 @@ ranked AS (
 SELECT rank, conv_id, turn_idx, dist_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+_GEO_POLY = [(5.0, -60.0), (55.0, -5.0), (20.0, 70.0), (-30.0, 10.0)]
+
+
+def _q_geo_polygon(k: int):
+    """LatLonPoint.newPolygonQuery analog: docs whose derived point falls
+    inside a quadrilateral (ray-casting crossing number, pure JVM fold),
+    ordered (conv_id, turn_idx)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lucene_spark.search.geo import polygon_predicate
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = d.select(
+            F.concat(
+                F.lit("conv"),
+                F.lpad(
+                    (F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"),
+                    6,
+                    "0",
+                ),
+            ).alias("conv_id"),
+            (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+            ((F.col("doc_id") * 7919 % 16000) / 100.0 - 80.0).alias("lat"),
+            ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+        inside = docs.filter(polygon_predicate("lat", "lon", _GEO_POLY))
+        w = Window.orderBy(F.asc("conv_id"), F.asc("turn_idx"))
+        return (
+            inside.orderBy(F.asc("conv_id"), F.asc("turn_idx"))
+            .limit(k)
+            .select(
+                F.row_number().over(w).cast("int").alias("rank"),
+                "conv_id",
+                "turn_idx",
+            )
+            .orderBy("rank")
+        )
+
+    return run
+
+
+def _geo_polygon_sql(k: int) -> str:
+    from lucene_spark.search.geo import polygon_sql_predicate
+
+    pred = polygon_sql_predicate("lat", "lon", _GEO_POLY)
+    return f"""
+WITH pts AS (
+  SELECT concat(\'conv\', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, \'0\')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         (doc_id * 7919 % 16000) / 100.0 - 80.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+inside AS (
+  SELECT conv_id, turn_idx FROM pts WHERE {pred}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx
+  FROM inside
+)
+SELECT rank, conv_id, turn_idx FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _freetext_levels(key: str, grams: int = 3):
     """Shared probe/backoff derivation for the freetext gate + its twin
     (mirrors suggest.freetext_lookup's level loop exactly)."""
@@ -6105,6 +6171,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_infix": _q_suggest_infix("data c", 10),
         "suggest_freetext": _q_suggest_freetext("the customer s", 10),
         "geo_distance_topk": _q_geo_distance(12.34, 56.78, 2000000.0, 10),
+        "geo_polygon_match": _q_geo_polygon(20),
         "suggest_analyzed_context": _q_suggest_analyzed_context(
             "the spark", 10, ("fr", "de")
         ),
@@ -6291,6 +6358,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_infix": _suggest_infix_sql("data c", 10),
         "suggest_freetext": _suggest_freetext_sql("the customer s", 10),
         "geo_distance_topk": _geo_distance_sql(12.34, 56.78, 2000000.0, 10),
+        "geo_polygon_match": _geo_polygon_sql(20),
         "suggest_analyzed_context": _suggest_analyzed_context_sql(
             "the spark", 10, ("fr", "de")
         ),

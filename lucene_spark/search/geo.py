@@ -115,3 +115,63 @@ def distance_topk(
         .orderBy(F.asc("dist_m"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def polygon_predicate(
+    lat_col: str, lon_col: str, vertices: list
+) -> Column:
+    """LatLonPoint.newPolygonQuery analog (core/document/LatLonPoint.java;
+    geo/Polygon.java): point-in-polygon by ray casting (odd crossing
+    number), the same test GeoUtils applies per point after BKD cell
+    relation.  ``vertices`` = [(lat, lon), ...] of a simple polygon
+    (closing edge implied).  Boundary points follow the crossing-number
+    convention (left/bottom edges inside), matching the reference's
+    tie-handling in spirit; exact on-edge behavior is undefined there
+    too.
+
+    Pure JVM: the edge list is a literal array; F.aggregate folds the
+    crossing count — no UDF, whole-stage codegen keeps it in the scan
+    filter."""
+    px, py = F.col(lon_col), F.col(lat_col)
+    n = len(vertices)
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(vertices[i][1])).alias("x1"),
+                F.lit(float(vertices[i][0])).alias("y1"),
+                F.lit(float(vertices[(i + 1) % n][1])).alias("x2"),
+                F.lit(float(vertices[(i + 1) % n][0])).alias("y2"),
+            )
+            for i in range(n)
+        ]
+    )
+    crossings = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["y1"] > py) != (e["y2"] > py))
+            & (
+                px
+                < (e["x2"] - e["x1"]) * (py - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+def polygon_sql_predicate(lat_expr: str, lon_expr: str, vertices: list) -> str:
+    """DuckDB twin of polygon_predicate — identical crossing fold."""
+    n = len(vertices)
+    terms = []
+    for i in range(n):
+        y1, x1 = float(vertices[i][0]), float(vertices[i][1])
+        y2, x2 = float(vertices[(i + 1) % n][0]), float(vertices[(i + 1) % n][1])
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}))"
+            f" AND {lon_expr} < ({x2!r} - {x1!r}) * ({lat_expr} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r} THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"

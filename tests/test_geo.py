@@ -94,3 +94,27 @@ def test_distance_topk_order(pts):
     assert [r.doc_id for r in top] == [i for _, i in want]
     for r, (d, _) in zip(top, want):
         assert r.dist_m == pytest.approx(d, rel=1e-9)
+
+
+def test_polygon_predicate_ray_casting(pts):
+    from lucene_spark.search.geo import polygon_predicate
+
+    df, rows = pts
+    poly = [(5.0, -60.0), (55.0, -5.0), (20.0, 70.0), (-30.0, 10.0)]
+
+    def brute_inside(la, lo):
+        n = len(poly)
+        c = 0
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if (y1 > la) != (y2 > la) and lo < (x2 - x1) * (la - y1) / (y2 - y1) + x1:
+                c += 1
+        return c % 2 == 1
+
+    got = {
+        r.doc_id
+        for r in df.filter(polygon_predicate("lat", "lon", poly)).collect()
+    }
+    want = {i for i, la, lo in rows if brute_inside(la, lo)}
+    assert got == want and got
