@@ -421,6 +421,97 @@ def main():
         ),
     ]
 
+    # round-5 wave-4 surfaces
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.pipeline.textstats import unigram_lm_scores
+    from lucene_spark.search import CoveringQuery, FunctionRangeQuery
+    from lucene_spark.search.dvstats import numeric_doc_values_stats
+    from lucene_spark.search.facets import group_facet_counts
+    from lucene_spark.search.geo import distance_topk, polygon_predicate
+    from lucene_spark.search.suggest import build_freetext_model, freetext_lookup
+
+    geo_docs = idx.docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 16000) / 100.0 - 80.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    ft_model = build_freetext_model(corpus.select("text"), Analyzer(), grams=3)
+    sections += [
+        (
+            "CoveringQuery (per-doc minimumNumberMatch)",
+            "ONE union of the scored clause relations -> ONE hash agg "
+            "(sum, count_distinct) with map-side partial aggregation; the "
+            "per-doc threshold joins the column-pruned docs relation — no "
+            "second postings pass, no UDF.",
+            mem_s.search(
+                CoveringQuery(
+                    (TermQuery("spark"), TermQuery("data"), TermQuery("the")),
+                    "1 + turn_idx % 2",
+                ),
+                10,
+            ),
+        ),
+        (
+            "FunctionRangeQuery (value-range scan)",
+            "A pure docs-relation scan: the range predicate is a Catalyst "
+            "Filter over the value expression (pushable for bare columns); "
+            "ZERO Exchange before the top-k cut.",
+            mem_s.search(FunctionRangeQuery("length", lower=20, upper=50), 10),
+        ),
+        (
+            "Geo distance top-k (box pre-filter + exact haversine)",
+            "The bounding-box lat/lon predicates sit in the scan Filter "
+            "(parquet min/max prunable); the haversine expression is "
+            "codegen'd; TakeOrderedAndProject cuts at k.",
+            distance_topk(geo_docs, "lat", "lon", 12.34, 56.78, 2_000_000.0, 10),
+        ),
+        (
+            "Geo polygon containment (ray-casting fold)",
+            "The crossing-number aggregate over the literal edge array is "
+            "a single codegen'd projection in the scan Filter — no UDF, "
+            "no join, no Exchange.",
+            geo_docs.filter(
+                polygon_predicate(
+                    "lat", "lon", [(5.0, -60.0), (55.0, -5.0), (20.0, 70.0), (-30.0, 10.0)]
+                )
+            ),
+        ),
+        (
+            "FreeText suggest (n-gram model + stupid backoff lookup)",
+            "Model build: tokenize -> per-order shingle transforms -> ONE "
+            "hash agg. Lookup: per-order prefix filters over the model "
+            "relation union'd, one window dedup by predicted token, "
+            "TakeOrderedAndProject at k. The model scan carries the "
+            "ord/gram predicates (write the relation sorted by (ord, gram) "
+            "and they become row-group prunes).",
+            freetext_lookup(ft_model, Analyzer(), "the data s", 10),
+        ),
+        (
+            "Group facets (count distinct groups per facet value)",
+            "Spark expands count_distinct into the two-level agg — exactly "
+            "the reference's (group ord, facet ord) pair dedup, "
+            "distributed; map-side partial agg before the Exchange.",
+            group_facet_counts(mem_s, orq("spark", "data"), "conv_id", "role"),
+        ),
+        (
+            "DocValuesStats (one-pass field statistics)",
+            "Match semi-join then ONE hash aggregate computing count/"
+            "missing/min/max/sum/mean/var_pop together; K=1 row crosses "
+            "the Exchange.",
+            numeric_doc_values_stats(mem_s, TermQuery("spark"), "length"),
+        ),
+        (
+            "Unigram-LM quality (corpus cross-entropy)",
+            "tokens explode once; the unigram model is a hash agg of the "
+            "same relation; scoring joins on term (the postings key) and "
+            "re-aggregates per doc — no UDF, nothing corpus-sized "
+            "broadcast.",
+            unigram_lm_scores(
+                corpus.select(F.monotonically_increasing_id().alias("doc_id"), "text")
+            ),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
