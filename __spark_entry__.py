@@ -3709,6 +3709,32 @@ def _q_dedup_embedding(spark, sf_dir):
     return sim.near_duplicates_embedding(emb.unionByName(dup), threshold=0.9)
 
 
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming/windows.py,
+    batch mode — the streaming twin with watermark + late rows is pinned
+    batch==stream in tests/test_streaming.py): per (6-hour window,
+    event_type) count + value sum over the events table."""
+    from lucene_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="6 hours")
+    return out.select(
+        F.col("win_start").cast("string").alias("win_start"),
+        "key",
+        "n",
+        F.round(F.col("total") * 100).cast("long").alias("total_x100"),
+    )
+
+
+_WINDOWED_COUNTS_SQL = """
+SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS VARCHAR) AS win_start,
+       event_type AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS total_x100
+FROM events
+GROUP BY 1, 2"""
+
+
 def _q_range_facet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointRangeQuery + range facets analog on the events table."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -6245,6 +6271,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_topk_blockjoin": _q_conv_topk,
         "turns_of_matching_convs": _q_turns_of_matching_convs,
         "range_facet_events": _q_range_facet_events,
+        "windowed_counts_events": _q_windowed_counts,
         "range_facet_overlap": _q_range_facet_overlap("data"),
         "bm25_topk_or_pruned": _q_topk_or_pruned(["spark", "query", "data"], 20),
         "grouping_topk": _q_grouping_topk,
@@ -6500,6 +6527,7 @@ def oracle_sql() -> dict[str, str]:
            SELECT tr.conv_id, tr.turn_idx, p.parent_score_i
            FROM tr JOIN parents p USING (conv_id)
            ORDER BY p.parent_score_i DESC, tr.conv_id, tr.turn_idx""",
+        "windowed_counts_events": _WINDOWED_COUNTS_SQL,
         "range_facet_events": """
             SELECT event_type, count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100

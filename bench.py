@@ -296,6 +296,47 @@ def main() -> None:
         ext["q_suggest_prefix"], _ = _min_of(
             lambda: suggest_terms(idx, "po", 10).collect()
         )
+
+        # ---- round-5 wave-4 surface ----
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.search import CoveringQuery, FunctionRangeQuery
+        from lucene_spark.search.geo import distance_topk
+        from lucene_spark.search.suggest import (
+            build_freetext_model,
+            freetext_lookup,
+        )
+
+        cov_q = CoveringQuery(
+            (TermQuery("data"), TermQuery("search"), TermQuery("the")),
+            "1 + turn_idx % 2",
+        )
+        ext["q_covering"], _ = _min_of(lambda: searcher.search(cov_q, 10).collect())
+        frq = FunctionRangeQuery("length", lower=20, upper=60)
+        ext["q_function_range"], _ = _min_of(
+            lambda: searcher.search(frq, 10).collect()
+        )
+        geo_docs = idx.docs.select(
+            "doc_id",
+            ((SF.col("doc_id") * 7919 % 16000) / 100.0 - 80.0).alias("lat"),
+            ((SF.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+        ext["q_geo_distance"], _ = _min_of(
+            lambda: distance_topk(
+                geo_docs, "lat", "lon", 12.34, 56.78, 2_000_000.0, 10
+            ).collect()
+        )
+        if time.time() - t0 < budget * 1.2:  # shed on a bad host window
+            an_std = Analyzer()
+            tq = time.time()
+            ft_model = build_freetext_model(
+                corpus.select("text"), an_std, grams=3
+            ).persist()
+            ft_model.count()
+            ext["t_freetext_build"] = round(time.time() - tq, 4)
+            ext["q_freetext"], _ = _min_of(
+                lambda: freetext_lookup(ft_model, an_std, "the data s", 10).collect()
+            )
+            ft_model.unpersist()
         emb.unpersist()
 
     # ---- pipeline ops over the sf-dir documents table (reported outside

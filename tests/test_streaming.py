@@ -308,3 +308,73 @@ def test_incremental_commit_generations(spark, tmp_path_factory):
     # the old generation scores with its own (smaller-corpus) statistics
     a = IndexSearcher(old).search(TermQuery("model"), 5).collect()
     assert all(r.conv_id < "conv000006" for r in a)
+
+
+def test_streaming_windowed_counts(spark, tmp_path_factory):
+    """Event-time tumbling windows with watermark: streaming (append mode,
+    two micro-batches, a late-but-inside-watermark row) finalizes to the
+    SAME rows as the batch operator over the union of the input."""
+    from datetime import datetime
+
+    from lucene_spark.streaming.windows import windowed_event_counts
+
+    root = tmp_path_factory.mktemp("swin")
+    src = str(root / "in")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    batch1 = [
+        (1, t(0, 10), "click", 1.0),
+        (2, t(0, 50), "click", 2.0),
+        (3, t(1, 5), "buy", 10.0),
+        (4, t(9, 0), "click", 5.0),  # advances the watermark far ahead
+    ]
+    # batch 2: a LATE click for hour 1 (inside the 10h watermark) plus
+    # more recent rows that push event time further
+    batch2 = [
+        (5, t(1, 20), "click", 4.0),
+        (6, t(10, 0), "buy", 7.0),
+        (7, t(23, 50), "click", 1.5),  # final row pushes watermark past all
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = windowed_event_counts(
+        stream, window="1 hour", watermark="10 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swin_out")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.win_start), r.key): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM swin_out").collect()
+    }
+
+    both = spark.createDataFrame(batch1 + batch2, schema)
+    want_all = {
+        (str(r.win_start), r.key): (r.n, r.total)
+        for r in windowed_event_counts(both, window="1 hour").collect()
+    }
+    # every window whose end is <= final watermark (23:50 - 10h = 13:50)
+    # must have finalized with the late row included
+    finalized = {
+        k: v for k, v in want_all.items() if k[0] <= "2024-01-01 12:"
+    }
+    for k, v in finalized.items():
+        assert got.get(k) == v, (k, got.get(k), v)
+    # the late (1:20, click) row landed in the hour-1 window
+    assert got[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01 01:00:00", "buy")] == (1, 10.0)
