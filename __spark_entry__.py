@@ -5174,6 +5174,76 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+# The expressions-module surface proper: a JavaScript expression compiled by
+# lucene_spark.search.expressions.JavascriptCompiler (the Javascript.g4 /
+# JavascriptCompiler.java transliteration) and attached as a
+# FunctionScoreQuery source.  The SAME compiler emits the Spark and the
+# DuckDB SQL, so both engines evaluate the identical guarded formula.
+_EXPR_JS = (
+    "_score / (1 + exp(0 - _score))"
+    " + (turn_idx < 3 ? 0.25 : 0)"
+    " + min(logn(2, 1 + length), 8) / 16"
+)
+
+
+def _q_expression_score(terms, k: int):
+    """expressions/js compiler end-to-end (JavascriptCompiler.java:151 +
+    FunctionScoreQuery bindings: ``_score`` ≙ DoubleValuesSource.SCORES,
+    doc columns ≙ SimpleBindings.fromField): BM25 OR matches rescored by a
+    compiled JS expression mixing a sigmoid of the score, a positional
+    bonus, and a capped log2 length prior."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import (
+            BooleanQuery,
+            FunctionScoreQuery,
+            Occur,
+            TermQuery,
+        )
+        from lucene_spark.search.expressions import JavascriptCompiler
+
+        _, searcher = _searcher(spark, sf_dir)
+        inner = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        src = JavascriptCompiler.compile(_EXPR_JS).to_sql("spark")
+        return _ranked_topk(searcher, FunctionScoreQuery(inner, src), k)
+
+    return run
+
+
+def _expression_score_sql(terms, k: int) -> str:
+    from lucene_spark.search.expressions import JavascriptCompiler
+
+    rescore = JavascriptCompiler.compile(_EXPR_JS).to_sql(
+        "duckdb",
+        {"_score": "s.score", "length": "d.dl", "turn_idx": "s.turn_idx"},
+    )
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+scored0 AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.conv_id, s.turn_idx, {rescore} AS score
+  FROM scored0 s JOIN dlq d USING (conv_id, turn_idx)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_covering(terms, k: int):
     """CoveringQuery surface (sandbox/search/CoveringQuery.java:51): a
     disjunction whose required clause count is the per-doc expression
@@ -6217,6 +6287,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_topk": _q_time_travel_topk(["spark", "index"], 10, 2),
         "add_indexes_topk": _q_add_indexes_topk("merge", 10),
         "function_score_topk": _q_function_score(["spark", "query"], 10),
+        "expression_score_topk": _q_expression_score(["spark", "query"], 10),
         "covering_topk": _q_covering(["spark", "query", "data"], 10),
         "function_range_topk": _q_function_range(30, 60, 10),
         "dv_stats_length": _q_dv_stats("spark"),
@@ -6405,6 +6476,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_topk": _topk_sql(["spark", "index"], 10),
         "add_indexes_topk": _topk_sql(["merge"], 10),
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
+        "expression_score_topk": _expression_score_sql(["spark", "query"], 10),
         "covering_topk": _covering_sql(["spark", "query", "data"], 10),
         "function_range_topk": _function_range_sql(30, 60, 10),
         "dv_stats_length": _dv_stats_sql("spark"),
