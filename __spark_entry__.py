@@ -5174,6 +5174,64 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_standard_parse(query_str: str, terms, k: int):
+    """StandardQueryParser (queryparser/flexible/standard,
+    StandardSyntaxParser.jj GroupingExpr '@' + PointsConfig): a
+    min-should-match group over BM25 SHOULD terms conjoined with a numeric
+    point range on the ``length`` doc column — both MUST."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.flexible import StandardQueryParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        p = StandardQueryParser(points_config={"length": int, "turn_idx": int})
+        return _ranked_topk(searcher, p.parse(query_str), k)
+
+    return run
+
+
+def _standard_parse_sql(terms, msm: int, lo: int, hi: int, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+    AND dlq.dl BETWEEN {lo} AND {hi}
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.term) >= {msm}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_standard_interval_fn(query_str: str, k: int):
+    """StandardQueryParser fn: interval expressions (StandardSyntaxParser.jj
+    IntervalFun :384-680 → nodes/intervalfn/*): the parsed source must
+    reproduce the hand-built IntervalQuery gate exactly, so the oracle is
+    the same validated 2-term closed-form twin."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.flexible import StandardQueryParser
+
+        _, searcher = _searcher(spark, sf_dir)
+        p = StandardQueryParser()
+        return _ranked_topk(searcher, p.parse(query_str), k)
+
+    return run
+
+
 # The expressions-module surface proper: a JavaScript expression compiled by
 # lucene_spark.search.expressions.JavascriptCompiler (the Javascript.g4 /
 # JavascriptCompiler.java transliteration) and attached as a
@@ -6288,6 +6346,14 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_indexes_topk": _q_add_indexes_topk("merge", 10),
         "function_score_topk": _q_function_score(["spark", "query"], 10),
         "expression_score_topk": _q_expression_score(["spark", "query"], 10),
+        "standard_parse_topk": _q_standard_parse(
+            "+(spark query data)@2 +length:[5 TO 60]",
+            ["spark", "query", "data"],
+            10,
+        ),
+        "standard_interval_fn_topk": _q_standard_interval_fn(
+            "fn:maxgaps(0 fn:ordered(customer join))", 10
+        ),
         "covering_topk": _q_covering(["spark", "query", "data"], 10),
         "function_range_topk": _q_function_range(30, 60, 10),
         "dv_stats_length": _q_dv_stats("spark"),
@@ -6477,6 +6543,10 @@ def oracle_sql() -> dict[str, str]:
         "add_indexes_topk": _topk_sql(["merge"], 10),
         "function_score_topk": _function_score_sql(["spark", "query"], 10),
         "expression_score_topk": _expression_score_sql(["spark", "query"], 10),
+        "standard_parse_topk": _standard_parse_sql(
+            ["spark", "query", "data"], 2, 5, 60, 10
+        ),
+        "standard_interval_fn_topk": _intervals_sql("customer", "join", 10),
         "covering_topk": _covering_sql(["spark", "query", "data"], 10),
         "function_range_topk": _function_range_sql(30, 60, 10),
         "dv_stats_length": _dv_stats_sql("spark"),

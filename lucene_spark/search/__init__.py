@@ -39,3 +39,4 @@ from lucene_spark.search.xmlparser import (  # noqa: F401
     CoreParser,
     ParserException,
 )
+from lucene_spark.search.flexible import StandardQueryParser  # noqa: F401

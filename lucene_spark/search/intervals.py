@@ -108,6 +108,49 @@ class Or(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class AtLeast(IntervalsSource):
+    """MinimumShouldMatchIntervalsSource — minimal intervals spanning at
+    least ``min_should_match`` of the sub-sources ("a combination of
+    unordered-AND and OR", MinimumShouldMatchIntervalsSource.java:146-156:
+    an end-ordered background queue feeds a start-ordered proximity queue
+    holding exactly n iterators)."""
+
+    sources: tuple
+    min_should_match: int
+
+    def terms(self):
+        return tuple(t for s in self.sources for t in s.terms())
+
+    def min_extent(self):
+        # MinimumShouldMatchIntervalsSource.minExtent:104-114 — the n
+        # smallest sub-extents
+        exts = sorted(s.min_extent() for s in self.sources)
+        return sum(exts[: self.min_should_match])
+
+    def required_terms(self):
+        # nothing is individually required unless n == len(sources)
+        # (that case rewrites to Unordered in the factory)
+        return frozenset()
+
+
+@dataclass(frozen=True)
+class NoMatch(IntervalsSource):
+    """NoMatchIntervalsSource — matches nothing (Intervals.atLeast with
+    minShouldMatch > |sources|)."""
+
+    reason: str = ""
+
+    def terms(self):
+        return ()
+
+    def min_extent(self):
+        return 0
+
+    def required_terms(self):
+        return frozenset()
+
+
+@dataclass(frozen=True)
 class Containing(IntervalsSource):
     """ContainingIntervalsSource — intervals of ``big`` containing an
     interval of ``small``."""
@@ -341,6 +384,29 @@ def unordered(*sources):
 
 def or_(*sources):
     return Or(tuple(_as_source(s) for s in sources))
+
+
+def atleast(min_should_match: int, *sources):
+    """Intervals.atLeast (Intervals.java:476-488): n == |sources| rewrites
+    to unordered, n > |sources| can never match."""
+    srcs = tuple(_as_source(s) for s in sources)
+    n = int(min_should_match)
+    if n == len(srcs):
+        return Unordered(srcs)
+    if n > len(srcs):
+        return NoMatch(f"Too few sources to match minimum of [{n}]")
+    return AtLeast(srcs, n)
+
+
+def phrase(*sources):
+    """Intervals.phrase (Intervals.java:93-112, BlockIntervalsSource):
+    adjacent sub-intervals in order — expressed on the existing machinery
+    as maxgaps(0, ordered(...)), which yields the same minimal intervals
+    (a block is exactly an ordered match with zero internal gaps)."""
+    srcs = tuple(_as_source(s) for s in sources)
+    if len(srcs) == 1:
+        return srcs[0]
+    return MaxGaps(Ordered(srcs), 0)
 
 
 def unordered_no_overlaps(a, b):
@@ -581,6 +647,104 @@ class _UnorderedIter:
                 self._add(it)
                 self._update_right(it)
             if not (len(self.queue) == len(subs) and self.end == self.queue_end):
+                return self.start
+
+    def width(self) -> int:
+        return self.end - self.start + 1
+
+    def gaps(self) -> int:
+        return self.slop
+
+
+class _AtLeastIter:
+    """MinimumShouldMatchIntervalsSource.MinimumShouldMatchIntervalIterator
+    (.java:156-295), per-document form: ``reset()`` inlines into
+    ``__init__``.  Two queues — an end-ordered *background* queue holding
+    every sub-iterator with a live interval, and a start-ordered
+    *proximity* queue holding exactly minShouldMatch of them; iteration
+    proceeds like the unordered iterator over the proximity queue, except
+    a popped iterator goes back to the background queue and is replaced
+    by the background top (.java:146-156 comment)."""
+
+    __slots__ = ("msm", "prox", "bg", "start", "end", "queue_end", "slop", "_n")
+
+    def __init__(self, subs, msm: int):
+        self.msm = msm
+        self.prox: list = []  # lessThan: start asc, end DESC on ties
+        self.bg: list = []  # lessThan: end asc, start DESC on ties
+        self.start = self.end = -1
+        self.queue_end = -1
+        self.slop = 0
+        self._n = 0
+        for it in subs:
+            if it.next_interval() != NO_MORE:
+                self._bg_add(it)
+        for _ in range(msm):
+            it = self._bg_pop()
+            if it is None:
+                break
+            self._prox_add(it)
+            self._update_right(it)
+
+    def _prox_add(self, it):
+        import heapq
+
+        self._n += 1
+        heapq.heappush(self.prox, (it.start, -it.end, self._n, it))
+
+    def _prox_pop(self):
+        import heapq
+
+        return heapq.heappop(self.prox)[3] if self.prox else None
+
+    def _prox_top(self):
+        return self.prox[0][3]
+
+    def _bg_add(self, it):
+        import heapq
+
+        self._n += 1
+        heapq.heappush(self.bg, (it.end, -it.start, self._n, it))
+
+    def _bg_pop(self):
+        import heapq
+
+        return heapq.heappop(self.bg)[3] if self.bg else None
+
+    def _update_right(self, it):
+        if it.end > self.queue_end:
+            self.queue_end = it.end
+
+    def next_interval(self) -> int:
+        # first, find a matching interval beyond the current start
+        while len(self.prox) == self.msm and self._prox_top().start == self.start:
+            it = self._prox_pop()
+            if it is not None and it.next_interval() != NO_MORE:
+                self._bg_add(it)
+                nxt = self._bg_pop()  # just been added — never None
+                self._prox_add(nxt)
+                self._update_right(nxt)
+        if len(self.prox) < self.msm:
+            self.start = self.end = NO_MORE
+            return NO_MORE
+        # then, minimize it
+        while True:
+            self.start = self._prox_top().start
+            self.end = self.queue_end
+            self.slop = self.width()
+            for entry in self.prox:
+                self.slop -= entry[3].width()
+            if self._prox_top().end == self.end:
+                return self.start
+            lead = self._prox_pop()
+            if lead is not None:
+                if lead.next_interval() != NO_MORE:
+                    self._bg_add(lead)
+                nxt = self._bg_pop()
+                if nxt is not None:
+                    self._prox_add(nxt)
+                    self._update_right(nxt)
+            if not (len(self.prox) == self.msm and self.end == self.queue_end):
                 return self.start
 
     def width(self) -> int:
@@ -943,6 +1107,17 @@ def build_iter(source: IntervalsSource, pos_map: dict):
         if not subs:
             return None
         return _OrIter(subs)
+    if isinstance(source, AtLeast):
+        # MinimumShouldMatchIntervalsSource.intervals:51-63 — null subs
+        # (absent terms) are skipped; fewer than minShouldMatch live subs
+        # can never match
+        subs = [build_iter(s, pos_map) for s in source.sources]
+        subs = [s for s in subs if s is not None]
+        if len(subs) < source.min_should_match:
+            return None
+        return _AtLeastIter(subs, source.min_should_match)
+    if isinstance(source, NoMatch):
+        return None
     if isinstance(source, Containing):
         a = build_iter(source.big, pos_map)
         b = build_iter(source.small, pos_map)

@@ -308,3 +308,63 @@ def test_difference_sources_required_terms():
     assert src.required_terms() == {"a", "b"}
     assert or_(Term("a"), Term("b")).required_terms() == set()
     assert within(Term("a"), 2, Term("b")).required_terms() == {"a", "b"}
+
+
+def test_minimum_should_match_ported():
+    # TestIntervals.testMinimumShouldMatch (:769-809)
+    from lucene_spark.search.intervals import atleast
+
+    src = atleast(3, "porridge", "hot", "twelve", "nine", "pease")
+    _check_intervals(
+        src, FIELD1,
+        [[], [0, 2, 1, 3, 2, 4, 6, 11, 7, 17], [3, 5, 4, 6, 5, 7, 6, 11, 7, 21],
+         [], [0, 2, 1, 3, 2, 4, 6, 11, 7, 17, 11, 21], [], []],
+    )
+    # assertGaps(source, 1, "field1", {0, 0, 0, 3, 8})
+    gaps = [g for _, _, g in _run(src, _pos_map(FIELD1[1]))]
+    assert gaps == [0, 0, 0, 3, 8]
+    assert src.min_extent() == 3
+
+
+def test_min_should_match2_ported():
+    # TestIntervals.testMinShouldMatch2 (:812-834): doc 1 of field2
+    from lucene_spark.search.intervals import atleast
+
+    src = atleast(
+        2, unordered(Term("alph"), Term("ran")), Term("where"), Term("river")
+    )
+    got = [(s, e) for s, e, _ in _run(src, _pos_map(FIELD2[1]))]
+    assert got == [(0, 4), (1, 5)]
+
+
+def test_degenerate_min_should_match_ported():
+    # TestIntervals.testDegenerateMinShouldMatch (:836-851): atLeast(1, x)
+    # == unordered(x) by the factory rewrite
+    from lucene_spark.search.intervals import atleast
+
+    src = ordered(atleast(1, Term("interest")), atleast(1, Term("anyone")))
+    got = [(s, e) for s, e, _ in _run(src, _pos_map(FIELD1[0]))]
+    assert got == [(2, 4)]
+
+
+def test_no_match_min_should_match_ported():
+    # TestIntervals.testNoMatchMinShouldMatch (:853-856)
+    from lucene_spark.search.intervals import atleast
+
+    src = atleast(4, Term("a"), Term("b"))
+    for doc in FIELD1 + FIELD2:
+        assert _run(src, _pos_map(doc)) == []
+    assert src.min_extent() == 0
+
+
+def test_phrase_factory_ported():
+    # TestIntervals.testPhraseIntervals (:349-360)
+    from lucene_spark.search.intervals import phrase
+
+    src = phrase("pease", "porridge")
+    _check_intervals(
+        src, FIELD1,
+        [[], [0, 1, 3, 4, 6, 7], [0, 1, 3, 4, 6, 7], [], [0, 1, 3, 4, 6, 7],
+         [], []],
+    )
+    assert phrase("pease").terms() == ("pease",)
