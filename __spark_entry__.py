@@ -5174,6 +5174,184 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+# WordDelimiterGraphFilter gate: delimiter/case-rich tails appended to the
+# corpus (the per-language gates' deterministic-tail pattern), analyzed by
+# the canonical WDGF chain (whitespace tokenizer → WDGF → lowercase).
+_WDG_TAILS = (
+    " Wi-Fi PowerShot500Plus O'Neil's",
+    " j2se power-shot WiFi-hotspot 42nd",
+)
+_WDG_PRELUDE_CACHE: list = []
+
+
+def _transcripts_wdg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0, t1 = _WDG_TAILS
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(t0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(t1))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        F.concat(
+            F.lit("conv"),
+            F.lpad((F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"), 6, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        text2.alias("text"),
+        F.col("source").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _searcher_wdg(spark: SparkSession, sf_dir: str):
+    key = ("wdg", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.analysis.worddelim import DEFAULT_FLAGS
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        an = Analyzer(word_delimiter=DEFAULT_FLAGS)
+        idx = IndexBuilder(num_segments=4, analyzer=an).build(
+            _transcripts_wdg_df(spark, sf_dir)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_topk_wdg(query: str, k: int):
+    """WordDelimiterGraphFilter chain end-to-end
+    (analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java with
+    the factory defaults: generate word+number parts, split on case
+    changes and numerics, stem English possessives): BM25 over the
+    WDG-split index; the query analyzes through the same chain."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher_wdg(spark, sf_dir)
+        terms = searcher.parse_terms(query)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _prelude_wdg() -> str:
+    """Twin prelude: whitespace tokens join a vocabulary-derived
+    (token → lowercased WDG parts CSV) VALUES map computed by the SAME
+    wdg_token transliteration — the per-language preludes'
+    declared-subset contract (the corpus vocabulary is closed)."""
+    if not _WDG_PRELUDE_CACHE:
+        import duckdb
+
+        from lucene_spark.analysis.worddelim import DEFAULT_FLAGS, wdg_token
+
+        con = duckdb.connect()
+        vocab: set = set()
+        for sf in ("0.001", "0.01", "0.1"):
+            path = f"/root/testdata/sf{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            vocab |= {
+                r[0]
+                for r in con.execute(
+                    "SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+'))"
+                    f" FROM read_parquet('{path}')"
+                ).fetchall()
+            }
+        for tail in _WDG_TAILS:
+            vocab |= set(tail.split())
+        esc = lambda s: s.replace("'", "''")  # noqa: E731
+        rows = []
+        for tok in sorted(vocab):
+            emissions, _w = wdg_token(tok, DEFAULT_FLAGS)
+            parts = ",".join(t.lower() for t, *_ in emissions)
+            rows.append(f"('{esc(tok)}', '{esc(parts)}')")
+        t0, t1 = (esc(t) for t in _WDG_TAILS)
+        text2 = (
+            f"text || CASE doc_id % 3 WHEN 0 THEN '{t0}' "
+            f"WHEN 1 THEN '{t1}' ELSE '' END"
+        )
+        _WDG_PRELUDE_CACHE.append(
+            f"""
+WITH wmap(tok, parts) AS (VALUES {', '.join(rows)}),
+tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         {text2} AS text
+  FROM documents
+),
+eent AS (
+  SELECT t.conv_id, t.turn_idx, unnest(string_split(wm.parts, ',')) AS term
+  FROM (SELECT conv_id, turn_idx,
+               unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM tr) t
+  JOIN wmap wm ON wm.tok = t.tok
+  WHERE wm.parts <> ''
+),
+edl AS (
+  SELECT tr.conv_id, tr.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM tr LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                     FROM eent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+edlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM edl
+),
+estats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM edl
+),
+etf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM eent GROUP BY 1, 2, 3
+),
+edfreq AS (
+  SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
+)
+"""
+        )
+    return _WDG_PRELUDE_CACHE[0]
+
+
+def _wdg_topk_sql(query: str, k: int) -> str:
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.analysis.worddelim import DEFAULT_FLAGS
+
+    an = Analyzer(word_delimiter=DEFAULT_FLAGS)
+    terms = an.analyze_query(query)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _prelude_wdg()
+        + f""",
+scored AS (
+  SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
+  FROM etf
+  JOIN edfreq USING (term)
+  JOIN edlq USING (conv_id, turn_idx)
+  CROSS JOIN estats
+  WHERE etf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_standard_parse(query_str: str, terms, k: int):
     """StandardQueryParser (queryparser/flexible/standard,
     StandardSyntaxParser.jj GroupingExpr '@' + PointsConfig): a
@@ -6354,6 +6532,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standard_interval_fn_topk": _q_standard_interval_fn(
             "fn:maxgaps(0 fn:ordered(customer join))", 10
         ),
+        "bm25_topk_word_delimiter": _q_topk_wdg("Wi-Fi PowerShot", 10),
         "covering_topk": _q_covering(["spark", "query", "data"], 10),
         "function_range_topk": _q_function_range(30, 60, 10),
         "dv_stats_length": _q_dv_stats("spark"),
@@ -6547,6 +6726,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "query", "data"], 2, 5, 60, 10
         ),
         "standard_interval_fn_topk": _intervals_sql("customer", "join", 10),
+        "bm25_topk_word_delimiter": _wdg_topk_sql("Wi-Fi PowerShot", 10),
         "covering_topk": _covering_sql(["spark", "query", "data"], 10),
         "function_range_topk": _function_range_sql(30, 60, 10),
         "dv_stats_length": _dv_stats_sql("spark"),

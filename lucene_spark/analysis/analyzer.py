@@ -386,8 +386,44 @@ class Analyzer:
     # RE2 subset (no lookaround, numbered backrefs only) so the JVM
     # lowering and the DuckDB oracle twins replay them verbatim.
     pre_sub: tuple = ()
+    # WordDelimiterGraphFilter flags (analysis/worddelim.py — 0 = off).
+    # When set, the chain becomes the reference's canonical WDGF stack
+    # (TestWordDelimiterGraphFilter's analyzers): WhitespaceTokenizer
+    # (case-preserving, the MockTokenizer.WHITESPACE slot) → WDGF →
+    # LowerCaseFilter → StopFilter → stemmer.  Positions are the filter's
+    # own posInc stream (parts advance, catenations overlay, swallowed
+    # all-delimiter tokens leave holes); dl counts every emission
+    # (FieldInvertState.length counts what the filter emits).
+    word_delimiter: int = 0
+    # WDGF protected words (pass through unsplit), matched case-sensitively
+    # against the raw whitespace tokens
+    wd_prot_words: tuple = ()
 
     def __post_init__(self):
+        if self.word_delimiter:
+            from lucene_spark.analysis.worddelim import _ALL_FLAGS
+
+            if self.word_delimiter & ~_ALL_FLAGS:
+                raise ValueError(
+                    f"unknown word_delimiter flags: {self.word_delimiter}"
+                )
+            if (
+                self.graph_synonyms
+                or self.shingle_size
+                or self.ngram
+                or self.cjk_bigrams
+                or self.elision
+                or self.possessive
+            ):
+                # WDGF replaces the tokenizer stage; the raw-stream
+                # rewriters assume the standard tokenizer — documented
+                # orthogonal-stages subset (stopwords/stemmer/synonyms
+                # compose, like the reference chains that follow WDGF
+                # with LowerCase/Stop/Stem)
+                raise ValueError(
+                    "word_delimiter composes with stopwords/stemmer/"
+                    "synonyms only"
+                )
         if self.stemmer not in (None, "s", *DICT_STEMMERS):
             raise ValueError(f"unknown stemmer {self.stemmer!r}")
         if self.elision not in (None, *ELISION_PATTERNS):
@@ -953,6 +989,7 @@ class Analyzer:
             and not self.width_fold
             and not self.char_fold
             and not self.pre_sub
+            and not self.word_delimiter
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -975,6 +1012,8 @@ class Analyzer:
             "width_fold": self.width_fold,
             "char_fold": list(self.char_fold),
             "pre_sub": [list(p) for p in self.pre_sub],
+            "word_delimiter": self.word_delimiter,
+            "wd_prot_words": list(self.wd_prot_words),
         }
 
     @classmethod
@@ -1000,6 +1039,8 @@ class Analyzer:
             width_fold=d.get("width_fold", False),
             char_fold=tuple(d.get("char_fold", ())),
             pre_sub=tuple((p, r) for p, r in d.get("pre_sub", ())),
+            word_delimiter=d.get("word_delimiter", 0),
+            wd_prot_words=tuple(d.get("wd_prot_words", ())),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1044,20 +1085,33 @@ class Analyzer:
                 text = _re.sub(pat, rep, text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
-        toks = tokenize_text(
-            text,
-            latin1=self.latin1,
-            cjk=self.cjk_bigrams,
-            extra=self.extra_letters,
-        )
-        if self.cjk_bigrams:
-            toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
-        if self.possessive:
-            toks = [t[:-2] if t.endswith("'s") else t for t in toks]
-        if self.graph_synonyms:
-            pairs = self._graph_scan(toks)
+        if self.word_delimiter:
+            # whitespace tokenizer (case-preserving) → WDGF → lowercase
+            from lucene_spark.analysis.worddelim import wdg_stream
+
+            raw = (text or "").split()
+            pairs = [
+                (t.lower(), p)
+                for t, p in wdg_stream(
+                    raw, self.word_delimiter, frozenset(self.wd_prot_words)
+                )
+            ]
+            toks = [t for t, _ in pairs]
         else:
-            pairs = list(zip(toks, range(len(toks))))
+            toks = tokenize_text(
+                text,
+                latin1=self.latin1,
+                cjk=self.cjk_bigrams,
+                extra=self.extra_letters,
+            )
+            if self.cjk_bigrams:
+                toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
+            if self.possessive:
+                toks = [t[:-2] if t.endswith("'s") else t for t in toks]
+            if self.graph_synonyms:
+                pairs = self._graph_scan(toks)
+            else:
+                pairs = list(zip(toks, range(len(toks))))
         out: list[tuple[str, int]] = []
         syn = self.syn_map
         for t, pos in pairs:
@@ -1098,6 +1152,26 @@ class Analyzer:
                 text = _re.sub(pat, rep, text)
         if self.elision and text is not None:
             text = elide(text, self.elision)
+        if self.word_delimiter:
+            from lucene_spark.analysis.worddelim import wdg_stream
+
+            raw = (text or "").split()
+            pairs = [
+                (t.lower(), p)
+                for t, p in wdg_stream(
+                    raw, self.word_delimiter, frozenset(self.wd_prot_words)
+                )
+            ]
+            out: list[tuple[str, int]] = []
+            for t, pos in pairs:
+                if t in self.stopwords:
+                    continue
+                if self.stemmer == "s":
+                    t = s_stem(t)
+                elif self.stemmer in DICT_STEMMERS:
+                    t = DICT_STEMMERS[self.stemmer](t)
+                out.append((t, pos))
+            return out
         toks = tokenize_text(
             text,
             latin1=self.latin1,
@@ -1207,6 +1281,18 @@ class Analyzer:
 
         from lucene_spark.analysis.tokenizer import tokens_expr
 
+        if self.word_delimiter:
+            # WDGF's per-token graph (split runs, catenation spans, the
+            # position sorter) has no faithful Catalyst-expression form;
+            # the engine path is the Arrow invert (builder._arrow_base
+            # runs analyze_text — the default strategy), where the filter
+            # is a vocabulary-bounded per-token function like the
+            # dictionary stemmers.
+            raise NotImplementedError(
+                "word_delimiter analyzers build through the Arrow invert "
+                "path (IndexBuilder strategy='arrow'), not the HOF "
+                "expression chain"
+            )
         if self.ascii_folding:
             col = F.translate(col, _FOLD_FROM, _FOLD_TO)
         if self.width_fold:
