@@ -5174,6 +5174,94 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_phrase_wildcard(k: int):
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java:63):
+    exact phrase with a multi-term slot — [the, custom*] — expanded
+    against the term dictionary and matched as an adjacent ordered block
+    through the positional gather; scored on the span/interval surface
+    like complex phrases, so the validated 2-slot predicate twin applies
+    verbatim."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import PhraseWildcardQuery, PrefixQuery, TermQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = PhraseWildcardQuery((TermQuery("the"), PrefixQuery("custom")))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _q_fuzzy_like_this(query_string: str, max_edits: int, k: int):
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:65):
+    free text fuzzified against the dictionary; variant weight =
+    similarity² · ClassicSimilarity.idf(df, N) with the absent-token
+    integer-mean df fallback, scored as SHOULD TermQueries with doctored
+    df=1 stats.  The corpus vocabulary is small enough that neither the
+    per-term (50) nor the global (max_num_terms) cap binds, so the twin
+    is closed-form (no priority-queue tie-breaks)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import FuzzyLikeThisQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = FuzzyLikeThisQuery(((query_string, max_edits, 0),))
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _fuzzy_like_this_sql(query_string: str, max_edits: int, k: int) -> str:
+    qvals = ", ".join(f"('{t}')" for t in query_string.split())
+    # the engine's BM25 tf-part with idf evaluated at the DOCTORED df=1
+    # (FuzzyLikeThisQuery.newTermQuery:258-274)
+    idf1 = "ln(1 + (stats.doc_count - 1 + 0.5) / (1 + 0.5))"
+    tfpart = (
+        "tf.freq / (tf.freq + 1.2 * (0.25 + 0.75 * dlq.dlq"
+        " / (CAST(stats.sttf AS DOUBLE) / stats.doc_count)))"
+    )
+    return (
+        _PRELUDE
+        + f""",
+qtoks(tok) AS (VALUES {qvals}),
+vars AS (
+  SELECT q.tok, v.term, v.doc_freq,
+         1.0 - damerau_levenshtein(q.tok, v.term)
+               / CAST(least(length(q.tok), length(v.term)) AS DOUBLE) AS sim
+  FROM qtoks q JOIN dfreq v
+    ON abs(length(v.term) - length(q.tok)) <= {max_edits}
+   AND damerau_levenshtein(q.tok, v.term) <= {max_edits}
+),
+dfe AS (
+  SELECT tok,
+         COALESCE(MAX(CASE WHEN term = tok THEN doc_freq END),
+                  SUM(doc_freq) // COUNT(*)) AS df
+  FROM vars GROUP BY tok
+),
+sterms AS (
+  SELECT v.term,
+         SUM(v.sim * v.sim * (1.0 + ln(stats.doc_count / (d.df + 1.0)))) AS w
+  FROM vars v JOIN dfe d USING (tok) CROSS JOIN stats
+  GROUP BY v.term
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM(st.w * {idf1} * {tfpart}) AS score
+  FROM tf
+  JOIN sterms st USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 # WordDelimiterGraphFilter gate: delimiter/case-rich tails appended to the
 # corpus (the per-language gates' deterministic-tail pattern), analyzed by
 # the canonical WDGF chain (whitespace tokenizer → WDGF → lowercase).
@@ -6533,6 +6621,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fn:maxgaps(0 fn:ordered(customer join))", 10
         ),
         "bm25_topk_word_delimiter": _q_topk_wdg("Wi-Fi PowerShot", 10),
+        "phrase_wildcard_topk": _q_phrase_wildcard(10),
+        "fuzzy_like_this_topk": _q_fuzzy_like_this("custoner data", 1, 10),
         "covering_topk": _q_covering(["spark", "query", "data"], 10),
         "function_range_topk": _q_function_range(30, 60, 10),
         "dv_stats_length": _q_dv_stats("spark"),
@@ -6727,6 +6817,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "standard_interval_fn_topk": _intervals_sql("customer", "join", 10),
         "bm25_topk_word_delimiter": _wdg_topk_sql("Wi-Fi PowerShot", 10),
+        "phrase_wildcard_topk": _span_near_pred_sql(
+            "{t} = 'the'", "{t} LIKE 'custom%'", 0, 10
+        ),
+        "fuzzy_like_this_topk": _fuzzy_like_this_sql("custoner data", 1, 10),
         "covering_topk": _covering_sql(["spark", "query", "data"], 10),
         "function_range_topk": _function_range_sql(30, 60, 10),
         "dv_stats_length": _dv_stats_sql("spark"),

@@ -8,12 +8,14 @@ from lucene_spark.search.query import (  # noqa: F401
     DisjunctionMaxQuery,
     FunctionRangeQuery,
     FunctionScoreQuery,
+    FuzzyLikeThisQuery,
     FuzzyQuery,
     KnnVectorQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     Occur,
     PhraseQuery,
+    PhraseWildcardQuery,
     PrefixQuery,
     Query,
     RegexpQuery,

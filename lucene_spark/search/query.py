@@ -373,6 +373,42 @@ class TermRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class FuzzyLikeThisQuery(Query):
+    """sandbox/queries/FuzzyLikeThisQuery.java:65 — "fuzzifies" free text:
+    each analyzed token of each (query_string, max_edits, prefix_length)
+    entry expands to its dictionary variants within OSA distance
+    (FuzzyTermsEnum with transpositions), each variant scored
+    ``similarity² · ClassicSimilarity.idf(df, numDocs)`` where similarity
+    = 1 - ed/min(|token|, |variant|) (the FuzzyTermsEnum boost) and df is
+    the source token's docFreq — or the integer-mean of the variants'
+    when the token itself is absent (addTerms:245-249).  The top
+    ``max_num_terms`` variants overall become SHOULD clauses whose
+    TermQueries carry ARTIFICIAL df=1 stats (newTermQuery:258-274), or
+    constant-score clauses under ``ignore_tf``."""
+
+    field_vals: tuple  # tuple[(query_string, max_edits, prefix_length)]
+    max_num_terms: int = 50
+    ignore_tf: bool = False
+    max_variants_per_term: int = 50  # MAX_VARIANTS_PER_TERM (.java:74)
+
+
+@dataclass(frozen=True)
+class PhraseWildcardQuery(Query):
+    """sandbox/search/PhraseWildcardQuery.java:63 — a generalized
+    PhraseQuery where any slot may be a multi-term sub-query (prefix /
+    wildcard / regexp / fuzzy / term-range); a document matches when the
+    slots appear adjacent in order with ANY expansion of each multi-term
+    slot.  ``max_multi_term_expansions`` is the reference's
+    maxMultiTermExpansions budget shared across all multi-term slots
+    (expansion truncates, keeping the highest-docFreq terms — the
+    TopTermsRewrite order).  Scoring goes through the engine's uniform
+    span/interval saturation surface, like complex phrases."""
+
+    clauses: tuple  # tuple[Query, ...] — TermQuery or multi-term nodes
+    max_multi_term_expansions: int = 128
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     """core/search/MatchAllDocsQuery.java — every doc, score = boost."""
 

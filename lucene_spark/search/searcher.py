@@ -1150,7 +1150,184 @@ class IndexSearcher:
             return self._scored_covering(q)
         if isinstance(q, FunctionRangeQuery):
             return self._scored_function_range(q)
+        from lucene_spark.search.query import FuzzyLikeThisQuery, PhraseWildcardQuery
+
+        if isinstance(q, PhraseWildcardQuery):
+            return self._scored_phrase_wildcard(q)
+        if isinstance(q, FuzzyLikeThisQuery):
+            return self._scored_fuzzy_like_this(q)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _scored_fuzzy_like_this(self, q) -> DataFrame:
+        """FuzzyLikeThisQuery.rewrite (FuzzyLikeThisQuery.java:283-334):
+        variant selection runs over the (vocabulary-bounded) term
+        dictionary; the selected variants score in ONE postings scan with
+        a broadcast weight map.  With ``ignore_tf`` each variant is a
+        constant-score clause; otherwise the doctored-stats TermQuery
+        reduces to BM25 with idf evaluated at df=1 over the real norms."""
+        import math
+
+        n_docs = self.doc_count
+        score_terms: list[tuple[str, float]] = []  # (variant, score)
+        for query_string, max_edits, prefix_length in q.field_vals:
+            processed: set = set()
+            for tok in self.parse_terms(query_string):
+                if tok in processed:
+                    continue
+                processed.add(tok)
+                pred = F.abs(F.length("term") - F.lit(len(tok))) <= int(max_edits)
+                if prefix_length:
+                    pred = pred & F.col("term").startswith(tok[: int(prefix_length)])
+                if max_edits:
+                    dist = _osa_distance_udf(tok)
+                    pred = pred & (dist(F.col("term")) <= int(max_edits))
+                else:
+                    pred = pred & (F.col("term") == tok)
+                rows = self._expand_terms(pred).select("term", "doc_freq").collect()
+                if not rows:
+                    continue
+                variants = []
+                for r in rows:
+                    ed = _osa(tok, r.term)
+                    sim = 1.0 - ed / min(len(tok), len(r.term))
+                    variants.append((sim, r.term, int(r.doc_freq)))
+                top = sorted(variants, key=lambda v: (-v[0], v[1]))[
+                    : q.max_variants_per_term
+                ]
+                df = next((d for s, t, d in variants if t == tok), 0)
+                if df == 0:
+                    # avg df of ALL enumerated variants, integer division
+                    # (addTerms:245-249)
+                    df = sum(d for _, _, d in variants) // len(variants)
+                idf = 1.0 + math.log(n_docs / (df + 1.0))  # ClassicSimilarity
+                for sim, term, _d in top:
+                    score_terms.append((term, (sim * sim) * idf))
+        score_terms = sorted(score_terms, key=lambda v: (-v[1], v[0]))[
+            : q.max_num_terms
+        ]
+        if not score_terms:
+            return self._empty_scored()
+        # merge duplicate variants (same term reached from two source
+        # tokens): SHOULD clauses sum, and both the constant-score and the
+        # shared-freq BM25 parts are linear in the clause weight
+        merged: dict[str, float] = {}
+        for t, s in score_terms:
+            merged[t] = merged.get(t, 0.0) + s
+        if q.ignore_tf:
+            spark = self.index.spark
+            wdf = spark.createDataFrame(
+                list(merged.items()), f"term string, _w {self.score_type}"
+            )
+            pf = self.index.postings_for_terms(list(merged)).select("term", "doc_id")
+            return (
+                pf.join(F.broadcast(wdf), "term")
+                .groupBy("doc_id")
+                .agg(F.sum("_w").cast(self.score_type).alias("score"))
+            )
+        spark = self.index.spark
+        weights = [(t, self._weight(s, 1)) for t, s in merged.items()]
+        wdf = spark.createDataFrame(weights, f"term string, _w {self.score_type}")
+        pf = self.index.postings_for_terms([t for t, _ in weights]).select(
+            "term", "doc_id", "freq", "norm"
+        )
+        return (
+            pf.join(F.broadcast(wdf), "term")
+            .select(
+                "doc_id",
+                self._bm25_expr(F.col("_w"), F.col("freq"), F.col("norm")).alias(
+                    "_s"
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("_s").cast(self.score_type).alias("score"))
+        )
+
+    def _multiterm_pred(self, q):
+        """Term-dictionary predicate for a multi-term query node (the
+        MultiTermQuery family — same shapes as the scored dispatch)."""
+        from lucene_spark.search.query import (
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
+
+        if isinstance(q, PrefixQuery):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, WildcardQuery):
+            return F.col("term").rlike(_wildcard_to_regex(q.pattern))
+        if isinstance(q, RegexpQuery):
+            return F.col("term").rlike(f"^(?:{q.pattern})$")
+        if isinstance(q, FuzzyQuery):
+            pred = (
+                F.abs(F.length("term") - F.lit(len(q.term))) <= q.max_edits
+            ) & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+            if q.prefix_length:
+                pred = pred & F.col("term").startswith(q.term[: q.prefix_length])
+            return pred
+        if isinstance(q, TermRangeQuery):
+            pred = F.lit(True)
+            if q.lower is not None:
+                pred = pred & (
+                    F.col("term") >= q.lower
+                    if q.include_lower
+                    else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                pred = pred & (
+                    F.col("term") <= q.upper
+                    if q.include_upper
+                    else F.col("term") < q.upper
+                )
+            return pred
+        raise TypeError(
+            f"not a multi-term query inside a wildcard phrase: "
+            f"{type(q).__name__}"
+        )
+
+    def _scored_phrase_wildcard(self, q) -> DataFrame:
+        """PhraseWildcardQuery lowering (PhraseWildcardQuery.java:63 +
+        its PhraseWildcardScorer): each multi-term slot expands against
+        the term dictionary under the SHARED maxMultiTermExpansions
+        budget (highest docFreq kept — the reference stops expanding when
+        the budget is exhausted), a slot with no surviving expansion
+        matches nothing, and the expanded slots run as one exact-adjacency
+        interval block (ordered, zero gaps) through the single-shuffle
+        positional gather."""
+        from lucene_spark.search import intervals as iv
+        from lucene_spark.search.query import IntervalQuery
+
+        budget = q.max_multi_term_expansions
+        sources = []
+        for c in q.clauses:
+            if isinstance(c, TermQuery):
+                sources.append(iv.Term(c.term))
+                continue
+            if budget <= 0:
+                return self._empty_scored()
+            rows = (
+                self._expand_terms(self._multiterm_pred(c))
+                .orderBy(F.desc("doc_freq"), F.asc("term"))
+                .limit(budget)
+                .collect()
+            )
+            if not rows:
+                return self._empty_scored()
+            budget -= len(rows)
+            terms = sorted(r.term for r in rows)
+            sources.append(
+                iv.Term(terms[0])
+                if len(terms) == 1
+                else iv.Or(tuple(iv.Term(t) for t in terms))
+            )
+        if not sources:
+            return self._empty_scored()
+        if len(sources) == 1:
+            src = sources[0]
+        else:
+            src = iv.MaxGaps(iv.Ordered(tuple(sources)), 0)
+        return self._scored_intervals(IntervalQuery(src))
 
     def _scored_covering(self, q) -> DataFrame:
         """CoveringQuery lowering (sandbox/search/CoveringScorer.java):
@@ -2319,35 +2496,37 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
-def _osa_distance_udf(query: str):
-    """Vectorized optimal-string-alignment distance to ``query`` — the
-    acceptance metric of LevenshteinAutomata with transpositions
-    (core/util/automaton/LevenshteinAutomata.java; FuzzyQuery.java:82).
-    Classic DP plus the one-row-lookback transposition case; numpy over
-    an Arrow batch of dictionary terms."""
-    from pyspark.sql.functions import pandas_udf
+def _osa(a: str, b: str) -> int:
+    """Optimal-string-alignment distance — the acceptance metric of
+    LevenshteinAutomata with transpositions (core/util/automaton/
+    LevenshteinAutomata.java; FuzzyQuery.java:82).  Classic DP plus the
+    one-row-lookback transposition case."""
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
 
-    def osa(a: str, b: str) -> int:
-        la, lb = len(a), len(b)
-        prev2 = None
-        prev = list(range(lb + 1))
-        for i in range(1, la + 1):
-            cur = [i] + [0] * lb
-            for j in range(1, lb + 1):
-                cost = 0 if a[i - 1] == b[j - 1] else 1
-                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-                if (
-                    i > 1
-                    and j > 1
-                    and a[i - 1] == b[j - 2]
-                    and a[i - 2] == b[j - 1]
-                ):
-                    cur[j] = min(cur[j], prev2[j - 2] + 1)
-            prev2, prev = prev, cur
-        return prev[lb]
+
+def _osa_distance_udf(query: str):
+    """Vectorized ``_osa`` distance to ``query`` over an Arrow batch of
+    dictionary terms."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def dist(terms: pd.Series) -> pd.Series:
-        return terms.map(lambda t: osa(t, query))
+        return terms.map(lambda t: _osa(t, query))
 
     return dist
