@@ -626,6 +626,17 @@ _LANG_GATES = {
         ),
         query="consultas tabelas otimizadas",
     ),
+    # Brazilian Portuguese (round-5 wave 5): the br/BrazilianAnalyzer
+    # chain with its Orengo-style heuristic stemmer (analysis/brazilian.py)
+    "br": dict(
+        preset="brazilian",
+        filter=None,
+        tails=(
+            " os boatos rápidos sobre as tabelas combinadas",
+            " boates e consultas nas tabelas",
+        ),
+        query="boatos tabelas consultas",
+    ),
     # ru/sv/fi/hu (round 5): like it/pt, not planted in the corpus's lang
     # column — analyzers run over the whole documents table, tails plant
     # the inflected words (Cyrillic / Latin-Ext-A alphabets via the
@@ -6531,6 +6542,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_hungarian": _q_topk_lang("hu", 20),
         "bm25_topk_galician": _q_topk_lang("gl", 20),
         "bm25_topk_pt_rslp": _q_topk_lang("ptr", 20),
+        "bm25_topk_brazilian": _q_topk_lang("br", 20),
         "bm25_topk_sorani": _q_topk_lang("ckb", 20),
         "bm25_topk_arabic": _q_topk_lang("ar", 20),
         "bm25_topk_persian": _q_topk_lang("fa", 20),
@@ -6725,6 +6737,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_hungarian": _lang_topk_sql("hu", 20),
         "bm25_topk_galician": _lang_topk_sql("gl", 20),
         "bm25_topk_pt_rslp": _lang_topk_sql("ptr", 20),
+        "bm25_topk_brazilian": _lang_topk_sql("br", 20),
         "bm25_topk_sorani": _lang_topk_sql("ckb", 20),
         "bm25_topk_arabic": _lang_topk_sql("ar", 20),
         "bm25_topk_persian": _lang_topk_sql("fa", 20),

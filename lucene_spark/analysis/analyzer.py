@@ -78,6 +78,7 @@ from lucene_spark.analysis.lang import (
 )
 from lucene_spark.analysis.lang_stopwords import (
     ARABIC_STOP_WORDS,
+    BRAZILIAN_STOP_WORDS,
     BENGALI_STOP_WORDS,
     BULGARIAN_STOP_WORDS,
     CZECH_STOP_WORDS,
@@ -119,6 +120,7 @@ from lucene_spark.analysis.intl import (
     norwegian_minimal_stem,
     persian_stem,
 )
+from lucene_spark.analysis.brazilian import brazilian_stem
 from lucene_spark.analysis.kstem import kstem_stem
 from lucene_spark.analysis.rslp import (
     galician_minimal_stem,
@@ -202,6 +204,7 @@ DICT_STEMMERS = {
     "hungarian_light": hungarian_light_stem,
     "galician": galician_stem,
     "portuguese_rslp": portuguese_rslp_stem,
+    "brazilian": brazilian_stem,
     "sorani": sorani_normalize_and_stem,
     # minimal / plural-only variants (the *MinimalStemFilter zoo): fewer
     # conflations, same dictionary-stage plumbing
@@ -492,6 +495,18 @@ class Analyzer:
             )
         key = "english_snowball" if stemmer == "snowball" else stemmer
         return cls(stopwords=ENGLISH_STOP_WORDS, stemmer=key, possessive=True)
+
+    @classmethod
+    def brazilian(cls) -> "Analyzer":
+        """The BrazilianAnalyzer preset (br/BrazilianAnalyzer.java:43-120):
+        StandardTokenizer + LowerCase + br/stopwords.txt (plain wordlist,
+        matched BEFORE stemming) + BrazilianStemFilter (analysis/
+        brazilian.py — the Orengo-style heuristic stemmer, which deaccents
+        internally; the token alphabet stays Latin-1 for the accented
+        surface forms)."""
+        return cls(
+            stopwords=BRAZILIAN_STOP_WORDS, stemmer="brazilian", latin1=True
+        )
 
     @classmethod
     def french(cls, stemmer: str = "light") -> "Analyzer":
