@@ -24,6 +24,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -6253,6 +6254,97 @@ SELECT conv_id, turn_idx FROM hits ORDER BY conv_id, turn_idx"""
     )
 
 
+def _q_codec_match(word: str, encoder: str):
+    """Phonetic matching through the full PhoneticFilterFactory encoder
+    registry (analysis/phonetic/.../PhoneticFilterFactory.java:48,
+    DoubleMetaphoneFilter.java, DaitchMokotoffSoundexFilter.java): docs
+    containing any token that encodes to one of the query word's codes.
+    Multi-code encoders (Daitch-Mokotoff branch sets, Double Metaphone
+    primary+alternate) inject EVERY code, so matching is set-intersection.
+    The encoder runs once per distinct vocabulary term inside an
+    Arrow-batched pandas UDF (dictionary stage — never per posting), and
+    the matched term set broadcast-joins back to the token relation."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis.phonetic_codecs import _codes_fn
+
+        enc = _codes_fn(encoder)
+        targets = enc(word)
+
+        @F.pandas_udf("array<string>")
+        def codes_udf(s: pd.Series) -> pd.Series:
+            return s.map(enc)
+
+        tr = _transcripts_df(spark, sf_dir)
+        toks = tr.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("term"),
+        )
+        vocab = (
+            toks.select("term")
+            .distinct()
+            .withColumn("codes", codes_udf("term"))
+            .filter(
+                F.arrays_overlap(
+                    F.col("codes"), F.array(*[F.lit(t) for t in targets])
+                )
+            )
+        )
+        return (
+            toks.join(F.broadcast(vocab.select("term")), "term")
+            .select("conv_id", "turn_idx")
+            .distinct()
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    return run
+
+
+def _codec_match_sql(word: str, encoder: str) -> str:
+    """Oracle for _q_codec_match.  DuckDB has none of these encoders, so —
+    like _prelude_en's stemmer map — the (term, code) branch pairs for the
+    whole fixture vocabulary are inlined as a VALUES map computed by the
+    archive-parity-validated encoder; the MATCHING itself stays in SQL."""
+    import duckdb
+
+    from lucene_spark.analysis.phonetic_codecs import _codes_fn
+
+    enc = _codes_fn(encoder)
+    targets = enc(word)
+    con = duckdb.connect()
+    vocab: set[str] = set()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        vocab |= {
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                f" '[a-z0-9]+')) FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+    pairs = sorted((t, c) for t in vocab for c in enc(t) if c)
+    vals = ", ".join(f"('{t}', '{c}')" for t, c in pairs) or "('', '')"
+    tvals = ", ".join(f"('{c}')" for c in sorted(targets))
+    return (
+        _PRELUDE
+        + f""",
+pcodes(term, code) AS (VALUES {vals}),
+ptargets(code) AS (VALUES {tvals}),
+hits AS (
+  SELECT DISTINCT toks.conv_id, toks.turn_idx
+  FROM toks
+  JOIN pcodes USING (term)
+  JOIN ptargets USING (code)
+)
+SELECT conv_id, turn_idx FROM hits ORDER BY conv_id, turn_idx"""
+    )
+
+
 def _q_dynamic_range(col: str, n_buckets: int):
     """Dynamic range facets (facet/dynamic/DynamicRangeUtil.java): the
     'spark' match set's ``col`` values split into equal-count buckets."""
@@ -6650,6 +6742,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences(60),
         "spell_correct": _q_spell_correct("sparc", 5),
         "phonetic_match": _q_phonetic_match("sparc"),
+        "dm_soundex_match": _q_codec_match("kustomer", "DaitchMokotoff"),
+        "double_metaphone_match": _q_codec_match("querry", "DoubleMetaphone"),
         "synonym_topk": _q_synonym("data customer", [("data", "model")], 10),
         "bm25_topk_shingle": _q_shingle_topk("the customer", 10),
         "synonym_phrase_topk": _q_synonym_phrase(
@@ -6864,6 +6958,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(60),
         "spell_correct": _spell_correct_sql("sparc", 5),
         "phonetic_match": _phonetic_match_sql("sparc"),
+        "dm_soundex_match": _codec_match_sql("kustomer", "DaitchMokotoff"),
+        "double_metaphone_match": _codec_match_sql("querry", "DoubleMetaphone"),
         "synonym_topk": _synonym_topk_sql(["data", "model"], ["customer"], 10),
         "bm25_topk_shingle": _shingle_topk_sql("the", "customer", 10),
         "synonym_phrase_topk": _synonym_phrase_sql("spark", ["the", "customer"], 10),
