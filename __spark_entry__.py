@@ -920,6 +920,15 @@ _LANG_GATES = {
         ),
         query="நண்பர்கள் புத்தகங்கள்",
     ),
+    "te": dict(
+        preset="telugu",
+        filter=None,
+        tails=(
+            " వస్తువులు మరియు పన్నులు",
+            " పన్నులు మరియు వస్తువులు",
+        ),
+        query="వస్తువులు పన్నులు",
+    ),
     "tr": dict(
         preset="turkish",
         filter=None,
@@ -6574,6 +6583,7 @@ _GATE_PRIORITY = [
     "bm25_topk_tamil",
     "bm25_topk_turkish",
     "bm25_topk_serbian",
+    "bm25_topk_telugu",
     # (c) regression canaries (outside the driver window unless slots
     # free up; kept for explicit ordering)
     "term_vector_doc",
@@ -6657,6 +6667,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_nepali": _q_topk_lang("ne", 20),
         "bm25_topk_estonian": _q_topk_lang("et", 20),
         "bm25_topk_tamil": _q_topk_lang("ta", 20),
+        "bm25_topk_telugu": _q_topk_lang("te", 20),
         "bm25_topk_turkish": _q_topk_lang("tr", 20),
         "bm25_topk_serbian": _q_topk_lang("sr", 20),
         "synonym_index_time_topk": _q_graph_synonym_phrase(10),
@@ -6854,6 +6865,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nepali": _lang_topk_sql("ne", 20),
         "bm25_topk_estonian": _lang_topk_sql("et", 20),
         "bm25_topk_tamil": _lang_topk_sql("ta", 20),
+        "bm25_topk_telugu": _lang_topk_sql("te", 20),
         "bm25_topk_turkish": _lang_topk_sql("tr", 20),
         "bm25_topk_serbian": _lang_topk_sql("sr", 20),
         "bm25_topk_german": _lang_topk_sql("de", 20),

@@ -109,6 +109,8 @@ from lucene_spark.analysis.intl import (
     LATVIAN_LETTERS,
     PERSIAN_FOLD,
     PERSIAN_LETTERS,
+    TELUGU_DIGIT_FOLD,
+    TELUGU_LETTERS,
     arabic_normalize_and_stem,
     bengali_normalize_and_stem,
     bulgarian_stem,
@@ -119,6 +121,7 @@ from lucene_spark.analysis.intl import (
     norwegian_light_stem,
     norwegian_minimal_stem,
     persian_stem,
+    telugu_normalize_and_stem,
 )
 from lucene_spark.analysis.brazilian import brazilian_stem
 from lucene_spark.analysis.kstem import kstem_stem
@@ -171,6 +174,7 @@ from lucene_spark.analysis.lang_stopwords import (
     ROMANIAN_STOP_WORDS,
     SERBIAN_STOP_WORDS,
     TAMIL_STOP_WORDS,
+    TELUGU_STOP_WORDS,
     TURKISH_STOP_WORDS,
 )
 from lucene_spark.analysis.porter import porter_stem
@@ -239,6 +243,7 @@ DICT_STEMMERS = {
     "nepali": nepali_stem,  # IndicNormalizer(Devanagari) + Snowball
     "estonian": estonian_stem,
     "tamil": tamil_stem,  # IndicNormalizer(Tamil) + Snowball
+    "telugu": telugu_normalize_and_stem,
     "turkish": turkish_stem,
     "serbian": serbian_stem,  # Snowball + SerbianNormalizationFilter
     "english_snowball": english_snowball_stem,  # Porter2
@@ -929,6 +934,20 @@ class Analyzer:
             stemmer="tamil",
             extra_letters=TAMIL_LETTERS,
             char_fold=TAMIL_DIGIT_FOLD,
+        )
+
+    @classmethod
+    def telugu(cls) -> "Analyzer":
+        """The TeluguAnalyzer preset (te/TeluguAnalyzer.java:117-127):
+        DecimalDigitFilter (Telugu digit row as char_fold) +
+        IndicNormalization (Telugu block) + TeluguNormalization +
+        te/stopwords.txt + TeluguStem composed at the dictionary stage.
+        Raw-token stopword subset as in hindi()."""
+        return cls(
+            stopwords=TELUGU_STOP_WORDS,
+            stemmer="telugu",
+            extra_letters=TELUGU_LETTERS,
+            char_fold=TELUGU_DIGIT_FOLD,
         )
 
     @classmethod

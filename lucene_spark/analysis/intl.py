@@ -806,3 +806,86 @@ def bengali_normalize_and_stem(w: str) -> str:
     """IndicNormalization -> BengaliNormalization -> BengaliStem, the
     bn/BengaliAnalyzer.java:119-130 filter order."""
     return bengali_stem(bengali_normalize(_indic_compose(w, _INDIC_BENGALI)))
+
+
+# -- Telugu ---------------------------------------------------------------
+
+# Telugu block + ZW(N)J (the normalizer deletes them)
+TELUGU_LETTERS = "ఀ-౿‌‍"
+
+# in/IndicNormalizer.java decompositions filtered by flag(TELUGU),
+# base 0x0C00 (table lines 136/138/168/180/202/204)
+_INDIC_TE_ROWS = (
+    (0x12, 0x4C, -1, 0x14), (0x12, 0x55, -1, 0x13),
+    (0x2C, 0x41, 0x41, 0x0B), (0x35, 0x41, -1, 0x2E),
+    (0x46, 0x55, -1, 0x47), (0x46, 0x56, -1, 0x48),
+)
+_INDIC_TELUGU = _indic_rows(_INDIC_TE_ROWS, 0x0C00)
+
+_TE_SIMPLE = {
+    "ఀ": "ం", "ఁ": "ం",  # candrabindu -> bindu
+    "ఔ": "ఓ", "ఐ": "ఏ",  # long -> short vowels
+    "ఆ": "అ", "ఈ": "ఇ", "ఊ": "ఉ",
+    "ీ": "ి", "ూ": "ు",  # long -> short matras
+    "ే": "ె", "ో": "ొ",
+}
+_TE_DELETE = frozenset("ః‌‍")  # visarga + ZW(N)J
+
+
+def telugu_normalize(w: str) -> str:
+    """te/TeluguNormalizer.java:35-121: candrabindu -> bindu, visarga and
+    ZW(N)J deletion, long -> short vowels/matras, and the two-char
+    compositions (decomposed diphthong and composed oo/au) — one in-place
+    left-to-right pass; a composed/substituted result is never revisited
+    (the Java switch advances past it)."""
+    s = list(w)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in _TE_DELETE:
+            del s[i]
+            continue
+        if c == "ె" and i + 1 < len(s) and s[i + 1] == "ౖ":
+            s[i] = "ై"  # decomposed diphthong -> precomposed ai sign
+            del s[i + 1]
+        elif c == "ఒ" and i + 1 < len(s) and s[i + 1] == "ౕ":
+            s[i] = "ఓ"  # o + length mark -> oo
+            del s[i + 1]
+        elif c == "ఒ" and i + 1 < len(s) and s[i + 1] == "ౌ":
+            s[i] = "ఔ"  # o + au length mark -> au
+            del s[i + 1]
+        elif c in _TE_SIMPLE:
+            s[i] = _TE_SIMPLE[c]
+        i += 1
+    return "".join(s)
+
+
+_TE_SUF_4 = ("ళ్ళు", "డ్లు")
+_TE_SUF_2 = ("డు", "ము", "వు", "లు", "ని", "ను", "చే",
+             "కై", "లో", "ది", "కి", "సు", "వై", "పై")
+_TE_SUF_1 = tuple("ిీుూెేొోా")
+
+
+def telugu_stem(w: str) -> str:
+    """te/TeluguStemmer.java:26-63: longest class first — the two 4-char
+    plural clusters, then the 2-char case/number suffixes, then single
+    matras, each with its minimum-length guard."""
+    n = len(w)
+    if n > 5 and w.endswith(_TE_SUF_4):
+        return w[: n - 4]
+    if n > 3 and w.endswith(_TE_SUF_2):
+        return w[: n - 2]
+    if n > 2 and w.endswith(_TE_SUF_1):
+        return w[: n - 1]
+    return w
+
+
+def telugu_normalize_and_stem(w: str) -> str:
+    """IndicNormalization(Telugu) -> TeluguNormalization -> TeluguStem,
+    the te/TeluguAnalyzer.java:117-127 filter order."""
+    return telugu_stem(telugu_normalize(_indic_compose(w, _INDIC_TELUGU)))
+
+
+# DecimalDigitFilter's Telugu digit row (te/TeluguAnalyzer.java applies
+# DecimalDigitFilter first; pre-tokenize fold like the Tamil preset)
+TELUGU_DIGIT_FOLD = ("౦౧౨౩౪౫౬౭౮౯", "0123456789")

@@ -281,6 +281,7 @@ ESTONIAN_STOP_WORDS = _load_stopwords("et")                 # et/stopwords.txt
 TAMIL_STOP_WORDS = _load_stopwords("ta")                    # ta/stopwords.txt
 TURKISH_STOP_WORDS = _load_stopwords("tr")                  # tr/stopwords.txt
 SERBIAN_STOP_WORDS = _load_stopwords("sr")                  # sr/stopwords.txt
+TELUGU_STOP_WORDS = _load_stopwords("te")                   # te/stopwords.txt
 
 # round-5 wave 5
 BRAZILIAN_STOP_WORDS = _load_stopwords("br")                # br/stopwords.txt

@@ -20,6 +20,9 @@ from lucene_spark.analysis.intl import (
     hindi_normalize,
     hindi_normalize_and_stem,
     hindi_stem,
+    telugu_normalize,
+    telugu_normalize_and_stem,
+    telugu_stem,
     indonesian_stem,
     latvian_stem,
     norwegian_light_stem,
@@ -88,9 +91,11 @@ def _java_vectors(rel: str, analyzer_var: str | None = None):
         (hindi_normalize, "hi/TestHindiNormalizer.java", None, 12),
         (bengali_stem, "bn/TestBengaliStemmer.java", None, 14),
         (bengali_normalize, "bn/TestBengaliNormalizer.java", None, 12),
+        (telugu_stem, "te/TestTeluguStemmer.java", None, 4),
+        (telugu_normalize, "te/TestTeluguNormalizer.java", None, 4),
     ],
     ids=["ar_norm", "ar_stem", "fa_norm", "cs", "bg", "lv", "id_deriv",
-         "hi_stem", "hi_norm", "bn_stem", "bn_norm"],
+         "hi_stem", "hi_norm", "bn_stem", "bn_norm", "te_stem", "te_norm"],
 )
 def test_java_vector_parity(fn, rel, var, minimum):
     pairs = _java_vectors(rel, var)
@@ -163,6 +168,18 @@ def test_arabic_chain_composition():
 def test_hindi_bengali_chain_composition():
     assert hindi_normalize_and_stem("लडके") == "लडक"
     assert bengali_normalize_and_stem("করেছিলাম") == "কর"
+
+
+def test_telugu_chain_composition():
+    # IndicNormalizer's TELUGU rows fire before the stemmer: va + u-sign
+    # composes to the letter MA (IndicNormalizer.java:180), THEN the
+    # plural suffix strips — faithful to te/TeluguAnalyzer.java:117-127
+    assert telugu_normalize_and_stem("వస్తువులు") == "వస్తుమ"
+    assert telugu_normalize_and_stem("పన్నులు") == "పన్ను"
+    # normalizer two-char compositions (TeluguNormalizer.java:98-115)
+    assert telugu_normalize("ఒౕ") == "ఓ"
+    assert telugu_normalize("ఒౌ") == "ఔ"
+    assert telugu_normalize("చై") == "చై"
 
 
 # -- Greek (analysis/greek.py) -----------------------------------------------
