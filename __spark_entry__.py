@@ -429,28 +429,44 @@ FROM ordered WHERE rank <= {k} ORDER BY rank"""
     )
 
 
-def _searcher_en(spark: SparkSession, sf_dir: str, stemmer: str = "porter"):
+def _searcher_en(
+    spark: SparkSession,
+    sf_dir: str,
+    stemmer: str = "porter",
+    exclusions: tuple = (),
+):
     """EnglishAnalyzer-preset searcher (EnglishAnalyzer.java:37-52:
     possessive + ENGLISH_STOP_WORDS + full Porter; stemmer="kstem" swaps
-    the stem stage for Krovetz' KStem per en/KStemFilter.java)."""
-    key = ("en", stemmer, os.path.abspath(sf_dir))
+    the stem stage for Krovetz' KStem per en/KStemFilter.java).
+    ``exclusions`` = the preset's stemExclusionSet ctor arg
+    (EnglishAnalyzer.java:75: SetKeywordMarkerFilter before the stemmer)."""
+    from dataclasses import replace as dc_replace
+
+    key = ("en", stemmer, tuple(sorted(exclusions)), os.path.abspath(sf_dir))
     if key not in _CACHE:
         from lucene_spark.analysis import Analyzer
         from lucene_spark.index import IndexBuilder
         from lucene_spark.search import IndexSearcher
 
-        idx = IndexBuilder(
-            num_segments=8, analyzer=Analyzer.english(stemmer=stemmer)
-        ).build(_transcripts_df(spark, sf_dir))
+        an = Analyzer.english(stemmer=stemmer)
+        if exclusions:
+            an = dc_replace(an, stem_exclusions=frozenset(exclusions))
+        idx = IndexBuilder(num_segments=8, analyzer=an).build(
+            _transcripts_df(spark, sf_dir)
+        )
         _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
     return _CACHE[key]
 
 
-def _q_topk_english(query_text: str, k: int, stemmer: str = "porter"):
+def _q_topk_english(
+    query_text: str, k: int, stemmer: str = "porter", exclusions: tuple = ()
+):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import BooleanQuery, Occur, TermQuery
 
-        _, searcher = _searcher_en(spark, sf_dir, stemmer=stemmer)
+        _, searcher = _searcher_en(
+            spark, sf_dir, stemmer=stemmer, exclusions=exclusions
+        )
         terms = searcher.parse_terms(query_text)
         q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
         return _ranked_topk(searcher, q, k)
@@ -461,7 +477,7 @@ def _q_topk_english(query_text: str, k: int, stemmer: str = "porter"):
 _EN_PRELUDE_CACHE: dict[str, str] = {}
 
 
-def _prelude_en(stemmer: str = "porter") -> str:
+def _prelude_en(stemmer: str = "porter", exclusions: tuple = ()) -> str:
     """Analyzed prelude for the EnglishAnalyzer gates.  DuckDB has neither
     Porter nor KStem built-in in this sandbox, so the (term -> stem) pairs
     the chosen dictionary stemmer CHANGES are inlined as a VALUES map
@@ -470,12 +486,14 @@ def _prelude_en(stemmer: str = "porter") -> str:
     themselves, which matches the stemmer only because the map covers the
     whole corpus vocabulary — a declared-subset assumption like _PRELUDE's
     '[a-z0-9]+' tokenizer)."""
-    if stemmer not in _EN_PRELUDE_CACHE:
+    cache_key = (stemmer, tuple(sorted(exclusions)))
+    if cache_key not in _EN_PRELUDE_CACHE:
         import duckdb
 
         from lucene_spark.analysis.analyzer import DICT_STEMMERS
 
         stem_fn = DICT_STEMMERS[stemmer]
+        excl = frozenset(exclusions)
         con = duckdb.connect()
         vocab: set[str] = set()
         for sf in ("0.001", "0.01", "0.1"):
@@ -490,10 +508,12 @@ def _prelude_en(stemmer: str = "porter") -> str:
                 ).fetchall()
             }
         pairs = sorted(
-            (t, stem_fn(t)) for t in vocab if stem_fn(t) != t
+            (t, stem_fn(t))
+            for t in vocab
+            if t not in excl and stem_fn(t) != t
         )
         vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
-        _EN_PRELUDE_CACHE[stemmer] = f"""
+        _EN_PRELUDE_CACHE[cache_key] = f"""
 WITH pmap(tok, stem) AS (VALUES {vals}),
 tr AS (
   SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
@@ -538,7 +558,7 @@ edfreq AS (
   SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
 )
 """
-    return _EN_PRELUDE_CACHE[stemmer]
+    return _EN_PRELUDE_CACHE[cache_key]
 
 
 _EN_SCORE = (
@@ -548,10 +568,15 @@ _EN_SCORE = (
 )
 
 
-def _english_topk_sql(stemmed_terms: list[str], k: int, stemmer: str = "porter") -> str:
+def _english_topk_sql(
+    stemmed_terms: list[str],
+    k: int,
+    stemmer: str = "porter",
+    exclusions: tuple = (),
+) -> str:
     tlist = ", ".join(f"'{t}'" for t in stemmed_terms)
     return (
-        _prelude_en(stemmer)
+        _prelude_en(stemmer, exclusions)
         + f""",
 scored AS (
   SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
@@ -570,6 +595,145 @@ ranked AS (
 )
 SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
     )
+
+
+# ---------------------------------------------------------------------------
+# miscellaneous token-filter zoo gates (analysis-common miscellaneous/):
+# LengthFilter + TruncateTokenFilter in one chain, KeepWordFilter in a
+# second — the FilteringTokenFilter family drops with position holes
+# exactly like StopFilter, so dl/norms count only survivors on both
+# engines.
+
+_MISC_STOPS = frozenset({"the", "a", "of", "and"})
+_MISC_LEN = (3, 9)
+_MISC_TRUNC = 6
+_KEEP_WORDS = frozenset(
+    {"spark", "data", "query", "join", "table", "customer", "index", "shuffle"}
+)
+
+
+def _searcher_misc(spark: SparkSession, sf_dir: str, kind: str):
+    """kind='lt' -> stop+Length(3,9)+Truncate(6); kind='keep' ->
+    KeepWordFilter only (miscellaneous/KeepWordFilter.java:30)."""
+    key = ("misc", kind, os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        if kind == "lt":
+            an = Analyzer(
+                stopwords=_MISC_STOPS,
+                length_range=_MISC_LEN,
+                truncate=_MISC_TRUNC,
+            )
+        else:
+            an = Analyzer(keep_words=_KEEP_WORDS)
+        idx = IndexBuilder(num_segments=8, analyzer=an).build(
+            _transcripts_df(spark, sf_dir)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_topk_misc(query_text: str, k: int, kind: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher_misc(spark, sf_dir, kind)
+        terms = searcher.parse_terms(query_text)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _misc_topk_sql(query_text: str, k: int, kind: str) -> str:
+    """Twin: the same chain in DuckDB — stop/length/keep are WHERE
+    predicates on the token stream (holes free by construction: positions
+    come from the pre-filter array), truncate is substring."""
+    from lucene_spark.analysis import Analyzer
+
+    if kind == "lt":
+        an = Analyzer(
+            stopwords=_MISC_STOPS, length_range=_MISC_LEN, truncate=_MISC_TRUNC
+        )
+        stoplist = ", ".join(f"'{w}'" for w in sorted(_MISC_STOPS))
+        mn, mx = _MISC_LEN
+        pred = (
+            f"tok NOT IN ({stoplist}) AND length(tok) BETWEEN {mn} AND {mx}"
+        )
+        term_expr = f"substring(tok, 1, {_MISC_TRUNC})"
+    else:
+        an = Analyzer(keep_words=_KEEP_WORDS)
+        keeplist = ", ".join(f"'{w}'" for w in sorted(_KEEP_WORDS))
+        pred = f"tok IN ({keeplist})"
+        term_expr = "tok"
+    terms = an.analyze_query(query_text)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    score = (
+        "ln(1 + (mstats.doc_count - mdfreq.doc_freq + 0.5) / (mdfreq.doc_freq + 0.5))"
+        " * mtf.freq / (mtf.freq + 1.2 * (0.25 + 0.75 * mdlq.dlq"
+        " / (CAST(mstats.sttf AS DOUBLE) / mstats.doc_count)))"
+    )
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx, text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+ment AS (
+  SELECT conv_id, turn_idx, {term_expr} AS term, pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr)
+  WHERE {pred}
+),
+mdl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM ment GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+mdlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM mdl
+),
+mstats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM mdl
+),
+mtf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM ment GROUP BY 1, 2, 3
+),
+mdfreq AS (
+  SELECT term, count(*) AS doc_freq FROM mtf GROUP BY 1
+),
+scored AS (
+  SELECT mtf.conv_id, mtf.turn_idx, SUM({score}) AS score
+  FROM mtf
+  JOIN mdfreq USING (term)
+  JOIN mdlq USING (conv_id, turn_idx)
+  CROSS JOIN mstats
+  WHERE mtf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
 # ---------------------------------------------------------------------------
@@ -6632,6 +6796,13 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_kstem": _q_topk_english(
             "the queries and joins of tables", 20, stemmer="kstem"
         ),
+        "bm25_topk_stem_exclusion": _q_topk_english(
+            "the queries and joins of tables", 20, exclusions=("queries",)
+        ),
+        "bm25_topk_length_truncate": _q_topk_misc(
+            "customer queries shuffle", 20, "lt"
+        ),
+        "bm25_topk_keep_words": _q_topk_misc("spark data table", 20, "keep"),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -6835,6 +7006,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_kstem": _english_topk_sql(
             ["query", "join", "table"], 20, stemmer="kstem"
         ),
+        "bm25_topk_stem_exclusion": _english_topk_sql(
+            ["queries", "join", "tabl"], 20, exclusions=("queries",)
+        ),
+        "bm25_topk_length_truncate": _misc_topk_sql(
+            "customer queries shuffle", 20, "lt"
+        ),
+        "bm25_topk_keep_words": _misc_topk_sql("spark data table", 20, "keep"),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

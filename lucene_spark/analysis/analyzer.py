@@ -406,6 +406,26 @@ class Analyzer:
     # WDGF protected words (pass through unsplit), matched case-sensitively
     # against the raw whitespace tokens
     wd_prot_words: tuple = ()
+    # SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter.java:28,
+    # KeywordMarkerFilter.java:38): surface forms the stem stage passes
+    # through unchanged (KeywordAttribute contract — every reference
+    # stemmer checks isKeyword() before touching the term).  Matched
+    # against the token as it reaches the stem stage (post-lowercase,
+    # post-truncate) — the filter's canonical right-before-stemmer slot.
+    stem_exclusions: frozenset = frozenset()
+    # LengthFilter (miscellaneous/LengthFilter.java:33) == CodepointCount-
+    # Filter (CodepointCountFilter.java:31) on our codepoint-counted
+    # lengths: keep tokens with min <= len <= max (inclusive), dropping
+    # with position holes (FilteringTokenFilter, like StopFilter).
+    length_range: tuple | None = None
+    # KeepWordFilter (miscellaneous/KeepWordFilter.java:30): the inverse
+    # StopFilter — drop every token NOT in the set, with position holes.
+    keep_words: frozenset = frozenset()
+    # TruncateTokenFilter (miscellaneous/TruncateTokenFilter.java:33):
+    # truncate each surviving token to this many leading chars (0 = off).
+    # Chain slot: after the hole-preserving drops (stop/length/keep),
+    # before the stem stage — the usual StopFilter->Truncate factory order.
+    truncate: int = 0
 
     def __post_init__(self):
         if self.word_delimiter:
@@ -481,6 +501,14 @@ class Analyzer:
                 raise ValueError(f"bad ngram range {self.ngram!r}")
             if self.stemmer is not None or self.synonyms:
                 raise ValueError("ngram composes only with stopwords")
+        if self.length_range is not None:
+            mn, mx = self.length_range
+            if not (0 <= mn <= mx):
+                # LengthFilter.java:44 rejects negative min / max < min
+                raise ValueError(f"bad length_range {self.length_range!r}")
+        if self.truncate < 0:
+            # TruncateTokenFilter.java:38 requires length >= 1
+            raise ValueError(f"truncate must be >= 0, got {self.truncate}")
 
     @classmethod
     def english(cls, stemmer: str = "porter") -> "Analyzer":
@@ -1024,6 +1052,10 @@ class Analyzer:
             and not self.char_fold
             and not self.pre_sub
             and not self.word_delimiter
+            and not self.stem_exclusions
+            and self.length_range is None
+            and not self.keep_words
+            and not self.truncate
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1048,6 +1080,10 @@ class Analyzer:
             "pre_sub": [list(p) for p in self.pre_sub],
             "word_delimiter": self.word_delimiter,
             "wd_prot_words": list(self.wd_prot_words),
+            "stem_exclusions": sorted(self.stem_exclusions),
+            "length_range": list(self.length_range) if self.length_range else None,
+            "keep_words": sorted(self.keep_words),
+            "truncate": self.truncate,
         }
 
     @classmethod
@@ -1075,6 +1111,12 @@ class Analyzer:
             pre_sub=tuple((p, r) for p, r in d.get("pre_sub", ())),
             word_delimiter=d.get("word_delimiter", 0),
             wd_prot_words=tuple(d.get("wd_prot_words", ())),
+            stem_exclusions=frozenset(d.get("stem_exclusions", ())),
+            length_range=(
+                tuple(d["length_range"]) if d.get("length_range") else None
+            ),
+            keep_words=frozenset(d.get("keep_words", ())),
+            truncate=d.get("truncate", 0),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1151,13 +1193,23 @@ class Analyzer:
         for t, pos in pairs:
             if t in self.stopwords:
                 continue
+            if self.length_range is not None and not (
+                self.length_range[0] <= len(t) <= self.length_range[1]
+            ):
+                continue
+            if self.keep_words and t not in self.keep_words:
+                continue
+            if self.truncate:
+                t = t[: self.truncate]
             if self.ngram is not None:
                 mn, mx = self.ngram
                 for ln in range(mn, mx + 1):
                     for s in range(len(t) - ln + 1):
                         out.append((t[s : s + ln], pos))
                 continue
-            if self.stemmer == "s":
+            if t in self.stem_exclusions:
+                pass
+            elif self.stemmer == "s":
                 t = s_stem(t)
             elif self.stemmer in DICT_STEMMERS:
                 t = DICT_STEMMERS[self.stemmer](t)
@@ -1198,13 +1250,9 @@ class Analyzer:
             ]
             out: list[tuple[str, int]] = []
             for t, pos in pairs:
-                if t in self.stopwords:
+                if not self._keeps_token(t):
                     continue
-                if self.stemmer == "s":
-                    t = s_stem(t)
-                elif self.stemmer in DICT_STEMMERS:
-                    t = DICT_STEMMERS[self.stemmer](t)
-                out.append((t, pos))
+                out.append((self._stem_token(t), pos))
             return out
         toks = tokenize_text(
             text,
@@ -1218,14 +1266,36 @@ class Analyzer:
         for pos, t in enumerate(toks):
             if self.possessive and t.endswith("'s"):
                 t = t[:-2]
-            if t in self.stopwords:
+            if not self._keeps_token(t):
                 continue
-            if self.stemmer == "s":
-                t = s_stem(t)
-            elif self.stemmer in DICT_STEMMERS:
-                t = DICT_STEMMERS[self.stemmer](t)
-            out.append((t, pos))
+            out.append((self._stem_token(t), pos))
         return out
+
+    def _keeps_token(self, t: str) -> bool:
+        """The hole-preserving drop stages (FilteringTokenFilter family):
+        StopFilter, LengthFilter, KeepWordFilter."""
+        if t in self.stopwords:
+            return False
+        if self.length_range is not None and not (
+            self.length_range[0] <= len(t) <= self.length_range[1]
+        ):
+            return False
+        if self.keep_words and t not in self.keep_words:
+            return False
+        return True
+
+    def _stem_token(self, t: str) -> str:
+        """Truncate + stem (honouring stem_exclusions — the Keyword-
+        Attribute contract every reference stemmer checks)."""
+        if self.truncate:
+            t = t[: self.truncate]
+        if t in self.stem_exclusions:
+            return t
+        if self.stemmer == "s":
+            return s_stem(t)
+        if self.stemmer in DICT_STEMMERS:
+            return DICT_STEMMERS[self.stemmer](t)
+        return t
 
     def analyze_query(self, text: str | None) -> list[str]:
         return [t for t, _ in self.analyze_query_positions(text)]
@@ -1386,13 +1456,50 @@ class Analyzer:
             entries = F.filter(
                 entries, lambda e: ~F.array_contains(stop_lit, e["term"])
             )
-        if self.stemmer == "s":
+        if self.length_range is not None:
+            mn, mx = self.length_range
+            entries = F.filter(
+                entries,
+                lambda e: (F.length(e["term"]) >= mn)
+                & (F.length(e["term"]) <= mx),
+            )
+        if self.keep_words:
+            keep_lit = F.array(*[F.lit(s) for s in sorted(self.keep_words)])
+            entries = F.filter(
+                entries, lambda e: F.array_contains(keep_lit, e["term"])
+            )
+        if self.truncate:
             entries = F.transform(
                 entries,
                 lambda e: F.struct(
-                    _s_stem_col(e["term"]).alias("term"), e["pos"].alias("pos")
+                    F.substring(e["term"], 1, self.truncate).alias("term"),
+                    e["pos"].alias("pos"),
                 ),
             )
+        if self.stemmer == "s":
+            if self.stem_exclusions:
+                excl_lit = F.array(
+                    *[F.lit(s) for s in sorted(self.stem_exclusions)]
+                )
+                entries = F.transform(
+                    entries,
+                    lambda e: F.struct(
+                        F.when(
+                            F.array_contains(excl_lit, e["term"]), e["term"]
+                        )
+                        .otherwise(_s_stem_col(e["term"]))
+                        .alias("term"),
+                        e["pos"].alias("pos"),
+                    ),
+                )
+            else:
+                entries = F.transform(
+                    entries,
+                    lambda e: F.struct(
+                        _s_stem_col(e["term"]).alias("term"),
+                        e["pos"].alias("pos"),
+                    ),
+                )
         if self.ngram is not None:
             mn, mx = self.ngram
             entries = F.flatten(

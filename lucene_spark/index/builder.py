@@ -372,10 +372,16 @@ class IndexBuilder:
 
     # -- dictionary-stage stemmers (porter + per-language light stems) ---
     @staticmethod
-    def apply_dict_stemmer(postings: DataFrame, stemmer: str) -> DataFrame:
+    def apply_dict_stemmer(
+        postings: DataFrame, stemmer: str, exclusions: frozenset = frozenset()
+    ) -> DataFrame:
         """Stem the postings' terms with a dictionary-stage stemmer
         (analyzer.DICT_STEMMERS: full Porter or a per-language light
-        stemmer from analysis/lang.py).
+        stemmer from analysis/lang.py).  ``exclusions`` are surface forms
+        the stem pass leaves untouched (SetKeywordMarkerFilter.java:28 —
+        the KeywordAttribute contract); since stemming is deferred to the
+        term dictionary, checking the dictionary surface form here is
+        exactly the reference's marker-before-stemmer chain.
 
         Spark-first shape: the stemmer runs ONCE PER DISTINCT TERM
         (Arrow-batched UDF over the vocabulary — O(|V|) Python, never per
@@ -392,7 +398,13 @@ class IndexBuilder:
             fn = DICT_STEMMERS[stemmer]
             for pdf in batches:
                 yield pd.DataFrame(
-                    {"term": pdf["term"], "stem": [fn(t) for t in pdf["term"]]}
+                    {
+                        "term": pdf["term"],
+                        "stem": [
+                            t if t in exclusions else fn(t)
+                            for t in pdf["term"]
+                        ],
+                    }
                 )
 
         vocab = postings.select("term").distinct()
@@ -616,7 +628,9 @@ class IndexBuilder:
             cached = (base,)
             if self.analyzer is not None and self.analyzer.stemmer in DICT_STEMMERS:
                 postings = self.apply_dict_stemmer(
-                    postings, self.analyzer.stemmer
+                    postings,
+                    self.analyzer.stemmer,
+                    self.analyzer.stem_exclusions,
                 ).persist()
                 cached = cached + (postings,)
             # positions stay cached (re-derived on demand for phrases);
@@ -661,7 +675,11 @@ class IndexBuilder:
                 )
             )
             if self.analyzer is not None and self.analyzer.stemmer in DICT_STEMMERS:
-                postings = self.apply_dict_stemmer(postings, self.analyzer.stemmer)
+                postings = self.apply_dict_stemmer(
+                    postings,
+                    self.analyzer.stemmer,
+                    self.analyzer.stem_exclusions,
+                )
             postings = postings.persist()
             postings_slim = postings.select("term", "doc_id", "freq", "norm")
             cached = (docs, postings)

@@ -239,6 +239,17 @@ def test_shingle_ngram_constraints():
         dict(ngram=(1, 2), stopwords=frozenset({"of"})),
         dict(possessive=True),
         dict(possessive=True, stopwords=frozenset({"the"}), stemmer="s"),
+        dict(length_range=(2, 5)),
+        dict(length_range=(3, 6), stopwords=frozenset({"the"}), stemmer="s"),
+        dict(keep_words=frozenset({"quick", "fox", "repeat"})),
+        dict(truncate=4),
+        dict(truncate=3, stopwords=frozenset({"the"})),
+        dict(stemmer="s", stem_exclusions=frozenset({"repeat", "foxes"})),
+        dict(
+            length_range=(2, 8),
+            keep_words=frozenset({"quick", "brown", "of", "repeat"}),
+            truncate=5,
+        ),
     ],
 )
 def test_entries_expr_matches_python_chain(spark, an_kwargs):
@@ -504,3 +515,93 @@ def test_soundex_three_way_parity(spark):
         assert got[w] == want, (w, got[w], want)
         duck = con.execute("SELECT " + soundex_sql(f"'{w}'")).fetchone()[0]
         assert duck == want, (w, duck, want)
+
+
+def test_misc_filter_reference_vectors():
+    """Ported vectors for the miscellaneous filter zoo.
+
+    - LengthFilter (TestLengthFilter.java testFilterWithPosIncr):
+      posIncr 1,4,2 == absolute positions 0,4,6 (holes preserved).
+    - KeepWordFilter (TestKeepWordFilter.java testStopAndGo, ignoreCase
+      row — our chain lowercases at tokenize): posIncr 3,2 == pos 2,4.
+    - TruncateTokenFilter (TestTruncateTokenFilter.java testTruncating).
+    - SetKeywordMarkerFilter (TestKeywordMarkerFilter.java
+      testSetFilterIncrementToken shape): excluded surface form skips the
+      stem stage.
+    """
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(length_range=(2, 6))
+    assert an.analyze_text(
+        "short toolong evenmuchlongertext a ab toolong foo"
+    ) == [("short", 0), ("ab", 4), ("foo", 6)]
+    # zero-min accepts the empty end of the range (testEmptyTerm analog)
+    assert Analyzer(length_range=(0, 5)).analyze_text("ab") == [("ab", 0)]
+
+    an = Analyzer(keep_words=frozenset({"aaa", "bbb"}))
+    assert an.analyze_text("xxx yyy aaa zzz BBB ccc ddd EEE") == [
+        ("aaa", 2),
+        ("bbb", 4),
+    ]
+
+    an = Analyzer(truncate=5)
+    assert [t for t, _ in an.analyze_text(
+        "abcdefg 1234567 ABCDEFG abcde abc 12345 123"
+    )] == ["abcde", "12345", "abcde", "abcde", "abc", "12345", "123"]
+
+    # keyword marker: 'queries' protected from both stem stages
+    excl = frozenset({"queries"})
+    assert Analyzer(stemmer="porter", stem_exclusions=excl).analyze_text(
+        "queries tables"
+    ) == [("queries", 0), ("tabl", 1)]
+    assert Analyzer(stemmer="s", stem_exclusions=excl).analyze_text(
+        "queries tables"
+    ) == [("queries", 0), ("table", 1)]
+    # query side sees the same chain
+    assert Analyzer(stemmer="porter", stem_exclusions=excl).analyze_query(
+        "queries tables"
+    ) == ["queries", "tabl"]
+
+    # illegal arguments (LengthFilter.java:44, TruncateTokenFilter.java:38)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Analyzer(length_range=(-4, -1))
+    with _pt.raises(ValueError):
+        Analyzer(length_range=(5, 2))
+    with _pt.raises(ValueError):
+        Analyzer(truncate=-48)
+
+    # json round-trips
+    for a in (
+        Analyzer(length_range=(2, 6)),
+        Analyzer(keep_words=frozenset({"aaa"})),
+        Analyzer(truncate=5),
+        Analyzer(stemmer="porter", stem_exclusions=excl),
+    ):
+        assert Analyzer.from_json(a.to_json()) == a
+
+
+def test_stem_exclusion_index_build(spark):
+    """The deferred dictionary-stem pass honours stem_exclusions: an index
+    built with english(porter)+exclusions keeps the excluded surface form
+    in its term dictionary while stemming everything else."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.index import IndexBuilder
+
+    an = Analyzer(
+        stemmer="porter", stem_exclusions=frozenset({"queries"})
+    )
+    rows = [
+        ("c0", 0, "user", "queries running daily", None, None),
+        ("c0", 1, "assistant", "tables joined nightly", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    idx = IndexBuilder(num_segments=2, analyzer=an).build(df)
+    terms = {r.term for r in idx.postings.select("term").distinct().collect()}
+    assert "queries" in terms  # protected
+    assert "tabl" in terms and "tables" not in terms  # stemmed
+    assert "run" in terms and "running" not in terms
+    idx.unpersist_all()
