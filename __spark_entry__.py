@@ -612,24 +612,33 @@ _KEEP_WORDS = frozenset(
 )
 
 
+def _misc_analyzer(kind: str):
+    from lucene_spark.analysis import Analyzer
+
+    if kind == "lt":
+        return Analyzer(
+            stopwords=_MISC_STOPS, length_range=_MISC_LEN, truncate=_MISC_TRUNC
+        )
+    if kind == "keep":
+        return Analyzer(keep_words=_KEEP_WORDS)
+    if kind == "sc_norm":
+        return Analyzer(scandinavian="normalize")
+    if kind == "sc_fold":
+        return Analyzer(scandinavian="fold")
+    raise ValueError(kind)
+
+
 def _searcher_misc(spark: SparkSession, sf_dir: str, kind: str):
     """kind='lt' -> stop+Length(3,9)+Truncate(6); kind='keep' ->
-    KeepWordFilter only (miscellaneous/KeepWordFilter.java:30)."""
+    KeepWordFilter only (miscellaneous/KeepWordFilter.java:30);
+    kind='sc_norm'/'sc_fold' -> ScandinavianNormalization/FoldingFilter
+    (the English fixture corpus is digraph-rich: oo/oe fire everywhere)."""
     key = ("misc", kind, os.path.abspath(sf_dir))
     if key not in _CACHE:
-        from lucene_spark.analysis import Analyzer
         from lucene_spark.index import IndexBuilder
         from lucene_spark.search import IndexSearcher
 
-        if kind == "lt":
-            an = Analyzer(
-                stopwords=_MISC_STOPS,
-                length_range=_MISC_LEN,
-                truncate=_MISC_TRUNC,
-            )
-        else:
-            an = Analyzer(keep_words=_KEEP_WORDS)
-        idx = IndexBuilder(num_segments=8, analyzer=an).build(
+        idx = IndexBuilder(num_segments=8, analyzer=_misc_analyzer(kind)).build(
             _transcripts_df(spark, sf_dir)
         )
         _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
@@ -652,23 +661,31 @@ def _misc_topk_sql(query_text: str, k: int, kind: str) -> str:
     """Twin: the same chain in DuckDB — stop/length/keep are WHERE
     predicates on the token stream (holes free by construction: positions
     come from the pre-filter array), truncate is substring."""
-    from lucene_spark.analysis import Analyzer
-
+    an = _misc_analyzer(kind)
     if kind == "lt":
-        an = Analyzer(
-            stopwords=_MISC_STOPS, length_range=_MISC_LEN, truncate=_MISC_TRUNC
-        )
         stoplist = ", ".join(f"'{w}'" for w in sorted(_MISC_STOPS))
         mn, mx = _MISC_LEN
         pred = (
             f"tok NOT IN ({stoplist}) AND length(tok) BETWEEN {mn} AND {mx}"
         )
         term_expr = f"substring(tok, 1, {_MISC_TRUNC})"
-    else:
-        an = Analyzer(keep_words=_KEEP_WORDS)
+    elif kind == "keep":
         keeplist = ", ".join(f"'{w}'" for w in sorted(_KEEP_WORDS))
         pred = f"tok IN ({keeplist})"
         term_expr = "tok"
+    elif kind == "sc_norm":
+        pred = "TRUE"
+        term_expr = (
+            "translate(regexp_replace(regexp_replace(regexp_replace(tok,"
+            " 'a[ao]', 'å', 'g'), 'ae', 'æ', 'g'), 'o[eo]', 'ø', 'g'),"
+            " 'äö', 'æø')"
+        )
+    else:  # sc_fold
+        pred = "TRUE"
+        term_expr = (
+            r"translate(regexp_replace(tok, '(a)[aeo]|(o)[eo]', '\1\2',"
+            " 'g'), 'åäæöø', 'aaaoo')"
+        )
     terms = an.analyze_query(query_text)
     tlist = ", ".join(f"'{t}'" for t in terms)
     score = (
@@ -6803,6 +6820,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "customer queries shuffle", 20, "lt"
         ),
         "bm25_topk_keep_words": _q_topk_misc("spark data table", 20, "keep"),
+        "bm25_topk_scandinavian_norm": _q_topk_misc(
+            "good tool looks", 20, "sc_norm"
+        ),
+        "bm25_topk_scandinavian_fold": _q_topk_misc(
+            "good tool looks", 20, "sc_fold"
+        ),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7013,6 +7036,12 @@ def oracle_sql() -> dict[str, str]:
             "customer queries shuffle", 20, "lt"
         ),
         "bm25_topk_keep_words": _misc_topk_sql("spark data table", 20, "keep"),
+        "bm25_topk_scandinavian_norm": _misc_topk_sql(
+            "good tool looks", 20, "sc_norm"
+        ),
+        "bm25_topk_scandinavian_fold": _misc_topk_sql(
+            "good tool looks", 20, "sc_fold"
+        ),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

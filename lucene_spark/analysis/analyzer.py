@@ -313,6 +313,77 @@ _FOLD_FROM, _FOLD_TO = _build_fold_table()
 _FOLD_TABLE = str.maketrans(_FOLD_FROM, _FOLD_TO)
 
 
+def scandinavian_normalize(t: str) -> str:
+    """Faithful transliteration of ScandinavianNormalizer.processToken
+    (miscellaneous/ScandinavianNormalizer.java:79-137, ALL_FOLDINGS):
+    one left-to-right scan, single-char ä/Ä/ö/Ö checks first, then the
+    aa/ao/ae/oe/oo digraph folds (delete second char, don't re-examine)."""
+    buf = list(t)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif i + 1 < len(buf):
+            n = buf[i + 1]
+            if c == "a" and n in "aAoO":
+                del buf[i + 1]
+                buf[i] = "å"
+            elif c == "A" and n in "aAoO":
+                del buf[i + 1]
+                buf[i] = "Å"
+            elif c == "a" and n in "eE":
+                del buf[i + 1]
+                buf[i] = "æ"
+            elif c == "A" and n in "eE":
+                del buf[i + 1]
+                buf[i] = "Æ"
+            elif c == "o" and n in "eEoO":
+                del buf[i + 1]
+                buf[i] = "ø"
+            elif c == "O" and n in "eEoO":
+                del buf[i + 1]
+                buf[i] = "Ø"
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_fold(t: str) -> str:
+    """Faithful transliteration of ScandinavianFoldingFilter.incrementToken
+    (miscellaneous/ScandinavianFoldingFilter.java:44-96): å/ä/æ -> a,
+    ö/ø -> o (both cases), then a[aAeEoO] / o[eEoO] digraphs collapse to
+    the first char."""
+    buf = list(t)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in "åäæ":
+            buf[i] = "a"
+        elif c in "ÅÄÆ":
+            buf[i] = "A"
+        elif c in "öø":
+            buf[i] = "o"
+        elif c in "ÖØ":
+            buf[i] = "O"
+        elif i + 1 < len(buf):
+            n = buf[i + 1]
+            if c in "aA" and n in "aAeEoO":
+                del buf[i + 1]
+            elif c in "oO" and n in "eEoO":
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+_SCANDINAVIAN_PY = {"normalize": scandinavian_normalize, "fold": scandinavian_fold}
+
+
 def ascii_fold(text: str) -> str:
     return text.translate(_FOLD_TABLE)
 
@@ -426,6 +497,18 @@ class Analyzer:
     # Chain slot: after the hole-preserving drops (stop/length/keep),
     # before the stem stage — the usual StopFilter->Truncate factory order.
     truncate: int = 0
+    # ScandinavianNormalizationFilter ('normalize',
+    # miscellaneous/ScandinavianNormalizer.java:79: ä->æ, ö->ø, aa/ao->å,
+    # ae->æ, oe/oo->ø with ALL_FOLDINGS) or ScandinavianFoldingFilter
+    # ('fold', ScandinavianFoldingFilter.java:44: å/ä/æ->a, ö/ø->o,
+    # a[aeo]/o[eo] digraphs collapse to the first char).  Applied per
+    # token right after tokenization (before stop/stem).  The single
+    # left-to-right scan with per-position priority decomposes into
+    # ordered global regex passes — digraphs (pure-ASCII patterns whose
+    # outputs can never re-match) BEFORE the 1:1 translate, leftmost
+    # matches first within each pass — proven equal on the reference's
+    # own TestScandinavian*Filter vectors plus randomized strings.
+    scandinavian: str | None = None
 
     def __post_init__(self):
         if self.word_delimiter:
@@ -506,6 +589,14 @@ class Analyzer:
             if not (0 <= mn <= mx):
                 # LengthFilter.java:44 rejects negative min / max < min
                 raise ValueError(f"bad length_range {self.length_range!r}")
+        if self.scandinavian not in (None, "normalize", "fold"):
+            raise ValueError(
+                f"scandinavian must be normalize|fold, got {self.scandinavian!r}"
+            )
+        if self.scandinavian and (self.word_delimiter or self.cjk_bigrams):
+            raise ValueError(
+                "scandinavian composes with the standard tokenizer chain only"
+            )
         if self.truncate < 0:
             # TruncateTokenFilter.java:38 requires length >= 1
             raise ValueError(f"truncate must be >= 0, got {self.truncate}")
@@ -1056,6 +1147,7 @@ class Analyzer:
             and self.length_range is None
             and not self.keep_words
             and not self.truncate
+            and not self.scandinavian
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1084,6 +1176,7 @@ class Analyzer:
             "length_range": list(self.length_range) if self.length_range else None,
             "keep_words": sorted(self.keep_words),
             "truncate": self.truncate,
+            "scandinavian": self.scandinavian,
         }
 
     @classmethod
@@ -1117,6 +1210,7 @@ class Analyzer:
             ),
             keep_words=frozenset(d.get("keep_words", ())),
             truncate=d.get("truncate", 0),
+            scandinavian=d.get("scandinavian") or None,
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1184,6 +1278,9 @@ class Analyzer:
                 toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
             if self.possessive:
                 toks = [t[:-2] if t.endswith("'s") else t for t in toks]
+            if self.scandinavian:
+                fn = _SCANDINAVIAN_PY[self.scandinavian]
+                toks = [fn(t) for t in toks]
             if self.graph_synonyms:
                 pairs = self._graph_scan(toks)
             else:
@@ -1266,6 +1363,8 @@ class Analyzer:
         for pos, t in enumerate(toks):
             if self.possessive and t.endswith("'s"):
                 t = t[:-2]
+            if self.scandinavian:
+                t = _SCANDINAVIAN_PY[self.scandinavian](t)
             if not self._keeps_token(t):
                 continue
             out.append((self._stem_token(t), pos))
@@ -1444,6 +1543,23 @@ class Analyzer:
             )
         if self.possessive:
             toks = F.transform(toks, lambda t: F.regexp_replace(t, "'s$", ""))
+        if self.scandinavian == "normalize":
+            # digraph passes (leftmost-first per pass == the reference's
+            # single positional scan for this pattern set), then translate;
+            # lowercase-only patterns — the chain lowercases at tokenize
+            def _scan_norm(t):
+                t = F.regexp_replace(t, "a[ao]", "å")
+                t = F.regexp_replace(t, "ae", "æ")
+                t = F.regexp_replace(t, "o[eo]", "ø")
+                return F.translate(t, "äö", "æø")
+
+            toks = F.transform(toks, _scan_norm)
+        elif self.scandinavian == "fold":
+            def _scan_fold(t):
+                t = F.regexp_replace(t, "(a)[aeo]|(o)[eo]", "$1$2")
+                return F.translate(t, "åäæöø", "aaaoo")
+
+            toks = F.transform(toks, _scan_fold)
         if self.graph_synonyms:
             entries = self._graph_entries_expr(toks)
         else:

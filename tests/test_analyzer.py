@@ -605,3 +605,116 @@ def test_stem_exclusion_index_build(spark):
     assert "tabl" in terms and "tables" not in terms  # stemmed
     assert "run" in terms and "running" not in terms
     idx.unpersist_all()
+
+
+def test_scandinavian_reference_vectors():
+    """Every checkOneTerm vector from TestScandinavianNormalizationFilter /
+    TestScandinavianFoldingFilter (mixed case, overlap and boundary cases
+    included) replays exactly through the faithful python scans."""
+    from lucene_spark.analysis.analyzer import (
+        scandinavian_fold,
+        scandinavian_normalize,
+    )
+
+    norm = [
+        ("aeäaeeea", "æææeea"), ("aeäaeeeae", "æææeeæ"), ("aeaeeeae", "ææeeæ"),
+        ("bøen", "bøen"), ("bOEen", "bØen"), ("åene", "åene"),
+        ("blåbærsyltetøj", "blåbærsyltetøj"),
+        ("blaabaersyltetöj", "blåbærsyltetøj"),
+        ("räksmörgås", "ræksmørgås"), ("raeksmörgaos", "ræksmørgås"),
+        ("raeksmörgaas", "ræksmørgås"), ("raeksmoergås", "ræksmørgås"),
+        ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+        ("å", "å"), ("aa", "å"), ("aA", "å"), ("ao", "å"), ("aO", "å"),
+        ("AA", "Å"), ("Aa", "Å"), ("Ao", "Å"), ("AO", "Å"),
+        ("æ", "æ"), ("ä", "æ"), ("Æ", "Æ"), ("Ä", "Æ"),
+        ("ae", "æ"), ("aE", "æ"), ("Ae", "Æ"), ("AE", "Æ"),
+        ("ö", "ø"), ("ø", "ø"), ("Ö", "Ø"), ("Ø", "Ø"),
+        ("oo", "ø"), ("oe", "ø"), ("oO", "ø"), ("oE", "ø"),
+        ("Oo", "Ø"), ("Oe", "Ø"), ("OO", "Ø"), ("OE", "Ø"), ("", ""),
+    ]
+    fold = [
+        ("aeäaeeea", "aaaeea"), ("aeäaeeeae", "aaaeea"), ("aeaeeeae", "aaeea"),
+        ("bøen", "boen"), ("åene", "aene"),
+        ("blåbærsyltetøj", "blabarsyltetoj"),
+        ("blaabaarsyltetoej", "blabarsyltetoj"),
+        ("blåbärsyltetöj", "blabarsyltetoj"),
+        ("raksmorgas", "raksmorgas"), ("räksmörgås", "raksmorgas"),
+        ("ræksmørgås", "raksmorgas"), ("raeksmoergaas", "raksmorgas"),
+        ("ræksmörgaos", "raksmorgas"),
+        ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+        ("å", "a"), ("aa", "a"), ("aA", "a"), ("ao", "a"), ("aO", "a"),
+        ("AA", "A"), ("Aa", "A"), ("Ao", "A"), ("AO", "A"),
+        ("æ", "a"), ("ä", "a"), ("Æ", "A"), ("Ä", "A"),
+        ("ae", "a"), ("aE", "a"), ("Ae", "A"), ("AE", "A"),
+        ("ö", "o"), ("ø", "o"), ("Ö", "O"), ("Ø", "O"),
+        ("oo", "o"), ("oe", "o"), ("oO", "o"), ("oE", "o"),
+        ("Oo", "O"), ("Oe", "O"), ("OO", "O"), ("OE", "O"), ("", ""),
+    ]
+    for i, w in norm:
+        assert scandinavian_normalize(i) == w, (i, scandinavian_normalize(i), w)
+    for i, w in fold:
+        assert scandinavian_fold(i) == w, (i, scandinavian_fold(i), w)
+
+
+def test_scandinavian_pass_decomposition_randomized():
+    """The ordered global-regex lowering (digraph passes then translate) ==
+    the reference's single positional scan on lowercase tokens — the
+    equivalence the JVM/DuckDB twins rely on."""
+    import random
+    import re
+
+    from lucene_spark.analysis.analyzer import (
+        scandinavian_fold,
+        scandinavian_normalize,
+    )
+
+    def norm_passes(t):
+        t = re.sub("a[ao]", "å", t)
+        t = re.sub("ae", "æ", t)
+        t = re.sub("o[eo]", "ø", t)
+        return t.translate(str.maketrans("äö", "æø"))
+
+    def fold_passes(t):
+        t = re.sub(
+            "(a)[aeo]|(o)[eo]", lambda m: m.group(1) or m.group(2), t
+        )
+        return t.translate(str.maketrans("åäæöø", "aaaoo"))
+
+    rng = random.Random(20260820)
+    alpha = "aeoäöåæøbs"
+    for _ in range(20000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 8)))
+        assert norm_passes(s) == scandinavian_normalize(s), s
+        assert fold_passes(s) == scandinavian_fold(s), s
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(scandinavian="normalize"),
+        dict(scandinavian="fold"),
+        dict(scandinavian="fold", stopwords=frozenset({"to"}), stemmer="s"),
+        dict(scandinavian="normalize", latin1=True),
+    ],
+)
+def test_scandinavian_entries_expr_parity(spark, an_kwargs):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(**an_kwargs)
+    assert Analyzer.from_json(an.to_json()) == an
+    texts = [
+        "good tools look fine",
+        "blaabaersyltetöj smörgås",
+        "raeksmoergaas aoaoao",
+        "to be or not",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs, got, want)
