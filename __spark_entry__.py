@@ -610,6 +610,7 @@ _MISC_TRUNC = 6
 _KEEP_WORDS = frozenset(
     {"spark", "data", "query", "join", "table", "customer", "index", "shuffle"}
 )
+_EDGE_RANGE = (2, 4)
 
 
 def _misc_analyzer(kind: str):
@@ -625,6 +626,8 @@ def _misc_analyzer(kind: str):
         return Analyzer(scandinavian="normalize")
     if kind == "sc_fold":
         return Analyzer(scandinavian="fold")
+    if kind == "edge":
+        return Analyzer(edge_ngram=_EDGE_RANGE)
     raise ValueError(kind)
 
 
@@ -657,10 +660,28 @@ def _q_topk_misc(query_text: str, k: int, kind: str):
     return run
 
 
-def _misc_topk_sql(query_text: str, k: int, kind: str) -> str:
+def _q_topk_misc_terms(terms: list[str], k: int, kind: str):
+    """Explicit index-term queries (for chains whose query-side analysis
+    doesn't expand — edge grams are matched by literal gram terms, the
+    search_as_you_type pattern)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _searcher_misc(spark, sf_dir, kind)
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _misc_topk_sql(
+    query_text: str, k: int, kind: str, query_terms: list | None = None
+) -> str:
     """Twin: the same chain in DuckDB — stop/length/keep are WHERE
     predicates on the token stream (holes free by construction: positions
-    come from the pre-filter array), truncate is substring."""
+    come from the pre-filter array), truncate is substring, edge grams
+    are an unnest(generate_series) expansion."""
     an = _misc_analyzer(kind)
     if kind == "lt":
         stoplist = ", ".join(f"'{w}'" for w in sorted(_MISC_STOPS))
@@ -680,19 +701,45 @@ def _misc_topk_sql(query_text: str, k: int, kind: str) -> str:
             " 'a[ao]', 'å', 'g'), 'ae', 'æ', 'g'), 'o[eo]', 'ø', 'g'),"
             " 'äö', 'æø')"
         )
-    else:  # sc_fold
+    elif kind == "sc_fold":
         pred = "TRUE"
         term_expr = (
             r"translate(regexp_replace(tok, '(a)[aeo]|(o)[eo]', '\1\2',"
             " 'g'), 'åäæöø', 'aaaoo')"
         )
-    terms = an.analyze_query(query_text)
+    else:  # edge: one row per front gram (positions shared per token)
+        pred = None
+        term_expr = None
+    if query_terms is not None:
+        terms = list(query_terms)
+    else:
+        terms = an.analyze_query(query_text)
     tlist = ", ".join(f"'{t}'" for t in terms)
     score = (
         "ln(1 + (mstats.doc_count - mdfreq.doc_freq + 0.5) / (mdfreq.doc_freq + 0.5))"
         " * mtf.freq / (mtf.freq + 1.2 * (0.25 + 0.75 * mdlq.dlq"
         " / (CAST(mstats.sttf AS DOUBLE) / mstats.doc_count)))"
     )
+    if kind == "edge":
+        mn, mx = _EDGE_RANGE
+        ment_sql = f"""
+ment AS (
+  SELECT conv_id, turn_idx, substring(tok, 1, g) AS term, pos
+  FROM (SELECT conv_id, turn_idx, tok, pos,
+               unnest(generate_series({mn}, least({mx}, length(tok)))) AS g
+        FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) - 1 AS pos
+              FROM parr))
+)"""
+    else:
+        ment_sql = f"""
+ment AS (
+  SELECT conv_id, turn_idx, {term_expr} AS term, pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr)
+  WHERE {pred}
+)"""
     return f"""
 WITH tr AS (
   SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
@@ -703,13 +750,7 @@ parr AS (
   SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
   FROM tr
 ),
-ment AS (
-  SELECT conv_id, turn_idx, {term_expr} AS term, pos
-  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
-               generate_subscripts(arr, 1) - 1 AS pos
-        FROM parr)
-  WHERE {pred}
-),
+{ment_sql.strip()},
 mdl AS (
   SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
   FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
@@ -3828,6 +3869,14 @@ def _q_text_fingerprint(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_token_fingerprint(spark, sf_dir):
+    """FingerprintFilter summary token per doc (the Solr dedup key):
+    returned sorted by doc_id so the compare is order-stable."""
+    from lucene_spark.pipeline import textstats as ts
+
+    return ts.token_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_binary_stats(spark, sf_dir):
     from lucene_spark.pipeline import multimodal as mm
 
@@ -6826,6 +6875,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_scandinavian_fold": _q_topk_misc(
             "good tool looks", 20, "sc_fold"
         ),
+        "bm25_topk_edge_ngram": _q_topk_misc_terms(["spar", "dat"], 20, "edge"),
+        "token_fingerprint": _q_token_fingerprint,
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7041,6 +7092,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_scandinavian_fold": _misc_topk_sql(
             "good tool looks", 20, "sc_fold"
+        ),
+        "bm25_topk_edge_ngram": _misc_topk_sql(
+            "", 20, "edge", query_terms=["spar", "dat"]
+        ),
+        "token_fingerprint": (
+            _pl_text.token_fingerprint_sql(_DOCS_REL) + " ORDER BY doc_id"
         ),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),

@@ -419,6 +419,12 @@ class Analyzer:
     graph_synonyms: tuple = ()
     shingle_size: int = 0
     ngram: tuple | None = None  # (min_gram, max_gram)
+    # EdgeNGramTokenFilter (ngram/EdgeNGramTokenFilter.java:31,
+    # preserveOriginal=false): front grams min..max REPLACING each
+    # surviving token at its position; tokens shorter than min_gram drop
+    # WITH a position hole (TestEdgeNGramTokenFilter.testPreserveOriginal
+    # posInc vector 2,0,1,0,1)
+    edge_ngram: tuple | None = None
     # ASCIIFoldingFilter (1:1 subset) as a pre-tokenize char filter —
     # composes with every other stage
     ascii_folding: bool = False
@@ -584,6 +590,14 @@ class Analyzer:
                 raise ValueError(f"bad ngram range {self.ngram!r}")
             if self.stemmer is not None or self.synonyms:
                 raise ValueError("ngram composes only with stopwords")
+        if self.edge_ngram is not None:
+            mn, mx = self.edge_ngram
+            if not (1 <= mn <= mx):
+                # EdgeNGramTokenFilter.java:58-63 rejects minGram < 1 and
+                # minGram > maxGram
+                raise ValueError(f"bad edge_ngram range {self.edge_ngram!r}")
+            if self.stemmer is not None or self.synonyms or self.ngram is not None:
+                raise ValueError("edge_ngram composes only with stopwords")
         if self.length_range is not None:
             mn, mx = self.length_range
             if not (0 <= mn <= mx):
@@ -1148,6 +1162,7 @@ class Analyzer:
             and not self.keep_words
             and not self.truncate
             and not self.scandinavian
+            and self.edge_ngram is None
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1161,6 +1176,7 @@ class Analyzer:
             "graph_synonyms": [list(p) for p in self.graph_synonyms],
             "shingle_size": self.shingle_size,
             "ngram": list(self.ngram) if self.ngram else None,
+            "edge_ngram": list(self.edge_ngram) if self.edge_ngram else None,
             "ascii_folding": self.ascii_folding,
             "possessive": self.possessive,
             "elision": self.elision,
@@ -1211,6 +1227,9 @@ class Analyzer:
             keep_words=frozenset(d.get("keep_words", ())),
             truncate=d.get("truncate", 0),
             scandinavian=d.get("scandinavian") or None,
+            edge_ngram=(
+                tuple(d["edge_ngram"]) if d.get("edge_ngram") else None
+            ),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1303,6 +1322,11 @@ class Analyzer:
                 for ln in range(mn, mx + 1):
                     for s in range(len(t) - ln + 1):
                         out.append((t[s : s + ln], pos))
+                continue
+            if self.edge_ngram is not None:
+                mn, mx = self.edge_ngram
+                for ln in range(mn, min(mx, len(t)) + 1):
+                    out.append((t[:ln], pos))
                 continue
             if t in self.stem_exclusions:
                 pass
@@ -1632,6 +1656,31 @@ class Analyzer:
                                         F.substring(e["term"], s, ln).alias("term"),
                                         e["pos"].alias("pos"),
                                     ),
+                                ),
+                            ).otherwise(
+                                F.array().cast("array<struct<term:string,pos:int>>")
+                            ),
+                        )
+                    ),
+                )
+            )
+        if self.edge_ngram is not None:
+            mn, mx = self.edge_ngram
+            entries = F.flatten(
+                F.transform(
+                    entries,
+                    lambda e: F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(mn), F.lit(mx)),
+                            lambda ln: F.when(
+                                F.length(e["term"]) >= ln,
+                                F.array(
+                                    F.struct(
+                                        e["term"]
+                                        .substr(F.lit(1), ln)
+                                        .alias("term"),
+                                        e["pos"].alias("pos"),
+                                    )
                                 ),
                             ).otherwise(
                                 F.array().cast("array<struct<term:string,pos:int>>")

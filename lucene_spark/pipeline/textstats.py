@@ -221,6 +221,35 @@ WITH t AS (
 SELECT DISTINCT doc_id, fp FROM wmin"""
 
 
+def token_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — FingerprintFilter's single summary token
+    (miscellaneous/FingerprintFilter.java:96-150: gather all tokens,
+    de-duplicate, sort, concatenate with ' ') — the Solr-style clustering
+    / dedup key.  Declared subset: no maxOutputTokenSize cap (the
+    reference default is 1024 chars and the cap's keep-set depends on
+    input order — out of the deterministic contract); an empty token
+    stream yields NULL (the reference emits no token).  Pure JVM:
+    array_distinct + array_sort + array_join."""
+    toks = tokens(F.col(text_col))
+    joined = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, joined).alias("fp"),
+    )
+
+
+def token_fingerprint_sql(doc_rel: str) -> str:
+    """DuckDB twin — array_to_string over an empty list is already NULL
+    in DuckDB, matching the empty-stream contract."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN len(regexp_extract_all(lower(text), '{TOKEN_RX}')) > 0
+            THEN array_to_string(list_sort(list_distinct(
+                   regexp_extract_all(lower(text), '{TOKEN_RX}'))), ' ')
+       END AS fp
+FROM {doc_rel}"""
+
+
 # ---------------------------------------------------------------------------
 # corpus-level boilerplate line removal (C4-style line dedup)
 

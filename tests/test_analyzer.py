@@ -718,3 +718,56 @@ def test_scandinavian_entries_expr_parity(spark, an_kwargs):
         got = sorted((x["term"], x["pos"]) for x in (r.e or []))
         want = sorted(an.analyze_text(t))
         assert got == want, (t, an_kwargs, got, want)
+
+
+def test_edge_ngram_reference_vectors():
+    """TestEdgeNGramTokenFilter (preserveOriginal=false subset):
+    testFrontUnigram / testOversizedNgrams / testFrontRangeOfNgrams /
+    testFilterPositions / testPreserveOriginal(false) posInc vector."""
+    from lucene_spark.analysis import Analyzer
+
+    assert Analyzer(edge_ngram=(1, 1)).analyze_text("abcde") == [("a", 0)]
+    assert Analyzer(edge_ngram=(6, 6)).analyze_text("abcde") == []
+    assert Analyzer(edge_ngram=(1, 3)).analyze_text("abcde") == [
+        ("a", 0), ("ab", 0), ("abc", 0),
+    ]
+    assert Analyzer(edge_ngram=(1, 3)).analyze_text("abcde vwxyz") == [
+        ("a", 0), ("ab", 0), ("abc", 0), ("v", 1), ("vw", 1), ("vwx", 1),
+    ]
+    # "a bcd efghi jk" min2 max3: 'a' drops with a hole (posInc 2,0,1,0,1)
+    assert Analyzer(edge_ngram=(2, 3)).analyze_text("a bcd efghi jk") == [
+        ("bc", 1), ("bcd", 1), ("ef", 2), ("efg", 2), ("jk", 3),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Analyzer(edge_ngram=(-1, 2))
+    with _pt.raises(ValueError):
+        Analyzer(edge_ngram=(3, 2))
+    with _pt.raises(ValueError):
+        Analyzer(edge_ngram=(2, 3), ngram=(2, 3))
+    a = Analyzer(edge_ngram=(2, 4))
+    assert Analyzer.from_json(a.to_json()) == a
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(edge_ngram=(2, 4)),
+        dict(edge_ngram=(1, 3), stopwords=frozenset({"the"})),
+        dict(edge_ngram=(3, 3), length_range=(2, 8)),
+    ],
+)
+def test_edge_ngram_entries_expr_parity(spark, an_kwargs):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(**an_kwargs)
+    texts = ["the quick brown fox", "a bc def ghij klmno", "", None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs, got, want)

@@ -665,3 +665,24 @@ def test_unigram_lm_scores(docs, con):
         assert got[d][0] == len(t)
         assert got[d][1] == round(nll * 10000)
     assert all(not t for d, t in toks.items() if d not in got)
+
+
+def test_token_fingerprint_twin(spark, docs, con):
+    """FingerprintFilter summary token: Spark == DuckDB row-for-row,
+    empty token stream -> NULL on both."""
+    from lucene_spark.pipeline import textstats as ts
+
+    got = {
+        r.doc_id: r.fp
+        for r in ts.token_fingerprint(docs).collect()
+    }
+    want = dict(con.execute(ts.token_fingerprint_sql(DOCS_REL)).fetchall())
+    assert got == want
+    # dedup-key contract: token order and duplicates don't matter
+    one = spark.createDataFrame(
+        [(1, "b a b c a"), (2, "c a b"), (3, "?!")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in ts.token_fingerprint(one).collect()}
+    assert fp[1] == "a b c" == fp[2]
+    assert fp[3] is None
