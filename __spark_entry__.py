@@ -1719,6 +1719,95 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+def _q_term_automaton(kind: str, k: int):
+    """TermAutomatonQuery gates (sandbox/search/TermAutomatonQuery.java).
+
+    kind='branch': the (customer|data) — a union automaton; freq = count
+    of start positions (the DP's PosState copies track distinct starts).
+    kind='any': the ANY customer — each (p, p+2) occurrence counts
+    1 + [token at p+1 is a query term] (the event-time step through the
+    finish()-expanded ANY arc adds a second state copy; pinned by
+    tests/test_termautomaton.py::test_any_gap_freq_formula_randomized)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermAutomatonQuery as TAQ
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = TAQ()
+        init = q.create_state()
+        s1 = q.create_state()
+        q.add_transition(init, s1, "the")
+        if kind == "branch":
+            s2 = q.create_state()
+            q.set_accept(s2, True)
+            q.add_transition(s1, s2, "customer")
+            q.add_transition(s1, s2, "data")
+        else:
+            s2 = q.create_state()
+            q.add_any_transition(s1, s2)
+            s3 = q.create_state()
+            q.set_accept(s3, True)
+            q.add_transition(s2, s3, "customer")
+        q.finish()
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _term_automaton_sql(kind: str, k: int) -> str:
+    if kind == "branch":
+        terms = ["the", "customer", "data"]
+        freq_expr = (
+            "len(list_filter(range(1, len(arr)), i -> arr[i] = 'the'"
+            " AND (arr[i + 1] = 'customer' OR arr[i + 1] = 'data')))"
+        )
+    else:
+        terms = ["the", "customer"]
+        freq_expr = (
+            "COALESCE(list_sum(list_transform("
+            "list_filter(range(1, len(arr) - 1),"
+            " i -> arr[i] = 'the' AND arr[i + 2] = 'customer'),"
+            " i -> 1 + CASE WHEN arr[i + 1] IN ('the', 'customer')"
+            " THEN 1 ELSE 0 END)), 0)"
+        )
+    idf_sum = " + ".join(
+        f"ln(1 + (stats.doc_count - COALESCE(d{i}.doc_freq, 0) + 0.5) / (COALESCE(d{i}.doc_freq, 0) + 0.5))"
+        for i in range(len(terms))
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN dfreq d{i} ON d{i}.term = '{t}'" for i, t in enumerate(terms)
+    )
+    return (
+        _PRELUDE
+        + f""",
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+pfreq AS (
+  SELECT conv_id, turn_idx, {freq_expr} AS freq
+  FROM parr
+),
+scored AS (
+  SELECT p.conv_id, p.turn_idx,
+         ({idf_sum})
+         * p.freq / (p.freq + 1.2 * (0.25 + 0.75 * dlq.dlq
+           / (CAST(stats.sttf AS DOUBLE) / stats.doc_count))) AS score
+  FROM pfreq p
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  {joins}
+  WHERE p.freq > 0
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def _q_phrase_slop(terms, slop, k):
     from lucene_spark.search import PhraseQuery
 
@@ -6877,6 +6966,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk_edge_ngram": _q_topk_misc_terms(["spar", "dat"], 20, "edge"),
         "token_fingerprint": _q_token_fingerprint,
+        "term_automaton_topk": _q_term_automaton("branch", 10),
+        "term_automaton_any_topk": _q_term_automaton("any", 10),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7099,6 +7190,8 @@ def oracle_sql() -> dict[str, str]:
         "token_fingerprint": (
             _pl_text.token_fingerprint_sql(_DOCS_REL) + " ORDER BY doc_id"
         ),
+        "term_automaton_topk": _term_automaton_sql("branch", 10),
+        "term_automaton_any_topk": _term_automaton_sql("any", 10),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

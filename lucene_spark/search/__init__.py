@@ -42,3 +42,4 @@ from lucene_spark.search.xmlparser import (  # noqa: F401
     ParserException,
 )
 from lucene_spark.search.flexible import StandardQueryParser  # noqa: F401
+from lucene_spark.search.termautomaton import TermAutomatonQuery  # noqa: F401

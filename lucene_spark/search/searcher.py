@@ -1063,6 +1063,10 @@ class IndexSearcher:
 
         if isinstance(q, CommonTermsQuery):
             return self._scored_common_terms(q)
+        from lucene_spark.search.termautomaton import TermAutomatonQuery
+
+        if isinstance(q, TermAutomatonQuery):
+            return self._scored_term_automaton(q)
         if isinstance(q, IntervalQuery):
             return self._scored_intervals(q)
         if isinstance(q, BlendedTermQuery):
@@ -2044,6 +2048,49 @@ class IndexSearcher:
                         terms_per_pp=tpp)
                 )
             return pd.Series(out, dtype="float64")
+
+        freq = fudf(*[F.col(f"_p{i}") for i in range(n)])
+        out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
+        return out.select(
+            "doc_id",
+            self._bm25_expr(
+                F.lit(weight).cast(self.score_type), F.col("_freq"), F.col("norm")
+            ).alias("score"),
+        )
+
+    def _scored_term_automaton(self, q) -> DataFrame:
+        """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:63):
+        disjunctive candidate gather (docs with ANY automaton term — the
+        scorer's DisjunctionScorer shape), then the countMatches DP per
+        candidate in an Arrow-batched UDF (TermAutomatonScorer.java:229),
+        scored BM25 with weight = boost * Σ idf over the automaton's
+        index-present terms (TermAutomatonWeight:376-397).
+
+        100 TB shape: one groupBy shuffle of the pruned postings for the
+        query's terms; the DP is O(positions · states) per doc inside
+        Arrow batches; no driver-side iteration."""
+        import pandas as pd
+
+        terms = q.terms
+        if not terms:
+            return self._empty_scored()
+        dfs = self.term_doc_freqs(terms)
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return self._empty_scored()
+        weight = self._phrase_weight(present, dfs, q.boost)
+        base = self._gather_positions(terms, required=set())
+        freq_of = q.doc_freq_fn()
+        n = len(terms)
+
+        @F.pandas_udf("long")
+        def fudf(*cols):
+            out = []
+            for lists in zip(*cols):
+                out.append(
+                    freq_of([list(x) if x is not None else [] for x in lists])
+                )
+            return pd.Series(out, dtype="int64")
 
         freq = fudf(*[F.col(f"_p{i}") for i in range(n)])
         out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
