@@ -5416,6 +5416,93 @@ def _q_store_roundtrip_topk(term: str, k: int):
     return run
 
 
+def _q_split_index_topk(term: str, k: int):
+    """MultiPassIndexSplitter analog gate: save the plain index, split it
+    round-robin into 2 parts (doc_id %% 2, ids preserved), open part 0 and
+    search — the twin scores the doc_id %% 2 == 0 half of the corpus with
+    stats recomputed over that half."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from lucene_spark.index.store import load_index, save_index, split_index
+        from lucene_spark.search import IndexSearcher, TermQuery
+
+        key = ("split_rr", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            idx, _ = _searcher(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="lucene_spark_split_")
+            src = os.path.join(d, "src")
+            save_index(idx, src)
+            parts = [os.path.join(d, "p0"), os.path.join(d, "p1")]
+            split_index(spark, src, parts, mode="roundrobin")
+            _CACHE[key] = IndexSearcher(
+                load_index(spark, parts[0]), scoring="plain_f64"
+            )
+        searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(term), k)
+
+    return run
+
+
+def _split_topk_sql(term: str, k: int) -> str:
+    """Twin: the doc_id %% 2 == 0 half with half-local BM25 stats — the
+    same CTE shapes as _PRELUDE but over the filtered corpus."""
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx, text
+  FROM documents WHERE doc_id % 2 = 0
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+sent AS (
+  SELECT conv_id, turn_idx, unnest(arr) AS term FROM parr
+),
+sdl AS (
+  SELECT conv_id, turn_idx, len(arr) AS dl FROM parr
+),
+sdlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM sdl
+),
+sstats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM sdl
+),
+stf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM sent GROUP BY 1, 2, 3
+),
+sdfreq AS (
+  SELECT term, count(*) AS doc_freq FROM stf GROUP BY 1
+),
+scored AS (
+  SELECT stf.conv_id, stf.turn_idx,
+         ln(1 + (sstats.doc_count - sdfreq.doc_freq + 0.5) / (sdfreq.doc_freq + 0.5))
+         * stf.freq / (stf.freq + 1.2 * (0.25 + 0.75 * sdlq.dlq
+           / (CAST(sstats.sttf AS DOUBLE) / sstats.doc_count))) AS score
+  FROM stf
+  JOIN sdfreq USING (term)
+  JOIN sdlq USING (conv_id, turn_idx)
+  CROSS JOIN sstats
+  WHERE stf.term = '{term}'
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_time_travel_topk(terms, k: int, del_turn: int):
     """Snapshot time travel (DirectoryReader.open(IndexCommit) over a
     retained commit point — SnapshotDeletionPolicy.java:48 /
@@ -6968,6 +7055,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fingerprint": _q_token_fingerprint,
         "term_automaton_topk": _q_term_automaton("branch", 10),
         "term_automaton_any_topk": _q_term_automaton("any", 10),
+        "split_index_topk": _q_split_index_topk("spark", 10),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7192,6 +7280,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_automaton_topk": _term_automaton_sql("branch", 10),
         "term_automaton_any_topk": _term_automaton_sql("any", 10),
+        "split_index_topk": _split_topk_sql("spark", 10),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

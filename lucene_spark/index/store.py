@@ -363,6 +363,98 @@ def load_index(
     return idx
 
 
+def split_index(
+    spark: SparkSession,
+    src_path: str,
+    out_paths: list,
+    mode: str = "roundrobin",
+    predicate: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_bits: int | None = None,
+    catalog: Catalog | None = None,
+) -> list:
+    """Split a stored index into parts — the misc index splitters:
+
+    * ``mode='roundrobin'`` / ``'sequential'`` ≙ MultiPassIndexSplitter
+      (misc/index/MultiPassIndexSplitter.java:43: N parts, docs assigned
+      round-robin ``doc_id %% n`` or as contiguous ranges); doc ids are
+      PRESERVED (the reference marks the complement deleted rather than
+      renumbering).
+    * ``predicate='<sql over docs columns>'`` ≙ PKIndexSplitter
+      (misc/index/PKIndexSplitter.java:38: docs passing the filter go to
+      part 1, the rest to part 2 — exactly two out_paths).
+
+    Each part is a self-contained store: term_stats and collection stats
+    are recomputed over the part (the reference splitters keep per-segment
+    stats consistent the same way, via deletes+merge).  add_indexes over
+    the parts reproduces the original's scores exactly (roundtrip test).
+
+    Plan shape per part: a scan-side filter on docs; postings filter by
+    ``doc_id %% n`` (no join) for the modulo modes, a broadcast semi-join
+    of the part's doc ids for the predicate mode; then the same stats
+    rebuild the one-shot builder runs."""
+    from lucene_spark.index.builder import InvertedIndex
+
+    src = load_index(spark, src_path, catalog=catalog)
+    n = len(out_paths)
+    if predicate is not None:
+        if n != 2:
+            raise ValueError("predicate split produces exactly 2 parts")
+        doc_preds = [F.expr(predicate), ~F.expr(predicate)]
+        post_filters = [None, None]  # semi-join below
+    elif mode == "roundrobin":
+        doc_preds = [F.col("doc_id") % n == i for i in range(n)]
+        post_filters = doc_preds
+    elif mode == "sequential":
+        max_doc = int(src.docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+        per = -(-max_doc // n)  # ceil
+        doc_preds = [
+            (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            for i in range(n)
+        ]
+        post_filters = doc_preds
+    else:
+        raise ValueError(f"unknown split mode {mode!r}")
+
+    for i, out in enumerate(out_paths):
+        docs = src.docs.filter(doc_preds[i])
+        if post_filters[i] is not None:
+            postings = src.postings.filter(post_filters[i])
+        else:
+            postings = src.postings.join(
+                F.broadcast(docs.select("doc_id")), "doc_id", "left_semi"
+            )
+        term_stats = postings.groupBy("term").agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("freq").alias("total_term_freq"),
+            F.max("freq").alias("max_freq"),
+            F.min("norm").alias("min_norm"),
+        )
+        srow = docs.agg(
+            F.count("*").alias("max_doc"),
+            F.sum(F.when(F.col("length") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("length").alias("sttf"),
+        ).collect()[0]
+        part = InvertedIndex(
+            spark=spark,
+            docs=docs,
+            postings=postings,
+            term_stats=term_stats,
+            stats={
+                "max_doc": int(srow.max_doc or 0),
+                "doc_count": int(srow.doc_count or 0),
+                "sum_total_term_freq": int(srow.sttf or 0),
+            },
+            k1=src.k1,
+            b=src.b,
+        )
+        part.analyzer = src.analyzer
+        save_index(
+            part, out, n_buckets=n_buckets, chunk_bits=chunk_bits, catalog=catalog
+        )
+    return list(out_paths)
+
+
 def add_indexes(
     spark: SparkSession,
     paths: list,

@@ -428,3 +428,70 @@ def test_check_index(spark, tiny_index, tmp_path_factory):
         if k != "term_stats_match_postings"
     )
     _json.dumps(rep2)  # report is JSON-serializable
+
+
+def test_split_index_roundtrip(spark, tmp_path):
+    """MultiPassIndexSplitter/PKIndexSplitter analogs: parts partition the
+    doc set, each part is a self-consistent store, and addIndexes over the
+    parts reproduces the original's top-k (conv/turn/score identical) —
+    stats recomputed globally on merge."""
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.index.store import add_indexes, load_index, save_index, split_index
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    df = transcripts_df(spark, n_convs=30, seed=11)
+    idx = IndexBuilder(num_segments=4).build(df)
+    src = str(tmp_path / "src")
+    save_index(idx, src)
+
+    # round-robin 3-way
+    parts = [str(tmp_path / f"rr{i}") for i in range(3)]
+    split_index(spark, src, parts, mode="roundrobin")
+    all_ids = {r.doc_id for r in idx.docs.select("doc_id").collect()}
+    seen = []
+    for i, p in enumerate(parts):
+        part = load_index(spark, p)
+        ids = {r.doc_id for r in part.docs.select("doc_id").collect()}
+        assert ids == {d for d in all_ids if d % 3 == i}
+        # postings follow their docs
+        pid = {r.doc_id for r in part.postings.select("doc_id").distinct().collect()}
+        assert pid <= ids
+        # part searches standalone
+        assert IndexSearcher(part).search(TermQuery("model"), 5).count() >= 0
+        seen.extend(ids)
+    assert sorted(seen) == sorted(all_ids)
+
+    # merge back: scores identical to the one-shot index
+    merged_path = str(tmp_path / "merged")
+    add_indexes(spark, parts, merged_path)
+    merged = load_index(spark, merged_path)
+    # doc ids are remapped by the split+merge (as Lucene merges do), so
+    # equal-score ties may reorder; compare the full match SETS instead
+    sa = IndexSearcher(idx, scoring="plain_f64")
+    sb = IndexSearcher(merged, scoring="plain_f64")
+    a = sa.scored(TermQuery("model")).join(
+        idx.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    ).collect()
+    b = sb.scored(TermQuery("model")).join(
+        merged.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    ).collect()
+    assert sorted((r.conv_id, r.turn_idx, round(r.score, 9)) for r in a) == sorted(
+        (r.conv_id, r.turn_idx, round(r.score, 9)) for r in b
+    )
+
+    # PK-style predicate split
+    pk = [str(tmp_path / "pk0"), str(tmp_path / "pk1")]
+    split_index(spark, src, pk, predicate="turn_idx < 2")
+    p0 = load_index(spark, pk[0])
+    p1 = load_index(spark, pk[1])
+    assert all(r.turn_idx < 2 for r in p0.docs.select("turn_idx").collect())
+    assert all(r.turn_idx >= 2 for r in p1.docs.select("turn_idx").collect())
+    assert p0.docs.count() + p1.docs.count() == len(all_ids)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        split_index(spark, src, [str(tmp_path / "x")], predicate="turn_idx < 2")
+    with _pt.raises(ValueError):
+        split_index(spark, src, pk, mode="bogus")
+    idx.unpersist_all()
