@@ -1719,6 +1719,124 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+_URLMAIL_T0 = " contact test@example.com today"
+_URLMAIL_T1 = " see https://spark.apache.org/docs now"
+
+
+def _q_url_email_topk(k: int):
+    """UAX29URLEmailTokenizer gate: the synthetic corpus has no URLs or
+    emails, so a deterministic tail per doc (doc_id % 3, like the
+    analyzed/_lang gates) plants them; the query matches the email and the
+    URL as single index terms."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("urlmail", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            text2 = F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(_URLMAIL_T0))
+                .when(F.col("doc_id") % 3 == 1, F.lit(_URLMAIL_T1))
+                .otherwise(F.lit("")),
+            )
+            tdf = d.select(
+                F.concat(
+                    F.lit("conv"),
+                    F.lpad(
+                        (F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"),
+                        6,
+                        "0",
+                    ),
+                ).alias("conv_id"),
+                (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+                F.col("lang").alias("role"),
+                text2.alias("text"),
+                F.col("source").alias("tool"),
+                F.lit(None).cast("timestamp").alias("ts"),
+            )
+            idx = IndexBuilder(
+                num_segments=8, analyzer=Analyzer(urls_emails=True)
+            ).build(tdf)
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(
+            (TermQuery("test@example.com"), Occur.SHOULD),
+            (TermQuery("https://spark.apache.org/docs"), Occur.SHOULD),
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _url_email_topk_sql(k: int) -> str:
+    from lucene_spark.analysis.tokenizer import EMAIL_RX, URL_RX
+
+    pat = f"{URL_RX}|{EMAIL_RX}|[a-z0-9]+"
+    text2 = (
+        f"text || CASE doc_id % 3 WHEN 0 THEN '{_URLMAIL_T0}' "
+        f"WHEN 1 THEN '{_URLMAIL_T1}' ELSE '' END"
+    )
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         {text2} AS text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '{pat}') AS arr
+  FROM tr
+),
+uent AS (
+  SELECT conv_id, turn_idx, unnest(arr) AS term FROM parr
+),
+udl AS (
+  SELECT conv_id, turn_idx, len(arr) AS dl FROM parr
+),
+udlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM udl
+),
+ustats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM udl
+),
+utf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM uent GROUP BY 1, 2, 3
+),
+udfreq AS (
+  SELECT term, count(*) AS doc_freq FROM utf GROUP BY 1
+),
+scored AS (
+  SELECT utf.conv_id, utf.turn_idx,
+         SUM(ln(1 + (ustats.doc_count - udfreq.doc_freq + 0.5) / (udfreq.doc_freq + 0.5))
+         * utf.freq / (utf.freq + 1.2 * (0.25 + 0.75 * udlq.dlq
+           / (CAST(ustats.sttf AS DOUBLE) / ustats.doc_count)))) AS score
+  FROM utf
+  JOIN udfreq USING (term)
+  JOIN udlq USING (conv_id, turn_idx)
+  CROSS JOIN ustats
+  WHERE utf.term IN ('test@example.com', 'https://spark.apache.org/docs')
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_term_automaton(kind: str, k: int):
     """TermAutomatonQuery gates (sandbox/search/TermAutomatonQuery.java).
 
@@ -7056,6 +7174,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_automaton_topk": _q_term_automaton("branch", 10),
         "term_automaton_any_topk": _q_term_automaton("any", 10),
         "split_index_topk": _q_split_index_topk("spark", 10),
+        "bm25_topk_url_email": _q_url_email_topk(20),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7281,6 +7400,7 @@ def oracle_sql() -> dict[str, str]:
         "term_automaton_topk": _term_automaton_sql("branch", 10),
         "term_automaton_any_topk": _term_automaton_sql("any", 10),
         "split_index_topk": _split_topk_sql("spark", 10),
+        "bm25_topk_url_email": _url_email_topk_sql(20),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

@@ -503,6 +503,11 @@ class Analyzer:
     # Chain slot: after the hole-preserving drops (stop/length/keep),
     # before the stem stage — the usual StopFilter->Truncate factory order.
     truncate: int = 0
+    # UAX29URLEmailTokenizer (email/UAX29URLEmailTokenizer.java:36):
+    # scheme URLs and RFC-simple emails come out as single tokens ahead
+    # of the word rules (declared subset — tokenizer.py URL_RX/EMAIL_RX
+    # docstring; no-scheme TLD URLs and mailto: quirks excluded)
+    urls_emails: bool = False
     # ScandinavianNormalizationFilter ('normalize',
     # miscellaneous/ScandinavianNormalizer.java:79: ä->æ, ö->ø, aa/ao->å,
     # ae->æ, oe/oo->ø with ALL_FOLDINGS) or ScandinavianFoldingFilter
@@ -1163,6 +1168,7 @@ class Analyzer:
             and not self.truncate
             and not self.scandinavian
             and self.edge_ngram is None
+            and not self.urls_emails
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1193,6 +1199,7 @@ class Analyzer:
             "keep_words": sorted(self.keep_words),
             "truncate": self.truncate,
             "scandinavian": self.scandinavian,
+            "urls_emails": self.urls_emails,
         }
 
     @classmethod
@@ -1230,6 +1237,7 @@ class Analyzer:
             edge_ngram=(
                 tuple(d["edge_ngram"]) if d.get("edge_ngram") else None
             ),
+            urls_emails=d.get("urls_emails", False),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1292,6 +1300,7 @@ class Analyzer:
                 latin1=self.latin1,
                 cjk=self.cjk_bigrams,
                 extra=self.extra_letters,
+                urls=self.urls_emails,
             )
             if self.cjk_bigrams:
                 toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
@@ -1380,6 +1389,7 @@ class Analyzer:
             latin1=self.latin1,
             cjk=self.cjk_bigrams,
             extra=self.extra_letters,
+            urls=self.urls_emails,
         )
         if self.cjk_bigrams:
             toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
@@ -1546,6 +1556,7 @@ class Analyzer:
             latin1=self.latin1,
             cjk=self.cjk_bigrams,
             extra=self.extra_letters,
+            urls=self.urls_emails,
         )
         if self.cjk_bigrams:
             # run -> bigrams (lone char / non-CJK token pass through), all

@@ -86,6 +86,19 @@ def _base_pattern(letters: str) -> str:
     )
 
 
+# UAX29URLEmailTokenizer subset (email/UAX29URLEmailTokenizer.java:36,
+# UAX29URLEmailTokenizerImpl.jflex): scheme URLs and RFC-simple emails as
+# single tokens, recognized BEFORE the word pattern (the JFlex grammar's
+# URL/EMAIL rules outrank word rules).  Declared subset: schemes
+# http/https/ftp/file with "//", terminated by whitespace/angle brackets;
+# emails = dotted-atom local parts @ dotted domains.  No-scheme URL
+# detection (the grammar's embedded IANA TLD list, e.g. "index.ph") and
+# the mailto:/comma-delimiter quirks (LUCENE-3880 TODOs in the reference
+# test) are OUT of the subset.  Same literal pattern in Java, RE2, Python.
+URL_RX = r"(?:https?|ftp|file)://[^\s<>]+"
+EMAIL_RX = r"[a-z0-9_.+-]+@[a-z0-9-]+(?:\.[a-z0-9-]+)+"
+
+
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 _TOKEN_RE_LATIN1 = re.compile(TOKEN_PATTERN_LATIN1)
 _TOKEN_RE_CJK = re.compile(_cjk_pattern(TOKEN_PATTERN))
@@ -93,7 +106,9 @@ _TOKEN_RE_CJK_LATIN1 = re.compile(_cjk_pattern(TOKEN_PATTERN_LATIN1))
 _EXTRA_RE_CACHE: dict = {}
 
 
-def token_pattern(latin1: bool = False, cjk: bool = False, extra: str = "") -> str:
+def token_pattern(
+    latin1: bool = False, cjk: bool = False, extra: str = "", urls: bool = False
+) -> str:
     """``extra`` is a raw regex char-class fragment of ADDITIONAL letters
     appended to the base alphabet (e.g. ``"а-яё"`` for Cyrillic, ``"őűũ"``
     for the Hungarian Latin-Extended-A letters) — the per-language presets
@@ -105,7 +120,10 @@ def token_pattern(latin1: bool = False, cjk: bool = False, extra: str = "") -> s
         base = _base_pattern(letters)
     else:
         base = TOKEN_PATTERN_LATIN1 if latin1 else TOKEN_PATTERN
-    return _cjk_pattern(base) if cjk else base
+    pat = _cjk_pattern(base) if cjk else base
+    if urls:
+        pat = f"{URL_RX}|{EMAIL_RX}|{pat}"
+    return pat
 
 
 def tokenize_text(
@@ -114,17 +132,18 @@ def tokenize_text(
     latin1: bool = False,
     cjk: bool = False,
     extra: str = "",
+    urls: bool = False,
 ) -> list[str]:
     """Reference tokenizer (oracle path). Returns tokens in order."""
     if not text:
         return []
     out: list[str] = []
-    if extra:
-        key = (latin1, cjk, extra)
+    if extra or urls:
+        key = (latin1, cjk, extra, urls)
         rx = _EXTRA_RE_CACHE.get(key)
         if rx is None:
             rx = _EXTRA_RE_CACHE[key] = re.compile(
-                token_pattern(latin1=latin1, cjk=cjk, extra=extra)
+                token_pattern(latin1=latin1, cjk=cjk, extra=extra, urls=urls)
             )
     else:
         rx = {
@@ -150,6 +169,7 @@ def tokens_expr(
     latin1: bool = False,
     cjk: bool = False,
     extra: str = "",
+    urls: bool = False,
 ):
     """JVM-side tokenizer: Column(string) -> Column(array<string>).
 
@@ -159,7 +179,7 @@ def tokens_expr(
     """
     from pyspark.sql import functions as F
 
-    pattern = token_pattern(latin1=latin1, cjk=cjk, extra=extra)
+    pattern = token_pattern(latin1=latin1, cjk=cjk, extra=extra, urls=urls)
     runs = F.regexp_extract_all(F.lower(col), F.lit(pattern), 0)
     m = max_token_length
     # chop each run into <=m-char chunks; fast path (no chop) is the common case
