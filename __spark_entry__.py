@@ -611,6 +611,7 @@ _KEEP_WORDS = frozenset(
     {"spark", "data", "query", "join", "table", "customer", "index", "shuffle"}
 )
 _EDGE_RANGE = (2, 4)
+_LIMIT_TOKENS = 12
 
 
 def _misc_analyzer(kind: str):
@@ -628,6 +629,8 @@ def _misc_analyzer(kind: str):
         return Analyzer(scandinavian="fold")
     if kind == "edge":
         return Analyzer(edge_ngram=_EDGE_RANGE)
+    if kind == "limit":
+        return Analyzer(limit_tokens=_LIMIT_TOKENS)
     raise ValueError(kind)
 
 
@@ -707,6 +710,11 @@ def _misc_topk_sql(
             r"translate(regexp_replace(tok, '(a)[aeo]|(o)[eo]', '\1\2',"
             " 'g'), 'åäæöø', 'aaaoo')"
         )
+    elif kind == "limit":
+        # LimitTokenCountFilter right after the tokenizer: the twin slices
+        # the token array before everything else (dl counts the cap)
+        pred = "TRUE"
+        term_expr = "tok"
     else:  # edge: one row per front gram (positions shared per token)
         pred = None
         term_expr = None
@@ -740,6 +748,9 @@ ment AS (
         FROM parr)
   WHERE {pred}
 )"""
+    arr_expr = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    if kind == "limit":
+        arr_expr = f"list_slice({arr_expr}, 1, {_LIMIT_TOKENS})"
     return f"""
 WITH tr AS (
   SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
@@ -747,7 +758,7 @@ WITH tr AS (
   FROM documents
 ),
 parr AS (
-  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  SELECT conv_id, turn_idx, {arr_expr} AS arr
   FROM tr
 ),
 {ment_sql.strip()},
@@ -1835,6 +1846,40 @@ ranked AS (
   FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
 )
 SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
+def _q_path_hierarchy_facets(k: int):
+    """PathHierarchyTokenizer analog as the facet drill-down it exists
+    for: derive a '/lang/source' path per document, expand to hierarchy
+    prefixes (path/PathHierarchyTokenizer.java:30), count docs per
+    prefix — one explode + one hash aggregate, no UDF."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis.path import path_hierarchy_expr
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        path = F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"))
+        return (
+            d.select(F.explode(path_hierarchy_expr(path)).alias("prefix"))
+            .groupBy("prefix")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("prefix"))
+            .limit(k)
+        )
+
+    return run
+
+
+def _path_hierarchy_facets_sql(k: int) -> str:
+    from lucene_spark.analysis.path import path_hierarchy_sql
+
+    expr = path_hierarchy_sql("concat('/', lang, '/', source)")
+    return f"""
+SELECT prefix, count(*) AS n
+FROM (SELECT unnest({expr}) AS prefix FROM documents)
+GROUP BY prefix
+ORDER BY n DESC, prefix
+LIMIT {k}"""
 
 
 def _q_term_automaton(kind: str, k: int):
@@ -7175,6 +7220,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_automaton_any_topk": _q_term_automaton("any", 10),
         "split_index_topk": _q_split_index_topk("spark", 10),
         "bm25_topk_url_email": _q_url_email_topk(20),
+        "bm25_topk_limit_tokens": _q_topk_misc("spark data", 20, "limit"),
+        "path_hierarchy_facets": _q_path_hierarchy_facets(20),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7401,6 +7448,8 @@ def oracle_sql() -> dict[str, str]:
         "term_automaton_any_topk": _term_automaton_sql("any", 10),
         "split_index_topk": _split_topk_sql("spark", 10),
         "bm25_topk_url_email": _url_email_topk_sql(20),
+        "bm25_topk_limit_tokens": _misc_topk_sql("spark data", 20, "limit"),
+        "path_hierarchy_facets": _path_hierarchy_facets_sql(20),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

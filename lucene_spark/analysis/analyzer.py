@@ -503,6 +503,11 @@ class Analyzer:
     # Chain slot: after the hole-preserving drops (stop/length/keep),
     # before the stem stage — the usual StopFilter->Truncate factory order.
     truncate: int = 0
+    # LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:33,
+    # the LimitTokenCountAnalyzer slot right after the tokenizer): keep
+    # only the first N raw tokens per document (0 = off); everything
+    # downstream (stop/stem/shingles/dl) sees the capped stream
+    limit_tokens: int = 0
     # UAX29URLEmailTokenizer (email/UAX29URLEmailTokenizer.java:36):
     # scheme URLs and RFC-simple emails come out as single tokens ahead
     # of the word rules (declared subset — tokenizer.py URL_RX/EMAIL_RX
@@ -619,6 +624,11 @@ class Analyzer:
         if self.truncate < 0:
             # TruncateTokenFilter.java:38 requires length >= 1
             raise ValueError(f"truncate must be >= 0, got {self.truncate}")
+        if self.limit_tokens < 0:
+            # LimitTokenCountFilter.java:52: maxTokenCount must be > 0
+            raise ValueError(
+                f"limit_tokens must be >= 0, got {self.limit_tokens}"
+            )
 
     @classmethod
     def english(cls, stemmer: str = "porter") -> "Analyzer":
@@ -1169,6 +1179,7 @@ class Analyzer:
             and not self.scandinavian
             and self.edge_ngram is None
             and not self.urls_emails
+            and not self.limit_tokens
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1200,6 +1211,7 @@ class Analyzer:
             "truncate": self.truncate,
             "scandinavian": self.scandinavian,
             "urls_emails": self.urls_emails,
+            "limit_tokens": self.limit_tokens,
         }
 
     @classmethod
@@ -1238,6 +1250,7 @@ class Analyzer:
                 tuple(d["edge_ngram"]) if d.get("edge_ngram") else None
             ),
             urls_emails=d.get("urls_emails", False),
+            limit_tokens=d.get("limit_tokens", 0),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1302,6 +1315,8 @@ class Analyzer:
                 extra=self.extra_letters,
                 urls=self.urls_emails,
             )
+            if self.limit_tokens:
+                toks = toks[: self.limit_tokens]
             if self.cjk_bigrams:
                 toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
             if self.possessive:
@@ -1391,6 +1406,8 @@ class Analyzer:
             extra=self.extra_letters,
             urls=self.urls_emails,
         )
+        if self.limit_tokens:
+            toks = toks[: self.limit_tokens]
         if self.cjk_bigrams:
             toks = [e for t in toks for e in cjk_bigram_expand(t, _CJK_RUN_RE)]
         out: list[tuple[str, int]] = []
@@ -1558,6 +1575,8 @@ class Analyzer:
             extra=self.extra_letters,
             urls=self.urls_emails,
         )
+        if self.limit_tokens:
+            toks = F.slice(toks, 1, self.limit_tokens)
         if self.cjk_bigrams:
             # run -> bigrams (lone char / non-CJK token pass through), all
             # JVM: the flatten keeps emission order, positions assigned next

@@ -771,3 +771,44 @@ def test_edge_ngram_entries_expr_parity(spark, an_kwargs):
         got = sorted((x["term"], x["pos"]) for x in (r.e or []))
         want = sorted(an.analyze_text(t))
         assert got == want, (t, an_kwargs, got, want)
+
+
+def test_limit_tokens_chain():
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:33)
+    right after the tokenizer: downstream stages see the capped stream."""
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(limit_tokens=3, stopwords=frozenset({"the"}))
+    assert an.analyze_text("the quick brown fox jumps") == [
+        ("quick", 1), ("brown", 2),
+    ]
+    assert Analyzer(limit_tokens=2).analyze_query("a b c d") == ["a", "b"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Analyzer(limit_tokens=-1)
+    a = Analyzer(limit_tokens=5)
+    assert Analyzer.from_json(a.to_json()) == a
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(limit_tokens=3),
+        dict(limit_tokens=4, stopwords=frozenset({"the"}), stemmer="s"),
+        dict(limit_tokens=2, shingle_size=2),
+    ],
+)
+def test_limit_tokens_entries_expr_parity(spark, an_kwargs):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(**an_kwargs)
+    texts = ["the quick brown fox jumps over", "a b", "", None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs, got, want)
