@@ -612,6 +612,7 @@ _KEEP_WORDS = frozenset(
 )
 _EDGE_RANGE = (2, 4)
 _LIMIT_TOKENS = 12
+_CG_WORDS = frozenset({"the", "of", "a", "and"})
 
 
 def _misc_analyzer(kind: str):
@@ -631,6 +632,8 @@ def _misc_analyzer(kind: str):
         return Analyzer(edge_ngram=_EDGE_RANGE)
     if kind == "limit":
         return Analyzer(limit_tokens=_LIMIT_TOKENS)
+    if kind == "cgram":
+        return Analyzer(common_grams=_CG_WORDS, stopwords=_CG_WORDS)
     raise ValueError(kind)
 
 
@@ -728,7 +731,23 @@ def _misc_topk_sql(
         " * mtf.freq / (mtf.freq + 1.2 * (0.25 + 0.75 * mdlq.dlq"
         " / (CAST(mstats.sttf AS DOUBLE) / mstats.doc_count)))"
     )
-    if kind == "edge":
+    if kind == "cgram":
+        cglist = ", ".join(f"'{w}'" for w in sorted(_CG_WORDS))
+        ment_sql = f"""
+ment AS (
+  SELECT conv_id, turn_idx, tok AS term, pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr)
+  WHERE tok NOT IN ({cglist})
+  UNION ALL
+  SELECT conv_id, turn_idx,
+         arr[i] || '_' || arr[i + 1] AS term, i - 1 AS pos
+  FROM (SELECT conv_id, turn_idx, arr, unnest(range(1, len(arr))) AS i
+        FROM parr)
+  WHERE arr[i] IN ({cglist}) OR arr[i + 1] IN ({cglist})
+)"""
+    elif kind == "edge":
         mn, mx = _EDGE_RANGE
         ment_sql = f"""
 ment AS (
@@ -7222,6 +7241,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_url_email": _q_url_email_topk(20),
         "bm25_topk_limit_tokens": _q_topk_misc("spark data", 20, "limit"),
         "path_hierarchy_facets": _q_path_hierarchy_facets(20),
+        "common_grams_topk": _q_topk_misc_terms(["the_customer"], 20, "cgram"),
         "bm25_topk_french": _q_topk_lang("fr", 20),
         "bm25_topk_german": _q_topk_lang("de", 20),
         "bm25_topk_spanish": _q_topk_lang("es", 20),
@@ -7450,6 +7470,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_url_email": _url_email_topk_sql(20),
         "bm25_topk_limit_tokens": _misc_topk_sql("spark data", 20, "limit"),
         "path_hierarchy_facets": _path_hierarchy_facets_sql(20),
+        "common_grams_topk": _misc_topk_sql(
+            "", 20, "cgram", query_terms=["the_customer"]
+        ),
         "bm25_topk_french": _lang_topk_sql("fr", 20),
         "bm25_topk_russian": _lang_topk_sql("ru", 20),
         "bm25_topk_swedish": _lang_topk_sql("sv", 20),

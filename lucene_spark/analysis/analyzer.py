@@ -503,6 +503,14 @@ class Analyzer:
     # Chain slot: after the hole-preserving drops (stop/length/keep),
     # before the stem stage — the usual StopFilter->Truncate factory order.
     truncate: int = 0
+    # CommonGramsFilter (commongrams/CommonGramsFilter.java:40): for each
+    # consecutive raw-token pair where either side is a common word, emit
+    # the bigram "w1_w2" at the FIRST word's position (posInc 0, type
+    # 'gram') ALONGSIDE the unigrams; stop removal (if configured) then
+    # drops common unigrams while the grams survive — the
+    # phrase-acceleration layout.  Composes with stopwords only (grams
+    # come from the raw stream, like shingles).
+    common_grams: frozenset = frozenset()
     # LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:33,
     # the LimitTokenCountAnalyzer slot right after the tokenizer): keep
     # only the first N raw tokens per document (0 = off); everything
@@ -624,6 +632,17 @@ class Analyzer:
         if self.truncate < 0:
             # TruncateTokenFilter.java:38 requires length >= 1
             raise ValueError(f"truncate must be >= 0, got {self.truncate}")
+        if self.common_grams and (
+            self.stemmer is not None
+            or self.synonyms
+            or self.graph_synonyms
+            or self.shingle_size
+            or self.ngram is not None
+            or self.edge_ngram is not None
+            or self.cjk_bigrams
+            or self.word_delimiter
+        ):
+            raise ValueError("common_grams composes only with stopwords")
         if self.limit_tokens < 0:
             # LimitTokenCountFilter.java:52: maxTokenCount must be > 0
             raise ValueError(
@@ -1180,6 +1199,7 @@ class Analyzer:
             and self.edge_ngram is None
             and not self.urls_emails
             and not self.limit_tokens
+            and not self.common_grams
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1212,6 +1232,7 @@ class Analyzer:
             "scandinavian": self.scandinavian,
             "urls_emails": self.urls_emails,
             "limit_tokens": self.limit_tokens,
+            "common_grams": sorted(self.common_grams),
         }
 
     @classmethod
@@ -1251,6 +1272,7 @@ class Analyzer:
             ),
             urls_emails=d.get("urls_emails", False),
             limit_tokens=d.get("limit_tokens", 0),
+            common_grams=frozenset(d.get("common_grams", ())),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1365,6 +1387,10 @@ class Analyzer:
             n = self.shingle_size
             for i in range(len(toks) - n + 1):
                 out.append((" ".join(toks[i : i + n]), i))
+        if self.common_grams:
+            for i in range(len(toks) - 1):
+                if toks[i] in self.common_grams or toks[i + 1] in self.common_grams:
+                    out.append((f"{toks[i]}_{toks[i + 1]}", i))
         return out
 
     def analyze_query_positions(self, text: str | None) -> list[tuple[str, int]]:
@@ -1734,6 +1760,29 @@ class Analyzer:
                 ),
             )
             entries = F.concat(entries, shingles)
+        if self.common_grams:
+            cg_lit = F.array(*[F.lit(s) for s in sorted(self.common_grams)])
+            idxs2 = F.when(
+                F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+            ).otherwise(F.array().cast("array<int>"))
+            grams = F.filter(
+                F.transform(
+                    idxs2,
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            "_",
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                        ).alias("term"),
+                        i.cast("int").alias("pos"),
+                    ),
+                ),
+                lambda e: F.array_contains(
+                    cg_lit, F.element_at(toks, e["pos"] + 1)
+                )
+                | F.array_contains(cg_lit, F.element_at(toks, e["pos"] + 2)),
+            )
+            entries = F.concat(entries, grams)
         if self.synonyms:
             # emit [token, syn1, syn2...] per entry, then flatten — additive
             # same-position synonyms

@@ -812,3 +812,92 @@ def test_limit_tokens_entries_expr_parity(spark, an_kwargs):
         got = sorted((x["term"], x["pos"]) for x in (r.e or []))
         want = sorted(an.analyze_text(t))
         assert got == want, (t, an_kwargs, got, want)
+
+
+def test_common_grams_chain():
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:40): the
+    javadoc's 'man of the year' produces exactly the 3 bigrams man_of,
+    of_the, the_year alongside unigrams; with StopFilter after, common
+    unigrams drop while grams survive (the phrase-acceleration layout)."""
+    from lucene_spark.analysis import Analyzer
+
+    cg = frozenset({"the", "of"})
+    an = Analyzer(common_grams=cg)
+    assert an.analyze_text("man of the year") == [
+        ("man", 0), ("of", 1), ("the", 2), ("year", 3),
+        ("man_of", 0), ("of_the", 1), ("the_year", 2),
+    ]
+    an2 = Analyzer(common_grams=cg, stopwords=cg)
+    assert an2.analyze_text("man of the year") == [
+        ("man", 0), ("year", 3),
+        ("man_of", 0), ("of_the", 1), ("the_year", 2),
+    ]
+    # no common word adjacency -> no grams
+    assert Analyzer(common_grams=cg).analyze_text("big year") == [
+        ("big", 0), ("year", 1),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Analyzer(common_grams=cg, stemmer="porter")
+    a = Analyzer(common_grams=cg)
+    assert Analyzer.from_json(a.to_json()) == a
+
+
+@pytest.mark.parametrize(
+    "an_kwargs",
+    [
+        dict(common_grams=frozenset({"the", "of", "a"})),
+        dict(
+            common_grams=frozenset({"the", "of"}),
+            stopwords=frozenset({"the", "of"}),
+        ),
+    ],
+)
+def test_common_grams_entries_expr_parity(spark, an_kwargs):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+
+    an = Analyzer(**an_kwargs)
+    texts = [
+        "man of the year",
+        "the quick brown fox of doom",
+        "solo",
+        "the",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+    for t, r in zip(texts, rows):
+        got = sorted((x["term"], x["pos"]) for x in (r.e or []))
+        want = sorted(an.analyze_text(t))
+        assert got == want, (t, an_kwargs, got, want)
+
+
+def test_common_grams_phrase_equivalence(spark):
+    """The gram term's match set equals the exact-phrase match set on the
+    same corpus — the CommonGramsQueryFilter acceleration contract."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.fixtures import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher, PhraseQuery, TermQuery
+
+    cg = frozenset({"the", "of", "a"})
+    df = transcripts_df(spark, n_convs=20, seed=3)
+    idx_cg = IndexBuilder(num_segments=2, analyzer=Analyzer(common_grams=cg)).build(df)
+    idx_plain = IndexBuilder(num_segments=2).build(df)
+    s_cg = IndexSearcher(idx_cg)
+    s_plain = IndexSearcher(idx_plain)
+    gram_docs = {
+        (r.conv_id, r.turn_idx)
+        for r in s_cg.search(TermQuery("the_model"), 1000).collect()
+    }
+    phrase_docs = {
+        (r.conv_id, r.turn_idx)
+        for r in s_plain.search(PhraseQuery(("the", "model")), 1000).collect()
+    }
+    assert gram_docs == phrase_docs
+    idx_cg.unpersist_all()
+    idx_plain.unpersist_all()
