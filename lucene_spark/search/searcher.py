@@ -2049,8 +2049,16 @@ class IndexSearcher:
                 )
             return pd.Series(out, dtype="float64")
 
+        # single ArrowEvalPython: without the nondeterministic pin Catalyst
+        # splits the UDF into one eval for the freq>0 filter and a RE-RUN
+        # of the full simulation for the score projection (2x the Python
+        # work per candidate doc); the function is deterministic — the
+        # flag only pins evaluation (same shape as _scored_term_automaton)
+        fudf = fudf.asNondeterministic()
         freq = fudf(*[F.col(f"_p{i}") for i in range(n)])
-        out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
+        out = base.select("doc_id", "norm", freq.alias("_freq")).filter(
+            F.col("_freq") > 0
+        )
         return out.select(
             "doc_id",
             self._bm25_expr(
@@ -2092,8 +2100,15 @@ class IndexSearcher:
                 )
             return pd.Series(out, dtype="int64")
 
+        # asNondeterministic stops Catalyst from splitting the UDF into two
+        # ArrowEvalPython nodes (one for the freq>0 filter, one re-run for
+        # the score projection) — the DP runs ONCE per candidate doc; the
+        # function is in fact deterministic, the flag only pins evaluation
+        fudf = fudf.asNondeterministic()
         freq = fudf(*[F.col(f"_p{i}") for i in range(n)])
-        out = base.withColumn("_freq", freq).filter(F.col("_freq") > 0)
+        out = base.select("doc_id", "norm", freq.alias("_freq")).filter(
+            F.col("_freq") > 0
+        )
         return out.select(
             "doc_id",
             self._bm25_expr(

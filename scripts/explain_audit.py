@@ -512,6 +512,67 @@ def main():
         ),
     ]
 
+    from lucene_spark.analysis.path import path_hierarchy_expr
+    from lucene_spark.search import TermAutomatonQuery
+
+    taq = TermAutomatonQuery()
+    t0 = taq.create_state()
+    t1 = taq.create_state()
+    taq.add_transition(t0, t1, "the")
+    t2 = taq.create_state()
+    taq.add_any_transition(t1, t2)
+    t3 = taq.create_state()
+    taq.set_accept(t3, True)
+    taq.add_transition(t2, t3, "customer")
+    taq.finish()
+
+    cg_idx = IndexBuilder(
+        num_segments=4,
+        analyzer=Analyzer(
+            common_grams=frozenset({"the", "of", "a"}),
+            stopwords=frozenset({"the", "of", "a"}),
+        ),
+    ).build(corpus)
+    cg_s = IndexSearcher(cg_idx)
+
+    sections += [
+        (
+            "TermAutomatonQuery (the ANY customer)",
+            "ONE groupBy gather of the two terms' postings (single "
+            "Exchange — the disjunctive candidate set), the countMatches "
+            "DP as ONE ArrowEvalPython over the gathered position arrays, "
+            "then the BM25 expression and TakeOrderedAndProject. No "
+            "per-term self-joins, no driver iteration.",
+            mem_s.search(taq, 10),
+        ),
+        (
+            "CommonGrams phrase acceleration (gram term lookup)",
+            "The phrase 'the customer' collapses to ONE term lookup "
+            "(term = 'the_customer') — the ordinary single-term scoring "
+            "plan (scan + broadcast weight + TakeOrderedAndProject), no "
+            "positions relation touched. This is CommonGramsQueryFilter's "
+            "whole point: a phrase query without position arithmetic.",
+            cg_s.search(TermQuery("the_customer"), 10),
+        ),
+        (
+            "Path hierarchy facets (prefix drill-down)",
+            "Explode of the codegen'd prefix expansion -> ONE hash agg "
+            "with map-side partial aggregation -> TakeOrderedAndProject. "
+            "No UDF anywhere.",
+            corpus.select(
+                F.explode(
+                    path_hierarchy_expr(
+                        F.concat(F.lit("/"), F.col("role"), F.lit("/"), F.col("conv_id"))
+                    )
+                ).alias("p")
+            )
+            .groupBy("p")
+            .count()
+            .orderBy(F.desc("count"), F.asc("p"))
+            .limit(10),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")
