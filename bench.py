@@ -144,6 +144,21 @@ def main() -> None:
         "q_phrase2": PhraseQuery(("the", "data")),
         "q_phrase_slop2": PhraseQuery(("the", "data"), slop=2),
     }
+    # round-5 wave-5 surface: the term-automaton DP ("the ANY data") —
+    # tracks the disjunctive-gather + Arrow-DP plan round over round
+    from lucene_spark.search import TermAutomatonQuery
+
+    _taq = TermAutomatonQuery()
+    _s0 = _taq.create_state()
+    _s1 = _taq.create_state()
+    _taq.add_transition(_s0, _s1, "the")
+    _s2 = _taq.create_state()
+    _taq.add_any_transition(_s1, _s2)
+    _s3 = _taq.create_state()
+    _taq.set_accept(_s3, True)
+    _taq.add_transition(_s2, _s3, "data")
+    _taq.finish()
+    bench_queries["q_term_automaton"] = _taq
     # noise robustness: run each query N times, report the MIN (the
     # shared-host-noise-free estimate, same protocol as the scaling
     # scripts) plus the spread so round-over-round comparisons are not
