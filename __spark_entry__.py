@@ -434,6 +434,7 @@ def _searcher_en(
     sf_dir: str,
     stemmer: str = "porter",
     exclusions: tuple = (),
+    repeat: bool = False,
 ):
     """EnglishAnalyzer-preset searcher (EnglishAnalyzer.java:37-52:
     possessive + ENGLISH_STOP_WORDS + full Porter; stemmer="kstem" swaps
@@ -442,7 +443,7 @@ def _searcher_en(
     (EnglishAnalyzer.java:75: SetKeywordMarkerFilter before the stemmer)."""
     from dataclasses import replace as dc_replace
 
-    key = ("en", stemmer, tuple(sorted(exclusions)), os.path.abspath(sf_dir))
+    key = ("en", stemmer, tuple(sorted(exclusions)), repeat, os.path.abspath(sf_dir))
     if key not in _CACHE:
         from lucene_spark.analysis import Analyzer
         from lucene_spark.index import IndexBuilder
@@ -451,23 +452,28 @@ def _searcher_en(
         an = Analyzer.english(stemmer=stemmer)
         if exclusions:
             an = dc_replace(an, stem_exclusions=frozenset(exclusions))
-        idx = IndexBuilder(num_segments=8, analyzer=an).build(
-            _transcripts_df(spark, sf_dir)
-        )
+        idx = IndexBuilder(
+            num_segments=8, analyzer=an, keyword_repeat=repeat
+        ).build(_transcripts_df(spark, sf_dir))
         _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
     return _CACHE[key]
 
 
 def _q_topk_english(
-    query_text: str, k: int, stemmer: str = "porter", exclusions: tuple = ()
+    query_text: str,
+    k: int,
+    stemmer: str = "porter",
+    exclusions: tuple = (),
+    repeat: bool = False,
+    raw_terms: list | None = None,
 ):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import BooleanQuery, Occur, TermQuery
 
         _, searcher = _searcher_en(
-            spark, sf_dir, stemmer=stemmer, exclusions=exclusions
+            spark, sf_dir, stemmer=stemmer, exclusions=exclusions, repeat=repeat
         )
-        terms = searcher.parse_terms(query_text)
+        terms = raw_terms if raw_terms is not None else searcher.parse_terms(query_text)
         q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
         return _ranked_topk(searcher, q, k)
 
@@ -477,7 +483,9 @@ def _q_topk_english(
 _EN_PRELUDE_CACHE: dict[str, str] = {}
 
 
-def _prelude_en(stemmer: str = "porter", exclusions: tuple = ()) -> str:
+def _prelude_en(
+    stemmer: str = "porter", exclusions: tuple = (), repeat: bool = False
+) -> str:
     """Analyzed prelude for the EnglishAnalyzer gates.  DuckDB has neither
     Porter nor KStem built-in in this sandbox, so the (term -> stem) pairs
     the chosen dictionary stemmer CHANGES are inlined as a VALUES map
@@ -486,7 +494,7 @@ def _prelude_en(stemmer: str = "porter", exclusions: tuple = ()) -> str:
     themselves, which matches the stemmer only because the map covers the
     whole corpus vocabulary — a declared-subset assumption like _PRELUDE's
     '[a-z0-9]+' tokenizer)."""
-    cache_key = (stemmer, tuple(sorted(exclusions)))
+    cache_key = (stemmer, tuple(sorted(exclusions)), repeat)
     if cache_key not in _EN_PRELUDE_CACHE:
         import duckdb
 
@@ -532,6 +540,19 @@ eent AS (
   LEFT JOIN pmap pm ON pm.tok = t.tok
   WHERE t.tok NOT IN ({_AN_STOPLIST})
 ),
+eent2 AS (
+  -- KeywordRepeatFilter -> stem -> RemoveDuplicates: surface forms
+  -- indexed ALONGSIDE stems (only when they differ); dl stays the
+  -- surface count (edl reads eent)
+  SELECT * FROM eent
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, t.tok AS term, t.pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr) t
+  JOIN pmap pm ON pm.tok = t.tok
+  WHERE t.tok NOT IN ({_AN_STOPLIST})
+),
 edl AS (
   SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
   FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
@@ -552,7 +573,7 @@ estats AS (
 ),
 etf AS (
   SELECT term, conv_id, turn_idx, count(*) AS freq
-  FROM eent GROUP BY 1, 2, 3
+  FROM {"eent2" if repeat else "eent"} GROUP BY 1, 2, 3
 ),
 edfreq AS (
   SELECT term, count(*) AS doc_freq FROM etf GROUP BY 1
@@ -573,10 +594,11 @@ def _english_topk_sql(
     k: int,
     stemmer: str = "porter",
     exclusions: tuple = (),
+    repeat: bool = False,
 ) -> str:
     tlist = ", ".join(f"'{t}'" for t in stemmed_terms)
     return (
-        _prelude_en(stemmer, exclusions)
+        _prelude_en(stemmer, exclusions, repeat)
         + f""",
 scored AS (
   SELECT etf.conv_id, etf.turn_idx, SUM({_EN_SCORE}) AS score
@@ -7223,6 +7245,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stem_exclusion": _q_topk_english(
             "the queries and joins of tables", 20, exclusions=("queries",)
         ),
+        "bm25_topk_keyword_repeat": _q_topk_english(
+            "", 20, repeat=True, raw_terms=["queries", "join"]
+        ),
         "bm25_topk_length_truncate": _q_topk_misc(
             "customer queries shuffle", 20, "lt"
         ),
@@ -7447,6 +7472,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_stem_exclusion": _english_topk_sql(
             ["queries", "join", "tabl"], 20, exclusions=("queries",)
+        ),
+        "bm25_topk_keyword_repeat": _english_topk_sql(
+            ["queries", "join"], 20, repeat=True
         ),
         "bm25_topk_length_truncate": _misc_topk_sql(
             "customer queries shuffle", 20, "lt"

@@ -259,15 +259,26 @@ class IndexBuilder:
         text_col: str = "text",
         invert: str = "arrow",
         analyzer: Optional[Analyzer] = None,
+        keyword_repeat: bool = False,
     ):
         if invert not in ("arrow", "mapside", "shuffle"):
             raise ValueError(f"unknown invert strategy {invert}")
+        if keyword_repeat and (
+            analyzer is None or analyzer.stemmer not in DICT_STEMMERS
+        ):
+            # KeywordRepeatFilter only makes sense ahead of a stemmer
+            # (miscellaneous/KeywordRepeatFilter.java:30) — here, the
+            # deferred dictionary-stage one
+            raise ValueError(
+                "keyword_repeat requires a dictionary-stage stemmer analyzer"
+            )
         self.k1 = k1
         self.b = b
         self.num_segments = num_segments
         self.text_col = text_col
         self.invert = invert
         self.analyzer = analyzer
+        self.keyword_repeat = keyword_repeat
 
     # -- deterministic dense doc ids ------------------------------------
     def assign_doc_ids(self, df: DataFrame) -> DataFrame:
@@ -373,7 +384,10 @@ class IndexBuilder:
     # -- dictionary-stage stemmers (porter + per-language light stems) ---
     @staticmethod
     def apply_dict_stemmer(
-        postings: DataFrame, stemmer: str, exclusions: frozenset = frozenset()
+        postings: DataFrame,
+        stemmer: str,
+        exclusions: frozenset = frozenset(),
+        keyword_repeat: bool = False,
     ) -> DataFrame:
         """Stem the postings' terms with a dictionary-stage stemmer
         (analyzer.DICT_STEMMERS: full Porter or a per-language light
@@ -382,6 +396,17 @@ class IndexBuilder:
         the KeywordAttribute contract); since stemming is deferred to the
         term dictionary, checking the dictionary surface form here is
         exactly the reference's marker-before-stemmer chain.
+
+        ``keyword_repeat`` ≙ the KeywordRepeatFilter -> stemmer ->
+        RemoveDuplicatesTokenFilter chain (miscellaneous/
+        KeywordRepeatFilter.java:30, RemoveDuplicatesTokenFilter.java:29):
+        each token is indexed under BOTH its surface form and its stem
+        (one entry when they coincide — the duplicate removal), giving
+        exact-form matching alongside stemmed recall.  The repeated token
+        carries posInc=0 in the reference, so FieldInvertState.numOverlap
+        discounts it from the norm (discountOverlaps=true): dl/norms stay
+        the SURFACE counts — exactly what this deferred-dictionary shape
+        produces for free, since norms were computed at invert time.
 
         Spark-first shape: the stemmer runs ONCE PER DISTINCT TERM
         (Arrow-batched UDF over the vocabulary — O(|V|) Python, never per
@@ -397,15 +422,17 @@ class IndexBuilder:
 
             fn = DICT_STEMMERS[stemmer]
             for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "term": pdf["term"],
-                        "stem": [
-                            t if t in exclusions else fn(t)
-                            for t in pdf["term"]
-                        ],
-                    }
-                )
+                terms, stems = [], []
+                for t in pdf["term"]:
+                    s = t if t in exclusions else fn(t)
+                    terms.append(t)
+                    stems.append(s)
+                    if keyword_repeat and s != t:
+                        # the kept KeywordRepeat original (the duplicate
+                        # case s == t is removed, RemoveDuplicates)
+                        terms.append(t)
+                        stems.append(t)
+                yield pd.DataFrame({"term": terms, "stem": stems})
 
         vocab = postings.select("term").distinct()
         stem_map = vocab.mapInPandas(stem_part, "term string, stem string")
@@ -631,6 +658,7 @@ class IndexBuilder:
                     postings,
                     self.analyzer.stemmer,
                     self.analyzer.stem_exclusions,
+                    keyword_repeat=self.keyword_repeat,
                 ).persist()
                 cached = cached + (postings,)
             # positions stay cached (re-derived on demand for phrases);
@@ -679,6 +707,7 @@ class IndexBuilder:
                     postings,
                     self.analyzer.stemmer,
                     self.analyzer.stem_exclusions,
+                    keyword_repeat=self.keyword_repeat,
                 )
             postings = postings.persist()
             postings_slim = postings.select("term", "doc_id", "freq", "norm")

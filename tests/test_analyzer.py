@@ -901,3 +901,46 @@ def test_common_grams_phrase_equivalence(spark):
     assert gram_docs == phrase_docs
     idx_cg.unpersist_all()
     idx_plain.unpersist_all()
+
+
+def test_keyword_repeat_index_build(spark):
+    """KeywordRepeatFilter -> stem -> RemoveDuplicates chain at the
+    dictionary stage: both surface and stem terms are indexed (one entry
+    when they coincide), norms stay the surface counts."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    rows = [
+        ("c0", 0, "u", "queries running daily", None, None),
+        ("c0", 1, "u", "a query ran", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    an = Analyzer(stemmer="porter")
+    idx = IndexBuilder(num_segments=1, analyzer=an, keyword_repeat=True).build(df)
+    terms = {r.term for r in idx.postings.select("term").distinct().collect()}
+    # stems AND changed surface forms
+    assert {"queri", "queries", "query", "run", "running", "ran", "daili", "daily"} <= terms
+    # unchanged surface forms are NOT doubled (RemoveDuplicates): 'a'
+    a_rows = idx.postings.filter(F.col("term") == "a").collect()
+    assert len(a_rows) == 1 and a_rows[0].freq == 1
+    # norms identical to the non-repeat build (surface counts)
+    idx2 = IndexBuilder(num_segments=1, analyzer=an).build(df)
+    n1 = {(r.conv_id, r.turn_idx): r.norm for r in idx.docs.collect()}
+    n2 = {(r.conv_id, r.turn_idx): r.norm for r in idx2.docs.collect()}
+    assert n1 == n2
+    # exact-form query hits only the literal doc; stem query hits both
+    s = IndexSearcher(idx)
+    assert {(r.conv_id, r.turn_idx) for r in s.search(TermQuery("queries"), 10).collect()} == {("c0", 0)}
+    assert {(r.conv_id, r.turn_idx) for r in s.search(TermQuery("queri"), 10).collect()} == {("c0", 0), ("c0", 1)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        IndexBuilder(keyword_repeat=True)
+    idx.unpersist_all()
+    idx2.unpersist_all()
