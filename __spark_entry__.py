@@ -459,6 +459,126 @@ def _searcher_en(
     return _CACHE[key]
 
 
+def _q_topk_hunspell(k: int):
+    """HunspellStemFilter gate (analysis/hunspell.py): the registered
+    hunspell_gate dictionary stems the analyzed corpus' plural tails
+    through real SFX rules with conditions; 'keys' fails its conditions
+    and stays — a differential the twin replays via the same stemmer."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        _register_hunspell_gate()
+        key = ("hunspell", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            an = Analyzer(stopwords=_EN_STOPS, stemmer="hunspell_gate")
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(
+                _transcripts_an_df(spark, sf_dir)
+            )
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        terms = searcher.parse_terms("the queries and joins of tables")
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _hunspell_topk_sql(k: int) -> str:
+    """Twin: the analyzed-corpus prelude with a (tok -> stem) VALUES map
+    derived from the SAME registered hunspell stemmer over the corpus
+    vocabulary (the _prelude_en declared-subset contract)."""
+    import duckdb
+
+    from lucene_spark.analysis.analyzer import DICT_STEMMERS
+
+    _register_hunspell_gate()
+    stem = DICT_STEMMERS["hunspell_gate"]
+    con = duckdb.connect()
+    vocab: set = set()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        vocab |= {
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                f" '[a-z0-9]+')) FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+    vocab |= {"queries", "tables", "joins", "keys"}  # the tail words
+    pairs = sorted((t, stem(t)) for t in vocab if stem(t) != t)
+    vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
+    terms = sorted({stem(t) for t in ["queries", "joins", "tables"]})
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH pmap(tok, stem) AS (VALUES {vals}),
+tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         {_TEXT2_SQL} AS text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+hent AS (
+  SELECT t.conv_id, t.turn_idx, COALESCE(pm.stem, t.tok) AS term, t.pos
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM parr) t
+  LEFT JOIN pmap pm ON pm.tok = t.tok
+  WHERE t.tok NOT IN ({_AN_STOPLIST})
+),
+hdl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(c.n, 0) AS dl
+  FROM parr p LEFT JOIN (SELECT conv_id, turn_idx, count(*) AS n
+                         FROM hent GROUP BY 1, 2) c USING (conv_id, turn_idx)
+),
+hdlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM hdl
+),
+hstats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM hdl
+),
+htf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM hent GROUP BY 1, 2, 3
+),
+hdfreq AS (
+  SELECT term, count(*) AS doc_freq FROM htf GROUP BY 1
+),
+scored AS (
+  SELECT htf.conv_id, htf.turn_idx,
+         SUM(ln(1 + (hstats.doc_count - hdfreq.doc_freq + 0.5) / (hdfreq.doc_freq + 0.5))
+         * htf.freq / (htf.freq + 1.2 * (0.25 + 0.75 * hdlq.dlq
+           / (CAST(hstats.sttf AS DOUBLE) / hstats.doc_count)))) AS score
+  FROM htf
+  JOIN hdfreq USING (term)
+  JOIN hdlq USING (conv_id, turn_idx)
+  CROSS JOIN hstats
+  WHERE htf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_topk_english(
     query_text: str,
     k: int,
@@ -481,6 +601,47 @@ def _q_topk_english(
 
 
 _EN_PRELUDE_CACHE: dict[str, str] = {}
+
+# -- Hunspell gate stemmer (analysis/hunspell.py): a small English
+# affix file + a dictionary of corpus base words, registered once as a
+# dictionary-stage stemmer.  The plural tail words of the analyzed
+# corpus (queries/tables/joins) stem through the SFX rules; 'keys'
+# deliberately fails the [^sxy]/[^aeiou]y conditions and stays.
+_HUNSPELL_AFF = """SET UTF-8
+SFX P Y 3
+SFX P y ies [^aeiou]y
+SFX P 0 s [^sxy]
+SFX P 0 es [sx]
+SFX G Y 2
+SFX G e ing e
+SFX G 0 ing [^e]
+"""
+_HUNSPELL_DIC = """8
+query/P
+table/P
+join/PG
+key/P
+merge/G
+scan/PG
+filter/PG
+batch/P
+"""
+
+
+def _register_hunspell_gate() -> str:
+    from lucene_spark.analysis.analyzer import DICT_STEMMERS
+
+    if "hunspell_gate" not in DICT_STEMMERS:
+        from lucene_spark.analysis.hunspell import (
+            HunspellDictionary,
+            register_stemmer,
+        )
+
+        register_stemmer(
+            "hunspell_gate",
+            HunspellDictionary.from_strings(_HUNSPELL_AFF, _HUNSPELL_DIC),
+        )
+    return "hunspell_gate"
 
 
 def _prelude_en(
@@ -7248,6 +7409,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_keyword_repeat": _q_topk_english(
             "", 20, repeat=True, raw_terms=["queries", "join"]
         ),
+        "bm25_topk_hunspell": _q_topk_hunspell(20),
         "bm25_topk_length_truncate": _q_topk_misc(
             "customer queries shuffle", 20, "lt"
         ),
@@ -7476,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_keyword_repeat": _english_topk_sql(
             ["queries", "join"], 20, repeat=True
         ),
+        "bm25_topk_hunspell": _hunspell_topk_sql(20),
         "bm25_topk_length_truncate": _misc_topk_sql(
             "customer queries shuffle", 20, "lt"
         ),

@@ -417,10 +417,15 @@ class IndexBuilder:
         Cost: one extra (term, doc_id) shuffle at build time."""
         import pandas as pd
 
-        def stem_part(batches):
-            from lucene_spark.analysis.analyzer import DICT_STEMMERS
+        # resolve on the DRIVER and close over the function: dynamically
+        # registered stemmers (hunspell.register_stemmer) exist only in
+        # the driver's DICT_STEMMERS — cloudpickle ships the closure
+        # (module-level builtin stemmers still pickle by reference)
+        from lucene_spark.analysis.analyzer import DICT_STEMMERS
 
-            fn = DICT_STEMMERS[stemmer]
+        fn = DICT_STEMMERS[stemmer]
+
+        def stem_part(batches):
             for pdf in batches:
                 terms, stems = [], []
                 for t in pdf["term"]:

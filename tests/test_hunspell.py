@@ -1,0 +1,300 @@
+"""Hunspell stemming subset — assertions transliterated from the
+reference's StemmerTestBase subclasses, run against the reference's OWN
+.aff/.dic test dictionaries (read-only)."""
+
+import os
+
+import pytest
+
+from lucene_spark.analysis.hunspell import HunspellDictionary, HunspellStemmer
+
+RES = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/hunspell"
+)
+
+
+def _stemmer(name: str) -> HunspellStemmer:
+    return HunspellStemmer(
+        HunspellDictionary.load(f"{RES}/{name}.aff", f"{RES}/{name}.dic")
+    )
+
+
+def check(st, word, *expected):
+    assert sorted(st.stem(word)) == sorted(expected), (
+        word,
+        sorted(st.stem(word)),
+        sorted(expected),
+    )
+
+
+def test_simple():
+    """TestStemmer.java over simple.aff/simple.dic."""
+    st = _stemmer("simple")
+    check(st, "lucene", "lucene", "lucen")
+    check(st, "mahoute", "mahout")
+    check(st, "solr", "olr")
+    check(st, "abcd")  # no recursion without continuation
+    check(st, "ab", "ab")
+    check(st, "abc", "ab")
+    check(st, "apach", "apach")
+    check(st, "apache", "apach")
+    check(st, "foo", "foo", "foo")
+    check(st, "food", "foo")
+    check(st, "foos", "foo")
+    check(st, "lucen", "lucen")
+    check(st, "mahout", "mahout")
+    check(st, "moo", "moo")
+    check(st, "mood", "moo")
+    check(st, "olr", "olr")
+    for bogus in [
+        "abs", "abe", "sab", "sapach", "sapache", "apachee", "sfoo",
+        "sfoos", "fooss", "lucenee", "solre",
+    ]:
+        check(st, bogus)
+
+
+def test_circumfix():
+    st = _stemmer("circumfix")
+    check(st, "nagy", "nagy")
+    check(st, "nagyobb", "nagy")
+    check(st, "legnagyobb", "nagy")
+    check(st, "legeslegnagyobb", "nagy")
+    check(st, "nagyobbobb")
+    check(st, "legnagy")
+    check(st, "legeslegnagy")
+
+
+def test_needaffix():
+    st = _stemmer("needaffix")
+    check(st, "drink", "drink")
+    check(st, "drinks", "drink")
+    check(st, "walk")
+    check(st, "walks", "walk")
+    check(st, "prewalk", "walk")
+    check(st, "prewalks", "walk")
+    check(st, "test")
+    check(st, "pretest")
+    check(st, "tests")
+    check(st, "pretests")
+
+
+def test_fullstrip():
+    st = _stemmer("fullstrip")
+    check(st, "tasty", "beer")
+    check(st, "as", "a")
+    check(st, "s")
+
+
+def test_flag_long():
+    st = _stemmer("flaglong")
+    check(st, "foo", "foo")
+    check(st, "foos", "foo")
+    check(st, "fooss")
+    check(st, "foobogus")
+
+
+def test_flag_num():
+    st = _stemmer("flagnum")
+    check(st, "foo", "foo")
+    check(st, "foos", "foo")
+    check(st, "fooss")
+
+
+def test_condition():
+    st = _stemmer("condition")
+    check(st, "hello", "hello")
+    check(st, "try", "try")
+    check(st, "tried", "try")
+    check(st, "work", "work")
+    check(st, "worked", "work")
+    check(st, "rework", "work")
+    check(st, "reworked", "work")
+    check(st, "retried")
+    check(st, "workied")
+    check(st, "tryed")
+    check(st, "tryied")
+    check(st, "helloed")
+
+
+def test_condition2():
+    st = _stemmer("condition2")
+    check(st, "monopolies", "monopoly")
+
+
+def test_homonyms():
+    st = _stemmer("homonyms")
+    check(st, "works", "work", "work")
+
+
+def test_complex_prefix():
+    st = _stemmer("complexprefix")
+    check(st, "ptwofoo", "foo")
+    check(st, "poneptwofoo", "foo")
+    check(st, "foosuf", "foo")
+    check(st, "ptwofoosuf", "foo")
+    check(st, "poneptwofoosuf", "foo")
+    check(st, "ponefoo")
+    check(st, "ponefoosuf")
+    check(st, "ptwoponefoo")
+    check(st, "ptwoponefoosuf")
+
+
+def test_ignore():
+    st = _stemmer("ignore")
+    check(st, "drink", "drink")
+    check(st, "drinkable", "drink")
+    check(st, "dr'ink-able", "drink")
+    check(st, "drank-able", "drank")
+    check(st, "'-'-'-")
+
+
+def test_double_escape():
+    st = _stemmer("double-escaped")
+    check(st, "adubo", "adubar")
+
+
+def test_escaped():
+    st = _stemmer("escaped")
+    check(st, "/", "/")
+    check(st, "works", "work")
+    check(st, "work", "work")
+    check(st, "R2/D2", "R2/D2", "R2/d2")
+    check(st, "R2/D2s", "R2/D2")
+    check(st, "N/A", "N/A")
+    check(st, "N/As")
+    check(st, "/a", "/a")
+    check(st, "//")
+
+
+def test_two_suffixes():
+    st = _stemmer("twosuffixes")
+    check(st, "drink", "drink")
+    check(st, "drinkable", "drink")
+    check(st, "drinks", "drink")
+    check(st, "drinkableable")
+    check(st, "drinkss")
+
+
+def test_twofold():
+    st = HunspellStemmer(
+        HunspellDictionary.load(f"{RES}/twofold.aff", f"{RES}/morph.dic")
+    )
+    check(st, "drink", "drink")
+    check(st, "drinkable", "drink")
+    check(st, "drinkables", "drink")
+    check(st, "drinksable")
+    check(st, "drinkableable")
+    check(st, "drinks")
+
+
+def test_zero_affix():
+    st = _stemmer("zeroaffix")
+    check(st, "drink", "drinksierranevada")
+
+
+def test_zero_affix2():
+    st = _stemmer("zeroaffix2")
+    check(st, "b", "beer")
+
+
+def test_optional_condition():
+    st = HunspellStemmer(
+        HunspellDictionary.load(
+            f"{RES}/optional-condition.aff", f"{RES}/condition.dic"
+        )
+    )
+    check(st, "hello", "hello")
+    check(st, "try", "try")
+    check(st, "tried", "try")
+    check(st, "work", "work")
+    check(st, "worked", "work")
+    check(st, "rework", "work")
+    check(st, "reworked", "work")
+    check(st, "retried")
+    check(st, "workied")
+    check(st, "tryed")
+    check(st, "tryied")
+    check(st, "helloed")
+
+
+def test_only_in_compound():
+    st = _stemmer("onlyincompound")
+    check(st, "drink", "drink")
+    check(st, "drinks", "drink")
+    check(st, "drinked")
+    check(st, "predrink")
+    check(st, "predrinked")
+    check(st, "walk")
+
+
+def test_dependencies():
+    st = _stemmer("dependencies")
+    check(st, "drink", "drink", "drink")
+    check(st, "drinks", "drink", "drink")
+    check(st, "drinkable", "drink")
+    check(st, "drinkables", "drink")
+    check(st, "undrinkable", "drink")
+    check(st, "undrinkables", "drink")
+    check(st, "undrink")
+    check(st, "undrinks")
+    check(st, "hydration", "hydrate")
+    check(st, "dehydrate", "hydrate")
+    check(st, "dehydration", "hydrate")
+    check(st, "calorie", "calorie", "calorie")
+    check(st, "calories", "calorie")
+
+
+def test_spaces():
+    st = _stemmer("spaces")
+    check(st, "four", "four")
+    check(st, "fours", "four")
+    check(st, "five", "five")
+    check(st, "forty four", "forty four")
+    check(st, "forty fours", "forty four")
+    check(st, "forty five", "forty five")
+
+
+def test_strange_overgeneration():
+    st = _stemmer("strange-overgeneration")
+    check(st, "btasty", "beer")
+    check(st, "tasty")
+    check(st, "yuck")
+    check(st, "foo")
+
+
+def test_keepcase():
+    st = _stemmer("keepcase")
+    check(st, "drink", "drink")
+    check(st, "Drink", "drink")
+    check(st, "DRINK", "drink")
+    check(st, "drinks", "drink")
+    check(st, "Drinks", "drink")
+    check(st, "DRINKS", "drink")
+    check(st, "walk", "walk")
+    check(st, "walks", "walk")
+    check(st, "Walk", "walk")
+    check(st, "Walks", "walk")
+    check(st, "WALKS", "walk")
+    check(st, "test", "test")
+    check(st, "Test", "test")
+    check(st, "TEST", "test")
+    check(st, "baz.", "baz.")
+    check(st, "Baz.", "baz.")
+    check(st, "Quux.", "Quux.")
+    check(st, "QUUX.", "Quux.")
+    check(st, "Ways", "way", "ways")
+    check(st, "WAYS", "way", "ways")
+
+
+def test_compressed():
+    st = _stemmer("compressed")
+    check(st, "apach", "apach")
+    check(st, "apache", "apach")
+    check(st, "apachee")
+    check(st, "XYZ", "XYZ", "Xyz")
+    check(st, "XYZs", "XYZ")
+    check(st, "XYZS", "Xyz")
+    check(st, "xyz")
+    check(st, "mixedCase", "mixedCase")
+    check(st, "MIXEDCASE", "Mixedcase")
