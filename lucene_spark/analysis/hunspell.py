@@ -187,10 +187,16 @@ class HunspellDictionary:
     onlyincompound: object = None
     second_stage_prefix: set = field(default_factory=set)
     second_stage_suffix: set = field(default_factory=set)
+    # ignoreCase dictionaries (Dictionary ctor arg, the
+    # HunspellStemFilterFactory ignoreCase option): entries are stored
+    # case-folded and inputs fold before lookup (cleanInput)
+    ignore_case: bool = False
 
     # -- parsing ---------------------------------------------------------
     @classmethod
-    def from_strings(cls, aff: str, dic: str) -> "HunspellDictionary":
+    def from_strings(
+        cls, aff: str, dic: str, ignore_case: bool = False
+    ) -> "HunspellDictionary":
         """Parse from in-memory .aff/.dic content (UTF-8 semantics)."""
         import tempfile
 
@@ -202,11 +208,13 @@ class HunspellDictionary:
             "w", suffix=".dic", delete=False, encoding="utf-8"
         ) as fd:
             fd.write(dic)
-        return cls.load(fa.name, fd.name)
+        return cls.load(fa.name, fd.name, ignore_case=ignore_case)
 
     @classmethod
-    def load(cls, aff_path: str, dic_path: str) -> "HunspellDictionary":
-        d = cls()
+    def load(
+        cls, aff_path: str, dic_path: str, ignore_case: bool = False
+    ) -> "HunspellDictionary":
+        d = cls(ignore_case=ignore_case)
         encoding = "utf-8"
         # pre-scan for SET (applies to both files)
         with open(aff_path, "rb") as f:
@@ -314,6 +322,8 @@ class HunspellDictionary:
                 flag_part = aliases[int(flag_part) - 1]
             if d.ignore:
                 word = "".join(c for c in word if c not in d.ignore)
+            if d.ignore_case:
+                word = word.lower()
             entry = frozenset(flags.parse(flag_part))
             d.words.setdefault(word, []).append(entry)
             # hidden capitalized variant (Dictionary.addHiddenCapitalized-
@@ -359,6 +369,8 @@ class HunspellStemmer:
         d = self.d
         if d.ignore:
             word = "".join(c for c in word if c not in d.ignore)
+        if d.ignore_case:
+            word = word.lower()  # Dictionary.cleanInput
         if not word:
             return []
         out: list[str] = []

@@ -298,3 +298,30 @@ def test_compressed():
     check(st, "xyz")
     check(st, "mixedCase", "mixedCase")
     check(st, "MIXEDCASE", "Mixedcase")
+
+
+def test_dutch_ij():
+    st = HunspellStemmer(
+        HunspellDictionary.load(f"{RES}/IJ.aff", f"{RES}/IJ.dic")
+    )
+    check(st, "ijs", "ijs")
+    check(st, "IJs", "ijs")
+
+
+def test_case_insensitive():
+    """TestCaseInsensitive.java: init(true, simple.aff, mixedcase.dic) —
+    ignoreCase folds entries at load and inputs at analyze."""
+    st = HunspellStemmer(
+        HunspellDictionary.load(
+            f"{RES}/simple.aff", f"{RES}/mixedcase.dic", ignore_case=True
+        )
+    )
+    check(st, "lucene", "lucene", "lucen")
+    check(st, "LuCeNe", "lucene", "lucen")
+    check(st, "mahoute", "mahout")
+    check(st, "MaHoUte", "mahout")
+    check(st, "solr", "olr")
+    check(st, "abcd")
+    check(st, "ab", "ab")
+    check(st, "apache", "apach")
+    check(st, "foos", "foo")
