@@ -191,6 +191,11 @@ class HunspellDictionary:
     # HunspellStemFilterFactory ignoreCase option): entries are stored
     # case-folded and inputs fold before lookup (cleanInput)
     ignore_case: bool = False
+    # ICONV/OCONV replacement tables (ConvTable.java: longest match at
+    # each position, non-recursive): input conversion before lookup,
+    # output conversion on emitted stems
+    iconv: dict = field(default_factory=dict)
+    oconv: dict = field(default_factory=dict)
 
     # -- parsing ---------------------------------------------------------
     @classmethod
@@ -244,6 +249,10 @@ class HunspellDictionary:
                 pass  # alias count header
             elif cmd == "AF":
                 aliases.append(parts[1] if len(parts) > 1 else "")
+            elif cmd in ("ICONV", "OCONV"):
+                if len(parts) >= 3 and not parts[1].isdigit():
+                    tgt = d.iconv if cmd == "ICONV" else d.oconv
+                    tgt[parts[1]] = parts[2]
             elif cmd == "IGNORE":
                 d.ignore = parts[1]
             elif cmd == "FULLSTRIP":
@@ -355,6 +364,29 @@ class HunspellDictionary:
         return d
 
 
+def _apply_conv(s: str, table: dict) -> str:
+    """ConvTable.applyMappings: the longest key matching at each position
+    replaces, scanning resumes after the replacement (non-recursive)."""
+    if not table:
+        return s
+    keys = sorted(table, key=len, reverse=True)
+    out = []
+    i = 0
+    while i < len(s):
+        hit = None
+        for k in keys:
+            if s.startswith(k, i):
+                hit = k
+                break
+        if hit:
+            out.append(table[hit])
+            i += len(hit)
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 class HunspellStemmer:
     """Stemmer.java's recursive affix stripping over the parsed tables
     (SIMPLE_WORD context)."""
@@ -367,6 +399,7 @@ class HunspellStemmer:
         analyze: the exact word, then — for UPPER/TITLE-cased words — the
         title-folded and lower-folded case variants)."""
         d = self.d
+        word = _apply_conv(word, d.iconv)
         if d.ignore:
             word = "".join(c for c in word if c not in d.ignore)
         if d.ignore_case:
@@ -376,7 +409,7 @@ class HunspellStemmer:
         out: list[str] = []
 
         def accept_root(stem, entry_flags):
-            out.append(stem)
+            out.append(_apply_conv(stem, d.oconv))  # Stemmer.newStem oconv
             return True
 
         self._do_stem(word, accept_root)

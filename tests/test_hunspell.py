@@ -325,3 +325,13 @@ def test_case_insensitive():
     check(st, "ab", "ab")
     check(st, "apache", "apach")
     check(st, "foos", "foo")
+
+
+def test_conv():
+    """TestConv.java: ICONV input folding + OCONV output conversion."""
+    st = _stemmer("conv")
+    check(st, "drink", "drInk")
+    check(st, "drInk", "drInk")
+    check(st, "drInkAble", "drInk")
+    check(st, "drInkABle", "drInk")
+    check(st, "drinkABle", "drInk")
