@@ -231,6 +231,7 @@ class HunspellDictionary:
                     break
         flags = _Flags()
         aliases: list = []
+        morph_aliases: list = []
         hidden_groups: dict = {}
         with open(aff_path, encoding=encoding, errors="replace") as f:
             lines = iter(f.read().splitlines())
@@ -249,6 +250,10 @@ class HunspellDictionary:
                 pass  # alias count header
             elif cmd == "AF":
                 aliases.append(parts[1] if len(parts) > 1 else "")
+            elif cmd == "AM" and len(parts) == 2 and parts[1].isdigit():
+                pass  # morph alias count header
+            elif cmd == "AM":
+                morph_aliases.append(" ".join(parts[1:]))
             elif cmd in ("ICONV", "OCONV"):
                 if len(parts) >= 3 and not parts[1].isdigit():
                     tgt = d.iconv if cmd == "ICONV" else d.oconv
@@ -305,12 +310,25 @@ class HunspellDictionary:
         with open(dic_path, encoding=encoding, errors="replace") as f:
             dic_lines = f.read().splitlines()
         for line in dic_lines[1:]:
-            line = line.split("\t")[0].strip()
-            if not line or line.startswith("#"):
+            raw_line = line.rstrip()
+            if not raw_line or raw_line.startswith("#"):
                 continue
-            # strip trailing morphological fields ("po:number", "st:...")
-            # — entries themselves may contain spaces (spaces.dic)
-            line = re.split(r"\s+(?=\S{2,}:\S)", line)[0].strip()
+            # split off trailing morphological fields ("po:number",
+            # "st:...", tab-separated data or an AM alias number) —
+            # entries themselves may contain spaces (spaces.dic)
+            tab_split = raw_line.split("\t", 1)
+            morph = tab_split[1].strip() if len(tab_split) > 1 else ""
+            head = tab_split[0].strip()
+            m = re.split(r"\s+(?=\S{2,}:\S)", head, maxsplit=1)
+            line = m[0].strip()
+            if len(m) > 1:
+                morph = (m[1].strip() + " " + morph).strip()
+            if morph_aliases and morph.split() and morph.split()[0].isdigit():
+                morph = morph_aliases[int(morph.split()[0]) - 1]
+            st = None
+            for fldm in re.finditer(r"(?:^| )st:(\S+)", morph):
+                st = fldm.group(1)
+                break
             if not line:
                 continue
             # unescaped last slash splits word/flags ("\/" is literal)
@@ -333,7 +351,7 @@ class HunspellDictionary:
                 word = "".join(c for c in word if c not in d.ignore)
             if d.ignore_case:
                 word = word.lower()
-            entry = frozenset(flags.parse(flag_part))
+            entry = (frozenset(flags.parse(flag_part)), st)
             d.words.setdefault(word, []).append(entry)
             # hidden capitalized variant (Dictionary.addHiddenCapitalized-
             # Word:1060): MIXED-case entries, and UPPER entries with
@@ -442,7 +460,7 @@ class HunspellStemmer:
     # -- Stemmer.doStem ---------------------------------------------------
     def _do_stem(self, word: str, emit):
         d = self.d
-        for entry_flags in d.words.get(word, ()):
+        for entry_flags, st in d.words.get(word, ()):
             if d.needaffix is not None and d.needaffix in entry_flags:
                 continue  # pseudostem requiring an affix
             if (
@@ -450,7 +468,7 @@ class HunspellStemmer:
                 and d.onlyincompound in entry_flags
             ):
                 continue
-            emit(word, entry_flags)
+            emit(st if st is not None else word, entry_flags)
 
         def candidate(stem, last_affix, outer_p, inner_p, outer_s, inner_s):
             forms = d.words.get(stem)
@@ -458,7 +476,7 @@ class HunspellStemmer:
                 return
             flag = last_affix.flag
             prefix = inner_p if inner_p is not None else outer_p
-            for entry_flags in forms:
+            for entry_flags, st in forms:
                 if flag in entry_flags or (
                     prefix is not None and flag in prefix.cont
                 ):
@@ -471,7 +489,7 @@ class HunspellStemmer:
                         and d.onlyincompound in entry_flags
                     ):
                         continue
-                    emit(stem, entry_flags)
+                    emit(st if st is not None else stem, entry_flags)
 
         self._remove_affixes(word, True, None, None, None, candidate)
 

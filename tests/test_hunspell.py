@@ -335,3 +335,33 @@ def test_conv():
     check(st, "drInkAble", "drInk")
     check(st, "drInkABle", "drInk")
     check(st, "drinkABle", "drInk")
+
+
+def test_morph():
+    st = _stemmer("morph")
+    check(st, "drink", "drink")
+    check(st, "drinkable", "drink")
+    check(st, "drinkableable")
+
+
+def test_morph_alias():
+    """AM morph aliases resolve to st: stem exceptions."""
+    st = _stemmer("morphalias")
+    check(st, "feet", "foot")
+    check(st, "feetscratcher", "foot")
+    check(st, "work", "workverb", "worknoun")
+    check(st, "works", "workverb", "worknoun")
+    check(st, "notspecial", "notspecial")
+
+
+def test_morph_data():
+    """st: stem exceptions (Stemmer.stemException)."""
+    st = _stemmer("morphdata")
+    check(st, "feet", "foot")
+    check(st, "feetscratcher", "foot")
+    check(st, "work", "workverb", "worknoun")
+    check(st, "works", "workverb", "worknoun")
+    check(st, "notspecial", "notspecial")
+    check(st, "simplenoun", "simplenoun")
+    check(st, "simplenouns", "simplenoun")
+    check(st, "simplenounscratcher")
