@@ -1379,7 +1379,14 @@ class Analyzer:
             elif self.stemmer == "s":
                 t = s_stem(t)
             elif self.stemmer in DICT_STEMMERS:
-                t = DICT_STEMMERS[self.stemmer](t)
+                fn = DICT_STEMMERS[self.stemmer]
+                if getattr(fn, "emits_multiple", False):
+                    # multi-output stemmers (hunspell all_stems): every
+                    # stem at the token's position
+                    for s in dict.fromkeys(fn(t)):
+                        out.append((s, pos))
+                    continue
+                t = fn(t)
             out.append((t, pos))
             for extra in syn.get(t, ()):
                 out.append((extra, pos))
@@ -1462,7 +1469,9 @@ class Analyzer:
 
     def _stem_token(self, t: str) -> str:
         """Truncate + stem (honouring stem_exclusions — the Keyword-
-        Attribute contract every reference stemmer checks)."""
+        Attribute contract every reference stemmer checks).  For
+        multi-output stemmers the FIRST stem is the query-side term
+        (callers needing every stem use analyze_text)."""
         if self.truncate:
             t = t[: self.truncate]
         if t in self.stem_exclusions:
@@ -1470,7 +1479,11 @@ class Analyzer:
         if self.stemmer == "s":
             return s_stem(t)
         if self.stemmer in DICT_STEMMERS:
-            return DICT_STEMMERS[self.stemmer](t)
+            fn = DICT_STEMMERS[self.stemmer]
+            if getattr(fn, "emits_multiple", False):
+                outs = list(dict.fromkeys(fn(t)))
+                return outs[0] if outs else t
+            return fn(t)
         return t
 
     def analyze_query(self, text: str | None) -> list[str]:

@@ -639,15 +639,39 @@ def stem_fn(dictionary: HunspellDictionary, longest_only: bool = True):
     return fn
 
 
+def all_stems_fn(dictionary: HunspellDictionary):
+    """term -> [stems] multi-output function — HunspellStemFilter's
+    DEFAULT mode (dedup=true, every stem emitted at the token's
+    position; the original passes through when nothing stems).  Marked
+    ``emits_multiple`` so the dictionary-stage pass expands each term
+    into several index terms (builder.apply_dict_stemmer)."""
+    stemmer = HunspellStemmer(dictionary)
+
+    def fn(term: str):
+        stems = stemmer.unique_stems(term)
+        return stems if stems else [term]
+
+    fn.emits_multiple = True
+    return fn
+
+
 def register_stemmer(
-    name: str, dictionary: HunspellDictionary, longest_only: bool = True
+    name: str,
+    dictionary: HunspellDictionary,
+    longest_only: bool = True,
+    all_stems: bool = False,
 ) -> str:
     """Register a Hunspell dictionary as a named dictionary-stage stemmer
     usable as ``Analyzer(stemmer=name)`` — the HunspellStemFilterFactory
-    plug point.  Like Solr configs, the registration (dictionary files)
-    must be repeated in each session before loading an index built with
-    it."""
+    plug point (``all_stems=True`` = the filter's default emit-every-stem
+    mode; default = longestOnly).  Like Solr configs, the registration
+    (dictionary files) must be repeated in each session before loading an
+    index built with it."""
     from lucene_spark.analysis.analyzer import DICT_STEMMERS
 
-    DICT_STEMMERS[name] = stem_fn(dictionary, longest_only)
+    DICT_STEMMERS[name] = (
+        all_stems_fn(dictionary)
+        if all_stems
+        else stem_fn(dictionary, longest_only)
+    )
     return name

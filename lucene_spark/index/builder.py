@@ -425,10 +425,25 @@ class IndexBuilder:
 
         fn = DICT_STEMMERS[stemmer]
 
+        multi = getattr(fn, "emits_multiple", False)
+
         def stem_part(batches):
             for pdf in batches:
                 terms, stems = [], []
                 for t in pdf["term"]:
+                    if multi:
+                        # multi-output stemmers (hunspell all_stems mode):
+                        # one dictionary row per distinct stem
+                        outs = [t] if t in exclusions else list(
+                            dict.fromkeys(fn(t))
+                        )
+                        for s in outs:
+                            terms.append(t)
+                            stems.append(s)
+                        if keyword_repeat and t not in outs:
+                            terms.append(t)
+                            stems.append(t)
+                        continue
                     s = t if t in exclusions else fn(t)
                     terms.append(t)
                     stems.append(s)

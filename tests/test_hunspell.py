@@ -365,3 +365,33 @@ def test_morph_data():
     check(st, "simplenoun", "simplenoun")
     check(st, "simplenouns", "simplenoun")
     check(st, "simplenounscratcher")
+
+
+def test_all_stems_index_build(spark):
+    """HunspellStemFilter default mode (dedup=true, all stems emitted):
+    a term with two stems is indexed under both."""
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.analysis.hunspell import register_stemmer
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    d = HunspellDictionary.load(f"{RES}/simple.aff", f"{RES}/simple.dic")
+    register_stemmer("hun_all_test", d, all_stems=True)
+    rows = [
+        ("c0", 0, "u", "lucene search", None, None),
+        ("c0", 1, "u", "mahoute ride", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    an = Analyzer(stemmer="hun_all_test")
+    assert sorted(an.analyze_text("lucene")) == [("lucen", 0), ("lucene", 0)]
+    idx = IndexBuilder(num_segments=1, analyzer=an).build(df)
+    terms = {r.term for r in idx.postings.select("term").distinct().collect()}
+    # 'lucene' stems to both 'lucene' and 'lucen'; 'mahoute' -> 'mahout'
+    assert {"lucene", "lucen", "mahout"} <= terms
+    assert "mahoute" not in terms
+    s = IndexSearcher(idx)
+    assert s.search(TermQuery("lucen"), 5).count() == 1
+    idx.unpersist_all()
