@@ -439,7 +439,15 @@ class HunspellStemmer:
             lower = word.lower()
             variants = []
             if all_upper:
-                variants = [title, lower]
+                # Stemmer.capitalizeAfterApostrophe: for UPPER words the
+                # title fold also re-capitalizes letters following an
+                # apostrophe (L'AFRIQUE -> L'Afrique), tried FIRST
+                apos = list(title)
+                for i in range(1, len(apos) - 1):
+                    if apos[i] == "'":
+                        apos[i + 1] = apos[i + 1].upper()
+                apos = "".join(apos)
+                variants = ([apos] if apos != title else []) + [title, lower]
             elif word[:1].isupper() and all(
                 not c.isupper() for c in word[1:]
             ):

@@ -395,3 +395,18 @@ def test_all_stems_index_build(spark):
     s = IndexSearcher(idx)
     assert s.search(TermQuery("lucen"), 5).count() == 1
     idx.unpersist_all()
+
+
+def test_all_caps():
+    """TestAllCaps.java: apostrophe-capitalized title variants for UPPER
+    words (L'AFRIQUE -> L'Afrique) + hidden capitalized entries."""
+    st = _stemmer("allcaps")
+    check(st, "OpenOffice.org", "OpenOffice.org")
+    check(st, "UNICEF's", "UNICEF")
+    check(st, "L'Afrique", "Afrique")
+    check(st, "L'AFRIQUE", "Afrique")
+    check(st, "OPENOFFICE.ORG", "Openoffice.org")
+    check(st, "UNICEF'S", "Unicef")
+    check(st, "Openoffice.org", "Openoffice.org")
+    check(st, "Unicef", "Unicef")
+    check(st, "Unicef's", "Unicef")
