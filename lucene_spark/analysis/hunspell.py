@@ -15,10 +15,14 @@ Declared subset (stemming of simple words, the HunspellStemFilter use):
   (COMPLEXPREFIXES included).
 * FLAG single-char / long / num / UTF-8; AF flag aliases.
 * FULLSTRIP, CIRCUMFIX, NEEDAFFIX/PSEUDOROOT, IGNORE, ONLYINCOMPOUND
-  (simple-word rejection), KEEPCASE (parsed; lookups are exact-case).
-* OUT of subset: compounding, BREAK, ICONV/OCONV, morphological data
-  (st: stem exceptions), suggestions, and the analyze-time case
-  variation (inputs are exact-case — the engine's chains lowercase).
+  (simple-word rejection), KEEPCASE (parsed; stemming is unaffected),
+  ICONV/OCONV conversion tables, st: morphological stem exceptions with
+  AM aliases, ignoreCase dictionaries, hidden capitalized entries, the
+  analyze-time case variation (UPPER/TITLE folds, apostrophe
+  capitalization, CHECKSHARPS ss<->ß enumeration, LANG tr/az Turkish
+  dotted-I folds).
+* OUT of subset: compounding, BREAK, suggestions, GENERATE/morph output
+  beyond st:.
 
 Validated against the reference's OWN test dictionaries
 (analysis/common/src/test/.../hunspell/*.aff + *.dic) with assertions
@@ -196,6 +200,19 @@ class HunspellDictionary:
     # output conversion on emitted stems
     iconv: dict = field(default_factory=dict)
     oconv: dict = field(default_factory=dict)
+    # CHECKSHARPS: UPPER-case variants also try ss<->ß combinations
+    # (Stemmer.varySharpS, enumeration capped at depth 5)
+    check_sharp_s: bool = False
+    # LANG tr_TR/az: Turkish alternate casing (İ->i, I->ı case folds)
+    alternate_casing: bool = False
+
+    def case_fold(self, c: str) -> str:
+        if self.alternate_casing:
+            if c == "İ":
+                return "i"
+            if c == "I":
+                return "ı"
+        return c.lower()
 
     # -- parsing ---------------------------------------------------------
     @classmethod
@@ -220,7 +237,7 @@ class HunspellDictionary:
         cls, aff_path: str, dic_path: str, ignore_case: bool = False
     ) -> "HunspellDictionary":
         d = cls(ignore_case=ignore_case)
-        encoding = "utf-8"
+        encoding = "iso8859-1"  # the hunspell default (Dictionary.java)
         # pre-scan for SET (applies to both files)
         with open(aff_path, "rb") as f:
             for raw in f:
@@ -258,6 +275,10 @@ class HunspellDictionary:
                 if len(parts) >= 3 and not parts[1].isdigit():
                     tgt = d.iconv if cmd == "ICONV" else d.oconv
                     tgt[parts[1]] = parts[2]
+            elif cmd == "CHECKSHARPS":
+                d.check_sharp_s = True
+            elif cmd == "LANG" and len(parts) > 1:
+                d.alternate_casing = parts[1][:2] in ("tr", "az")
             elif cmd == "IGNORE":
                 d.ignore = parts[1]
             elif cmd == "FULLSTRIP":
@@ -433,21 +454,29 @@ class HunspellStemmer:
         self._do_stem(word, accept_root)
         letters = [c for c in word if c.isalpha()]
         has_upper = any(c.isupper() for c in letters)
-        if has_upper:
+        if has_upper and not d.ignore_case:
+            # Stemmer.varyCase: UPPER -> apostrophe-capitalized title,
+            # title, sharp-s variants, lower, sharp-s of lower;
+            # TITLE -> lower only
             all_upper = all(not c.islower() for c in letters)
-            title = word[0] + word[1:].lower()
-            lower = word.lower()
-            variants = []
+            fold = d.case_fold
+            title = word[0] + "".join(fold(c) for c in word[1:])
+            lower = fold(title[0]) + title[1:]
+            variants: list = []
             if all_upper:
-                # Stemmer.capitalizeAfterApostrophe: for UPPER words the
-                # title fold also re-capitalizes letters following an
-                # apostrophe (L'AFRIQUE -> L'Afrique), tried FIRST
                 apos = list(title)
                 for i in range(1, len(apos) - 1):
                     if apos[i] == "'":
                         apos[i + 1] = apos[i + 1].upper()
                 apos = "".join(apos)
-                variants = ([apos] if apos != title else []) + [title, lower]
+                if apos != title:
+                    variants.append(apos)
+                variants.append(title)
+                if d.check_sharp_s:
+                    variants.extend(self._sharp_s_variants(title))
+                variants.append(lower)
+                if d.check_sharp_s:
+                    variants.extend(self._sharp_s_variants(lower))
             elif word[:1].isupper() and all(
                 not c.isupper() for c in word[1:]
             ):
@@ -456,6 +485,32 @@ class HunspellStemmer:
                 if v != word:
                     self._do_stem(v, accept_root)
         return out
+
+    @staticmethod
+    def _sharp_s_variants(word: str) -> list:
+        """Stemmer.varySharpS: every combination of replacing 'ss' runs
+        with 'ß' (depth-capped at 5), excluding the unmodified word."""
+
+        def replace_ss(start, depth):
+            if depth > 5:
+                return [word[start:]]
+            ss = word.find("ss", start)
+            if ss < 0:
+                return None
+            prefix = word[start:ss]
+            tails = replace_ss(ss + 2, depth + 1)
+            if tails is None:
+                tails = [word[ss + 2 :]]
+            out = []
+            for t in tails:
+                out.append(prefix + "ss" + t)
+                out.append(prefix + "ß" + t)
+            return out
+
+        combos = replace_ss(0, 0)
+        if combos is None:
+            return []
+        return [c for c in combos if c != word]
 
     def unique_stems(self, word: str) -> list[str]:
         seen, out = set(), []

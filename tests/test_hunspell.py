@@ -410,3 +410,33 @@ def test_all_caps():
     check(st, "Openoffice.org", "Openoffice.org")
     check(st, "Unicef", "Unicef")
     check(st, "Unicef's", "Unicef")
+
+
+def test_check_sharp_s():
+    """TestCheckSharpS.java: ss<->ß case-variant enumeration for UPPER
+    words (ISO-8859-1 default encoding — the .aff has no SET line)."""
+    st = _stemmer("checksharps")
+    check(st, "Müßig", "müßig")
+    check(st, "MÜSSIG", "müßig")
+    check(st, "Müssig")
+    check(st, "PROZESSIONSSTRASSE", "Prozessionsstraße")
+
+
+def test_alternate_casing():
+    """TestAlternateCasing.java: LANG tr Turkish İ/ı case folds."""
+    st = _stemmer("alternate-casing")
+    check(st, "drink", "drink")
+    check(st, "DRİNK", "drink")
+    check(st, "DRINK")
+    check(st, "drinki", "drink")
+    check(st, "DRİNKİ", "drink")
+    check(st, "DRİNKI")
+    check(st, "DRINKI")
+    check(st, "DRINKİ")
+    check(st, "idrink", "drink")
+    check(st, "İDRİNK", "drink")
+    check(st, "IDRİNK")
+    check(st, "IDRINK")
+    check(st, "İDRINK")
+    check(st, "idrinki", "drink")
+    check(st, "İDRİNKİ", "drink")
