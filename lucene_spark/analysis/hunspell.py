@@ -207,11 +207,12 @@ class HunspellDictionary:
     alternate_casing: bool = False
 
     def case_fold(self, c: str) -> str:
-        if self.alternate_casing:
-            if c == "İ":
-                return "i"
-            if c == "I":
-                return "ı"
+        # Character.toLowerCase semantics: U+0130 İ folds to a BARE 'i'
+        # (python str.lower would add a combining dot)
+        if c == "İ":
+            return "i"
+        if self.alternate_casing and c == "I":
+            return "ı"
         return c.lower()
 
     # -- parsing ---------------------------------------------------------
@@ -463,6 +464,11 @@ class HunspellStemmer:
             title = word[0] + "".join(fold(c) for c in word[1:])
             lower = fold(title[0]) + title[1:]
             variants: list = []
+            # Dictionary.isDotICaseChangeDisallowed: outside tr/az, a
+            # word containing İ must not take the lowercase variant (the
+            # İ->i fold is Turkish-specific) — varyCase returns before
+            # the lower fold
+            dot_i_blocked = "İ" in word and not d.alternate_casing
             if all_upper:
                 apos = list(title)
                 for i in range(1, len(apos) - 1):
@@ -474,13 +480,14 @@ class HunspellStemmer:
                 variants.append(title)
                 if d.check_sharp_s:
                     variants.extend(self._sharp_s_variants(title))
-                variants.append(lower)
-                if d.check_sharp_s:
-                    variants.extend(self._sharp_s_variants(lower))
+                if not dot_i_blocked:
+                    variants.append(lower)
+                    if d.check_sharp_s:
+                        variants.extend(self._sharp_s_variants(lower))
             elif word[:1].isupper() and all(
                 not c.isupper() for c in word[1:]
             ):
-                variants = [lower]  # TITLE case
+                variants = [] if dot_i_blocked else [lower]  # TITLE
             for v in variants:
                 if v != word:
                     self._do_stem(v, accept_root)

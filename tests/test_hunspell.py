@@ -440,3 +440,15 @@ def test_alternate_casing():
     check(st, "İDRINK")
     check(st, "idrinki", "drink")
     check(st, "İDRİNKİ", "drink")
+
+
+def test_base_utf():
+    """TestBaseUtf.java subset: UTF dictionaries + the dotted-I
+    case-change restriction outside tr/az."""
+    st = _stemmer("base_utf")
+    check(st, "imply", "imply")
+    check(st, "Imply", "imply")
+    check(st, "IMPLY", "imply")
+    check(st, "İZMİR", "İzmir")
+    check(st, "İmply")
+    check(st, "İMPLY")
