@@ -452,3 +452,17 @@ def test_base_utf():
     check(st, "İZMİR", "İzmir")
     check(st, "İmply")
     check(st, "İMPLY")
+
+
+def test_64k_affixes():
+    """Test64kAffixes.java: 65536 suffix rules under one num flag plus a
+    second flag — the affix tables and FLAG num parsing scale."""
+    aff_lines = ["SET UTF-8", "FLAG num", "SFX 1 Y 65536"]
+    aff_lines += [f"SFX 1 0 {i:x} ." for i in range(65536)]
+    aff_lines += ["SFX 2 Y 1", "SFX 2 0 s"]
+    d = HunspellDictionary.from_strings(
+        "\n".join(aff_lines) + "\n", "1\ndrink/2\n"
+    )
+    st = HunspellStemmer(d)
+    check(st, "drinks", "drink")
+    check(st, "drink0")  # flag-1 suffixes not signed on the entry
