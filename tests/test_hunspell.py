@@ -466,3 +466,22 @@ def test_64k_affixes():
     st = HunspellStemmer(d)
     check(st, "drinks", "drink")
     check(st, "drink0")  # flag-1 suffixes not signed on the entry
+
+
+def test_affix_condition_vectors():
+    """TestAffixCondition.java (the well-formed rows): strip/condition
+    interaction — conditions describe the stem with strip re-added.
+    The malformed-group rows ((^ax) etc., Lucene RegExp syntax errors ->
+    ALWAYS_FALSE) are out of the declared subset: python re accepts
+    groups, and no real dictionary in the parity corpus uses them."""
+    from lucene_spark.analysis.hunspell import _compile_condition
+
+    c = _compile_condition("SFX", "b", "ab")
+    assert c("a") and not c("b") and not c("ab")
+    c = _compile_condition("PFX", "a", "ab")
+    assert c("b") and not c("ab") and not c("a")
+    c = _compile_condition("PFX", "", "wr.")
+    assert c("wry") and c("wrong") and not c("white")
+    assert _compile_condition("SFX", "oj", "[io]j")("whatever")
+    assert _compile_condition("SFX", "oj", "o[ioj")("whatever")  # unclosed [
+    assert not _compile_condition("SFX", "a", "b")("anything")
