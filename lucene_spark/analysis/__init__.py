@@ -89,3 +89,14 @@ from lucene_spark.analysis.sorani import (  # noqa: F401
     sorani_normalize_and_stem,
     sorani_stem,
 )
+from lucene_spark.analysis.hunspell import (  # noqa: F401
+    HunspellDictionary,
+    HunspellStemmer,
+)
+from lucene_spark.analysis.hunspell import (  # noqa: F401
+    register_stemmer as register_hunspell_stemmer,
+)
+from lucene_spark.analysis.path import (  # noqa: F401
+    path_hierarchy_expr,
+    path_hierarchy_tokens,
+)
