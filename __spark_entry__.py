@@ -579,6 +579,167 @@ ranked AS (
 SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+_DECOMPOUND_T0 = " vindrutetorkare fitted"
+_DECOMPOUND_T1 = " basfiolsfodral stored"
+_DECOMPOUND_DICT = ["vind", "rute", "torkare", "bas", "fiol", "fodral"]
+
+
+def _register_decompound_gate() -> str:
+    from lucene_spark.analysis.analyzer import DICT_STEMMERS
+
+    if "decompound_gate" not in DICT_STEMMERS:
+        from lucene_spark.analysis.compound import register_decompounder
+
+        register_decompounder("decompound_gate", _DECOMPOUND_DICT)
+    return "decompound_gate"
+
+
+def _q_topk_decompound(k: int):
+    """DictionaryCompoundWordTokenFilter gate: compound tail words are
+    indexed under themselves plus their dictionary parts; querying a
+    part ('torkare') recalls the compound documents."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        _register_decompound_gate()
+        key = ("decompound", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            text2 = F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(_DECOMPOUND_T0))
+                .when(F.col("doc_id") % 3 == 1, F.lit(_DECOMPOUND_T1))
+                .otherwise(F.lit("")),
+            )
+            tdf = d.select(
+                F.concat(
+                    F.lit("conv"),
+                    F.lpad(
+                        (F.col("doc_id") / TURNS_PER_CONV).cast("long").cast("string"),
+                        6,
+                        "0",
+                    ),
+                ).alias("conv_id"),
+                (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+                F.col("lang").alias("role"),
+                text2.alias("text"),
+                F.col("source").alias("tool"),
+                F.lit(None).cast("timestamp").alias("ts"),
+            )
+            an = Analyzer(stemmer="decompound_gate")
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(tdf)
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(
+            (TermQuery("torkare"), Occur.SHOULD),
+            (TermQuery("fodral"), Occur.SHOULD),
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _decompound_topk_sql(k: int) -> str:
+    """Twin: base tokens UNION the dictionary-part expansions of the
+    corpus vocabulary (a (tok, sub) VALUES map from the SAME registered
+    decompounder); dl counts the surface stream only (posInc-0
+    overlaps)."""
+    import duckdb
+
+    from lucene_spark.analysis.analyzer import DICT_STEMMERS
+
+    _register_decompound_gate()
+    fn = DICT_STEMMERS["decompound_gate"]
+    con = duckdb.connect()
+    vocab: set = set()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        vocab |= {
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text),"
+                f" '[a-z0-9]+')) FROM read_parquet('{path}')"
+            ).fetchall()
+        }
+    vocab |= {"vindrutetorkare", "basfiolsfodral", "fitted", "stored"}
+    pairs = []
+    for t in sorted(vocab):
+        outs = list(dict.fromkeys(fn(t)))
+        pairs.extend((t, s) for s in outs[1:])  # subwords only
+    vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
+    text2 = (
+        f"text || CASE doc_id % 3 WHEN 0 THEN '{_DECOMPOUND_T0}' "
+        f"WHEN 1 THEN '{_DECOMPOUND_T1}' ELSE '' END"
+    )
+    return f"""
+WITH cmap(tok, sub) AS (VALUES {vals}),
+tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         {text2} AS text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+base AS (
+  SELECT conv_id, turn_idx, unnest(arr) AS tok FROM parr
+),
+cent AS (
+  SELECT conv_id, turn_idx, tok AS term FROM base
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, c.sub AS term
+  FROM base b JOIN cmap c ON c.tok = b.tok
+),
+cdl AS (
+  SELECT conv_id, turn_idx, len(arr) AS dl FROM parr
+),
+cdlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM cdl
+),
+cstats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM cdl
+),
+ctf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM cent GROUP BY 1, 2, 3
+),
+cdfreq AS (
+  SELECT term, count(*) AS doc_freq FROM ctf GROUP BY 1
+),
+scored AS (
+  SELECT ctf.conv_id, ctf.turn_idx,
+         SUM(ln(1 + (cstats.doc_count - cdfreq.doc_freq + 0.5) / (cdfreq.doc_freq + 0.5))
+         * ctf.freq / (ctf.freq + 1.2 * (0.25 + 0.75 * cdlq.dlq
+           / (CAST(cstats.sttf AS DOUBLE) / cstats.doc_count)))) AS score
+  FROM ctf
+  JOIN cdfreq USING (term)
+  JOIN cdlq USING (conv_id, turn_idx)
+  CROSS JOIN cstats
+  WHERE ctf.term IN ('torkare', 'fodral')
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_topk_english(
     query_text: str,
     k: int,
@@ -7410,6 +7571,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "", 20, repeat=True, raw_terms=["queries", "join"]
         ),
         "bm25_topk_hunspell": _q_topk_hunspell(20),
+        "bm25_topk_decompound": _q_topk_decompound(20),
         "bm25_topk_length_truncate": _q_topk_misc(
             "customer queries shuffle", 20, "lt"
         ),
@@ -7639,6 +7801,7 @@ def oracle_sql() -> dict[str, str]:
             ["queries", "join"], 20, repeat=True
         ),
         "bm25_topk_hunspell": _hunspell_topk_sql(20),
+        "bm25_topk_decompound": _decompound_topk_sql(20),
         "bm25_topk_length_truncate": _misc_topk_sql(
             "customer queries shuffle", 20, "lt"
         ),
