@@ -7428,6 +7428,161 @@ def _q_add_indexes_topk(term: str, k: int):
     return run
 
 
+# ---------------------------------------------------------------------------
+# payloads (queries/payloads/PayloadScoreQuery.java, SpanPayloadCheckQuery.java
+# + analysis/payloads/DelimitedPayloadTokenFilter.java).  The payload corpus
+# derives deterministically from the standard token stream: every token
+# carries its 0-based position as a float payload ("tok|i"), expressed
+# identically in the Spark derivation and the oracle's zipped-unnest.
+
+
+def _payload_searcher(spark: SparkSession, sf_dir: str):
+    key = ("payload", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        tr = _transcripts_df(spark, sf_dir)
+        ptext = F.array_join(
+            F.expr(
+                "transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+                " (t, i) -> concat(t, '|', i))"
+            ),
+            " ",
+        )
+        idx = IndexBuilder(num_segments=8, payload_delimiter="|").build(
+            tr.withColumn("text", ptext)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+_PAYLOAD_POS_SQL = """,
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+ppos AS (
+  SELECT conv_id, turn_idx, unnest(arr) AS tok,
+         unnest(range(0, len(arr))) AS p
+  FROM parr
+)
+"""
+
+
+def _q_payload_score(term: str, func: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.query import PayloadScoreQuery
+        from lucene_spark.search.spans import SpanTermQuery
+
+        _, searcher = _payload_searcher(spark, sf_dir)
+        return _ranked_topk(
+            searcher, PayloadScoreQuery(SpanTermQuery(term), func), k
+        )
+
+    return run
+
+
+def _payload_score_sql(term: str, func: str, k: int) -> str:
+    agg = {"max": "max(p)", "min": "min(p)", "sum": "sum(p)", "avg": "avg(p)"}[
+        func
+    ]
+    return (
+        _PRELUDE
+        + _PAYLOAD_POS_SQL
+        + f""",
+scored AS (
+  SELECT conv_id, turn_idx, CAST({agg} AS DOUBLE) AS score
+  FROM ppos WHERE tok = '{term}' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_payload_near_avg(t0: str, t1: str, k: int):
+    """PayloadScoreQuery(avg) over the in-order slop-0 SpanNear (t0, t1):
+    avg of both leaves' payloads over every matched span."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.query import PayloadScoreQuery
+        from lucene_spark.search.spans import SpanNearQuery, SpanTermQuery
+
+        _, searcher = _payload_searcher(spark, sf_dir)
+        near = SpanNearQuery(
+            (SpanTermQuery(t0), SpanTermQuery(t1)), slop=0, in_order=True
+        )
+        return _ranked_topk(searcher, PayloadScoreQuery(near, "avg"), k)
+
+    return run
+
+
+def _payload_near_avg_sql(t0: str, t1: str, k: int) -> str:
+    # leaves per matched span: payloads p and p+1 -> span avg = p + 0.5;
+    # doc score = sum over leaves / n_leaves = avg(p) + 0.5 (exact in
+    # double: integers and halves)
+    return (
+        _PRELUDE
+        + _PAYLOAD_POS_SQL
+        + f""",
+spans AS (
+  SELECT a.conv_id, a.turn_idx, a.p
+  FROM ppos a JOIN ppos b USING (conv_id, turn_idx)
+  WHERE a.tok = '{t0}' AND b.tok = '{t1}' AND b.p = a.p + 1
+),
+scored AS (
+  SELECT conv_id, turn_idx, avg(p) + 0.5 AS score
+  FROM spans GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
+def _q_payload_check(term: str, bound: float, k: int):
+    """SpanPayloadCheckQuery(term, (bound,), op='gte'): spans whose payload
+    (the token's position) is >= bound; doc score = matching-span count."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.query import SpanPayloadCheckQuery
+        from lucene_spark.search.spans import SpanTermQuery
+
+        _, searcher = _payload_searcher(spark, sf_dir)
+        q = SpanPayloadCheckQuery(SpanTermQuery(term), (bound,), op="gte")
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _payload_check_sql(term: str, bound: float, k: int) -> str:
+    return (
+        _PRELUDE
+        + _PAYLOAD_POS_SQL
+        + f""",
+scored AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS DOUBLE) AS score
+  FROM ppos WHERE tok = '{term}' AND p >= {bound} GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -7778,6 +7933,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ann": _q_sim_ann,
         "sim_topk_lsh": _q_sim_lsh,
         "dedup_embedding": _q_dedup_embedding,
+        "payload_score_topk": _q_payload_score("spark", "max", 10),
+        "payload_near_avg_topk": _q_payload_near_avg("the", "customer", 10),
+        "payload_check_match": _q_payload_check("customer", 5.0, 20),
     }
 
 
@@ -8115,4 +8273,7 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "sim_topk_ann": _pl_sim.ivf_topk_sql_view("embeddings", 10),
         "sim_topk_lsh": _pl_sim.lsh_topk_sql_view("embeddings", 64, 10),
         "dedup_embedding": _pl_sim.near_duplicates_embedding_sql(_EMB_DUP_REL, 0.9),
+        "payload_score_topk": _payload_score_sql("spark", "max", 10),
+        "payload_near_avg_topk": _payload_near_avg_sql("the", "customer", 10),
+        "payload_check_match": _payload_check_sql("customer", 5.0, 20),
     }

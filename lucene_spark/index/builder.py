@@ -260,9 +260,28 @@ class IndexBuilder:
         invert: str = "arrow",
         analyzer: Optional[Analyzer] = None,
         keyword_repeat: bool = False,
+        payload_delimiter: Optional[str] = None,
+        payload_encoder: str = "float",
     ):
         if invert not in ("arrow", "mapside", "shuffle"):
             raise ValueError(f"unknown invert strategy {invert}")
+        if payload_delimiter is not None:
+            # DelimitedPayloadTokenFilter (analysis/payloads.py): whitespace
+            # tokenization only (the reference's "tokenizer must not split on
+            # the delimiter" caveat), Arrow invert only, no analyzer chain
+            from lucene_spark.analysis.payloads import PAYLOAD_ENCODERS
+
+            if analyzer is not None:
+                raise ValueError(
+                    "payload_delimiter uses whitespace tokenization; "
+                    "an analyzer chain is not supported"
+                )
+            if invert != "arrow":
+                raise ValueError("payload_delimiter requires invert='arrow'")
+            if payload_encoder not in PAYLOAD_ENCODERS:
+                raise ValueError(
+                    f"payload_encoder must be one of {sorted(PAYLOAD_ENCODERS)}"
+                )
         if keyword_repeat and (
             analyzer is None or analyzer.stemmer not in DICT_STEMMERS
         ):
@@ -279,6 +298,8 @@ class IndexBuilder:
         self.invert = invert
         self.analyzer = analyzer
         self.keyword_repeat = keyword_repeat
+        self.payload_delimiter = payload_delimiter
+        self.payload_encoder = payload_encoder
 
     # -- deterministic dense doc ids ------------------------------------
     def assign_doc_ids(self, df: DataFrame) -> DataFrame:
@@ -510,14 +531,19 @@ class IndexBuilder:
             # nothing else).
             an = dc_replace(an, stemmer=None)
         text_col = self.text_col
-        entry_t = ArrayType(
-            StructType(
-                [
-                    StructField("term", StringType()),
-                    StructField("positions", ArrayType(IntegerType())),
-                ]
+        pay_delim = self.payload_delimiter
+        pay_enc = self.payload_encoder
+        entry_fields = [
+            StructField("term", StringType()),
+            StructField("positions", ArrayType(IntegerType())),
+        ]
+        if pay_delim is not None:
+            from pyspark.sql.types import FloatType
+
+            entry_fields.append(
+                StructField("payloads", ArrayType(FloatType(), True))
             )
-        )
+        entry_t = ArrayType(StructType(entry_fields))
         # The raw text column is consumed here and deliberately NOT
         # re-emitted: nothing downstream of the invert reads it, and the
         # inverted base gets persisted — carrying ~KB of text per turn
@@ -537,7 +563,26 @@ class IndexBuilder:
             for pdf in batches:
                 lengths = []
                 entries_out = []
-                if an is None:
+                if pay_delim is not None:
+                    # DelimitedPayloadTokenFilter path: whitespace tokenize,
+                    # split term|payload at the first delimiter, decode the
+                    # payload with the configured encoder (analysis/payloads)
+                    from lucene_spark.analysis.payloads import (
+                        delimited_payload_entries,
+                    )
+
+                    for t in pdf[text_col]:
+                        n_toks, inv = delimited_payload_entries(
+                            t, pay_delim, pay_enc
+                        )
+                        lengths.append(n_toks)
+                        entries_out.append(
+                            [
+                                {"term": k, "positions": v[0], "payloads": v[1]}
+                                for k, v in inv.items()
+                            ]
+                        )
+                elif an is None:
                     for t in pdf[text_col]:
                         toks = tokenize_text(t)
                         inv: dict = {}
@@ -662,16 +707,21 @@ class IndexBuilder:
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",
             )
-            postings = base.select(
-                "doc_id", "segment", "norm", F.explode("_entries").alias("_e")
-            ).select(
+            post_cols = [
                 F.col("_e.term").alias("term"),
-                "doc_id",
+                F.col("doc_id"),
                 F.size("_e.positions").cast("int").alias("freq"),
                 F.col("_e.positions").alias("positions"),
-                "norm",
-                "segment",
-            )
+                F.col("norm"),
+                F.col("segment"),
+            ]
+            if self.payload_delimiter is not None:
+                # payloads ride the postings rows, aligned with positions
+                # (≙ the .pay file of Lucene90PostingsFormat)
+                post_cols.insert(4, F.col("_e.payloads").alias("payloads"))
+            postings = base.select(
+                "doc_id", "segment", "norm", F.explode("_entries").alias("_e")
+            ).select(*post_cols)
             cached = (base,)
             if self.analyzer is not None and self.analyzer.stemmer in DICT_STEMMERS:
                 postings = self.apply_dict_stemmer(

@@ -14,6 +14,7 @@ from lucene_spark.search.query import (  # noqa: F401
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     Occur,
+    PayloadScoreQuery,
     PhraseQuery,
     PhraseWildcardQuery,
     PrefixQuery,
@@ -21,6 +22,7 @@ from lucene_spark.search.query import (  # noqa: F401
     RegexpQuery,
     Sort,
     SortField,
+    SpanPayloadCheckQuery,
     SynonymQuery,
     TermInSetQuery,
     TermQuery,

@@ -504,3 +504,73 @@ class KnnVectorQuery(Query):
         object.__setattr__(self, "k", int(k))
         object.__setattr__(self, "filter", filter)
         object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """queries/payloads/PayloadScoreQuery.java:43 — score docs by a
+    PayloadFunction folded over the payloads collected at the matched
+    spans' leaf positions.
+
+    Exact reference semantics (PayloadSpans.collectLeaf:219-232 + the
+    function classes):
+
+    * every leaf position of every matched span collects one payload
+      factor; a NULL payload decodes to 1 (PayloadDecoder.java:29);
+    * ``function``: 'min'/'max' seed on the first factor then fold
+      (Min/MaxPayloadFunction.currentScore's numPayloadsSeen==0 guard),
+      'sum' adds, 'avg' sums then divides by numPayloadsSeen;
+    * docScore with zero payloads seen is 1 (every docScore impl);
+    * ``include_span_score``: multiply by the wrapped span query's own
+      score (PayloadSpanScorer.scoreCurrentDoc).  In this engine the span
+      score is the interval scorer's saturation score (the documented
+      span-scoring model, search/spans.py).
+
+    ``wrapped`` must be a span query whose leaf payloads the engine can
+    gather as JVM array algebra: SpanTermQuery, or an in-order
+    SpanNearQuery of plain terms with slop 0 (the exact-phrase shape —
+    the common reference usage).  Payloads must have been indexed with
+    ``IndexBuilder(payload_delimiter=...)``."""
+
+    wrapped: "Query"
+    function: str = "max"
+    include_span_score: bool = False
+
+    def __post_init__(self):
+        if self.function not in ("min", "max", "avg", "sum"):
+            raise ValueError(
+                "PayloadFunction must be min/max/avg/sum, got "
+                f"{self.function!r}"
+            )
+
+
+@dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """queries/payloads/SpanPayloadCheckQuery.java:45 — only spans whose
+    collected leaf payloads satisfy ``op`` against ``payloads``,
+    position-by-position.
+
+    A span matches iff it collects exactly ``len(payloads)`` leaf payloads
+    and every one satisfies the comparison against its counterpart
+    (PayloadCheckCollector + PayloadMatcherFactory; EQ additionally
+    requires the count to match — upto == payloadToMatch.size()).  A NULL
+    indexed payload never matches.  Payload type is numeric (FLOAT/INT
+    payload columns — the engine's indexed payload representation); the
+    raw-bytes STRING type is out of scope with the IdentityEncoder.
+
+    Scoring: the engine scores a matching doc by its matching-span count
+    (documented deviation — the reference scores filtered spans through
+    the sloppyFreq similarity; this engine's one positional scoring model
+    is the interval scorer, search/spans.py, and the check gate shape
+    only needs a deterministic rank)."""
+
+    match: "Query"
+    payloads: tuple
+    op: str = "eq"
+
+    def __post_init__(self):
+        if self.op not in ("eq", "gt", "gte", "lt", "lte"):
+            raise ValueError(f"unknown payload match op {self.op!r}")
+        object.__setattr__(
+            self, "payloads", tuple(float(p) for p in self.payloads)
+        )

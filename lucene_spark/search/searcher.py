@@ -1160,7 +1160,186 @@ class IndexSearcher:
             return self._scored_phrase_wildcard(q)
         if isinstance(q, FuzzyLikeThisQuery):
             return self._scored_fuzzy_like_this(q)
+        from lucene_spark.search.query import (
+            PayloadScoreQuery,
+            SpanPayloadCheckQuery,
+        )
+
+        if isinstance(q, PayloadScoreQuery):
+            return self._scored_payload_score(q)
+        if isinstance(q, SpanPayloadCheckQuery):
+            return self._scored_payload_check(q)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    # ------------------------------------------------------------------
+    # payloads (queries/payloads/* — PayloadScoreQuery.java:43,
+    # SpanPayloadCheckQuery.java:45).  Leaf payloads are gathered as pure
+    # JVM array algebra over the payload-bearing postings relation — one
+    # groupBy shuffle for the multi-term span shape, zero for the term
+    # shape, no UDF anywhere.
+
+    def _payload_span_lists(self, span) -> DataFrame:
+        """(doc_id, _pls: array<array<float>>) — one inner array per
+        matched span, holding that span's leaf payloads in leaf order
+        (nulls preserved: a position indexed without a payload).
+
+        Supported span shapes (PayloadScoreQuery's documented subset):
+        SpanTermQuery — every position is a 1-leaf span; in-order
+        SpanNearQuery of plain terms with slop 0 — the exact-phrase span,
+        leaves gathered per matched start via element_at/array_position."""
+        from lucene_spark.search.spans import SpanNearQuery, SpanTermQuery
+
+        if isinstance(span, SpanTermQuery):
+            rel = self.index.postings_for_terms([span.term], with_positions=True)
+            if "payloads" not in rel.columns:
+                raise ValueError(
+                    "payload query on an index built without "
+                    "payload_delimiter (no payloads relation)"
+                )
+            return rel.select(
+                "doc_id",
+                F.transform("payloads", lambda p: F.array(p)).alias("_pls"),
+            )
+        if (
+            isinstance(span, SpanNearQuery)
+            and span.slop == 0
+            and span.in_order
+        ):
+            terms = [
+                c.term if isinstance(c, SpanTermQuery) else c
+                for c in span.clauses
+            ]
+            if not all(isinstance(t, str) for t in terms):
+                raise ValueError(
+                    "payload near-span supports plain term clauses only"
+                )
+            uniq = sorted(set(terms))
+            rel = self.index.postings_for_terms(uniq, with_positions=True)
+            if "payloads" not in rel.columns:
+                raise ValueError(
+                    "payload query on an index built without "
+                    "payload_delimiter (no payloads relation)"
+                )
+            # one groupBy gathers every term's (positions, payloads) pair
+            # per doc (the _gather_positions single-shuffle shape)
+            ui = {t: i for i, t in enumerate(uniq)}
+            aggs = []
+            for i, t in enumerate(uniq):
+                w = F.when(F.col("term") == t, F.col("positions"))
+                aggs.append(F.max(w).alias(f"_p{i}"))
+                aggs.append(
+                    F.max(
+                        F.when(F.col("term") == t, F.col("payloads"))
+                    ).alias(f"_y{i}")
+                )
+            g = rel.groupBy("doc_id").agg(*aggs)
+            g = g.filter(
+                _and_all([F.col(f"_p{ui[t]}").isNotNull() for t in set(terms)])
+            )
+            k = len(terms)
+
+            def leaf(pos, j):
+                # leaf j of a span starting at pos: term_j's payload at
+                # position pos+j (array_position is 1-based, as element_at)
+                yj, pj = f"_y{ui[terms[j]]}", f"_p{ui[terms[j]]}"
+                return F.element_at(
+                    F.col(yj),
+                    F.array_position(F.col(pj), pos + F.lit(j)).cast("int"),
+                )
+
+            starts = F.filter(
+                F.col(f"_p{ui[terms[0]]}"),
+                lambda pos: _and_all(
+                    [
+                        F.array_contains(
+                            F.col(f"_p{ui[terms[j]]}"), pos + F.lit(j)
+                        )
+                        for j in range(1, k)
+                    ]
+                ),
+            )
+            pls = F.transform(
+                starts, lambda pos: F.array(*[leaf(pos, j) for j in range(k)])
+            )
+            return g.select("doc_id", pls.alias("_pls")).filter(
+                F.size("_pls") > 0
+            )
+        raise ValueError(
+            "PayloadScoreQuery/SpanPayloadCheckQuery support SpanTermQuery "
+            "or an in-order slop-0 SpanNearQuery of plain terms"
+        )
+
+    def _scored_payload_score(self, q) -> DataFrame:
+        """PayloadScoreQuery.java:43 + PayloadSpans.collectLeaf:219-232 —
+        fold the PayloadFunction over every leaf payload factor of every
+        matched span; NULL payloads decode to 1 (PayloadDecoder.java:29);
+        docScore of an empty fold is 1.  ``include_span_score`` multiplies
+        by the wrapped span query's engine score
+        (PayloadSpanScorer.scoreCurrentDoc)."""
+        base = self._payload_span_lists(q.wrapped)
+        flat = F.flatten(F.col("_pls"))
+        dec = F.transform(flat, lambda x: F.coalesce(x, F.lit(1.0)))
+        n = F.size(flat)
+        if q.function == "sum":
+            if self.score_type == "float":
+                # reference folds in float32, one leaf at a time
+                raw = F.aggregate(
+                    dec,
+                    F.lit(0.0).cast("float"),
+                    lambda a, x: (a + x.cast("float")).cast("float"),
+                ).cast("double")
+            else:
+                raw = F.aggregate(dec, F.lit(0.0), lambda a, x: a + x)
+        elif q.function == "min":
+            raw = F.array_min(dec)
+        elif q.function == "max":
+            raw = F.array_max(dec)
+        else:  # avg
+            raw = F.aggregate(dec, F.lit(0.0), lambda a, x: a + x) / n
+        pscore = F.when(n > 0, raw).otherwise(F.lit(1.0))
+        out = base.select(
+            "doc_id", pscore.cast(self.score_type).alias("score")
+        )
+        if q.include_span_score:
+            inner = self._scored(q.wrapped.rewrite()).withColumnRenamed(
+                "score", "_sp"
+            )
+            out = out.join(inner, "doc_id").select(
+                "doc_id",
+                (F.col("score") * F.col("_sp"))
+                .cast(self.score_type)
+                .alias("score"),
+            )
+        return out
+
+    def _scored_payload_check(self, q) -> DataFrame:
+        """SpanPayloadCheckQuery.java:45 — keep only spans whose collected
+        leaf payloads satisfy ``op`` against the reference list position by
+        position (count must match exactly; a NULL indexed payload never
+        matches).  Doc score = matching-span count (documented deviation,
+        see the query node)."""
+        base = self._payload_span_lists(q.match)
+        ref = F.array(*[F.lit(float(p)).cast("float") for p in q.payloads])
+        ops = {
+            "eq": lambda a, b: a == b,
+            "gt": lambda a, b: a > b,
+            "gte": lambda a, b: a >= b,
+            "lt": lambda a, b: a < b,
+            "lte": lambda a, b: a <= b,
+        }
+        cmp = ops[q.op]
+        span_ok = lambda sp: (F.size(sp) == F.lit(len(q.payloads))) & F.forall(  # noqa: E731
+            F.zip_with(sp, ref, lambda a, b: F.coalesce(cmp(a, b), F.lit(False))),
+            lambda v: v,
+        )
+        n_match = F.size(F.filter(F.col("_pls"), span_ok))
+        return (
+            base.select("doc_id", n_match.alias("_n"))
+            .filter(F.col("_n") > 0)
+            .select(
+                "doc_id", F.col("_n").cast(self.score_type).alias("score")
+            )
+        )
 
     def _scored_fuzzy_like_this(self, q) -> DataFrame:
         """FuzzyLikeThisQuery.rewrite (FuzzyLikeThisQuery.java:283-334):
