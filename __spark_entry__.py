@@ -7583,6 +7583,109 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+# ---------------------------------------------------------------------------
+# custom term frequencies (analysis/common/.../miscellaneous/
+# DelimitedTermFrequencyTokenFilter.java:41): "term|N" indexes term with
+# frequency N, field length = sum of frequencies (IndexingChain.java:1275),
+# DOCS_AND_FREQS — no positions.  The corpus weights each token by
+# (position % 3) + 1, identically derivable on both engines.
+
+
+def _tf_searcher(spark: SparkSession, sf_dir: str):
+    key = ("custom_tf", os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher
+
+        tr = _transcripts_df(spark, sf_dir)
+        wtext = F.array_join(
+            F.expr(
+                "transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+                " (t, i) -> concat(t, '|', (i % 3) + 1))"
+            ),
+            " ",
+        )
+        idx = IndexBuilder(num_segments=8, term_freq_delimiter="|").build(
+            tr.withColumn("text", wtext)
+        )
+        _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+    return _CACHE[key]
+
+
+def _q_custom_tf(terms, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+
+        _, searcher = _tf_searcher(spark, sf_dir)
+        q = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        )
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _custom_tf_sql(terms, k: int) -> str:
+    """BM25 over tf-weighted postings: the same tf/dfreq/dlq/stats CTE names
+    as _PRELUDE so _scored_from's scoring SQL applies verbatim — only the
+    frequency model differs (freq = sum of per-token weights, dl likewise)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    prelude = f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         text
+  FROM documents
+),
+parr AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM tr
+),
+wt AS (
+  SELECT conv_id, turn_idx, tok, (p % 3) + 1 AS w
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok,
+               unnest(range(0, len(arr))) AS p
+        FROM parr)
+),
+dl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(s.dl, 0) AS dl
+  FROM parr p
+  LEFT JOIN (SELECT conv_id, turn_idx, sum(w) AS dl FROM wt GROUP BY 1, 2) s
+    USING (conv_id, turn_idx)
+),
+dlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM dl
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         sum(dl) AS sttf
+  FROM dl
+),
+tf AS (
+  SELECT tok AS term, conv_id, turn_idx, CAST(sum(w) AS INT) AS freq
+  FROM wt GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT term, count(*) AS doc_freq, CAST(sum(freq) AS BIGINT) AS total_term_freq
+  FROM tf GROUP BY 1
+)
+"""
+    return (
+        prelude
+        + ", "
+        + _scored_from(f"tf.term IN ({tlist})").lstrip()
+        + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -7936,6 +8039,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score_topk": _q_payload_score("spark", "max", 10),
         "payload_near_avg_topk": _q_payload_near_avg("the", "customer", 10),
         "payload_check_match": _q_payload_check("customer", 5.0, 20),
+        "bm25_topk_custom_tf": _q_custom_tf(["spark", "query"], 10),
     }
 
 
@@ -8276,4 +8380,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "payload_score_topk": _payload_score_sql("spark", "max", 10),
         "payload_near_avg_topk": _payload_near_avg_sql("the", "customer", 10),
         "payload_check_match": _payload_check_sql("customer", 5.0, 20),
+        "bm25_topk_custom_tf": _custom_tf_sql(["spark", "query"], 10),
     }

@@ -109,6 +109,10 @@ class InvertedIndex:
     # term/freq/positions fetch without scanning the term-bucketed layout.
     # None until with_term_vectors() / load_index(tvecs present).
     term_vectors: Optional[DataFrame] = None
+    # False for DOCS_AND_FREQS indexes (term_freq_delimiter): positions are
+    # typed nulls, positional queries unsupported, check() skips the
+    # positions invariant (IndexOptions.DOCS_AND_FREQS semantics)
+    has_positions: bool = True
     # every DataFrame this index persisted (released by unpersist_all)
     cached: tuple = ()
 
@@ -234,13 +238,14 @@ class InvertedIndex:
             F.max("doc_id").alias("mx"),
         ).collect()[0]
         out["doc_ids_dense"] = did.nd == did.n and did.mn == 0 and did.mx == did.n - 1
-        posbad = self.postings.filter(
-            (F.size("positions") != F.col("freq"))
-            | (~F.expr(
-                "positions = array_sort(array_distinct(positions))"
-            ))
-        ).count()
-        out["positions_sorted_match_freq"] = posbad == 0
+        if self.has_positions:
+            posbad = self.postings.filter(
+                (F.size("positions") != F.col("freq"))
+                | (~F.expr(
+                    "positions = array_sort(array_distinct(positions))"
+                ))
+            ).count()
+            out["positions_sorted_match_freq"] = posbad == 0
         sttf = self.postings.agg(F.sum("freq")).collect()[0][0] or 0
         out["stats_sum_total_term_freq"] = sttf == self.stats["sum_total_term_freq"]
         if not all(out.values()):
@@ -262,9 +267,27 @@ class IndexBuilder:
         keyword_repeat: bool = False,
         payload_delimiter: Optional[str] = None,
         payload_encoder: str = "float",
+        term_freq_delimiter: Optional[str] = None,
     ):
         if invert not in ("arrow", "mapside", "shuffle"):
             raise ValueError(f"unknown invert strategy {invert}")
+        if term_freq_delimiter is not None:
+            # DelimitedTermFrequencyTokenFilter (analysis/common/.../
+            # miscellaneous/DelimitedTermFrequencyTokenFilter.java:41):
+            # "term|N" sets the token's term frequency to N; the field is
+            # indexed DOCS_AND_FREQS — no positions.  Same tokenizer caveat
+            # as payloads: whitespace tokenization, Arrow invert only.
+            if payload_delimiter is not None:
+                raise ValueError(
+                    "term_freq_delimiter and payload_delimiter are exclusive"
+                )
+            if analyzer is not None:
+                raise ValueError(
+                    "term_freq_delimiter uses whitespace tokenization; "
+                    "an analyzer chain is not supported"
+                )
+            if invert != "arrow":
+                raise ValueError("term_freq_delimiter requires invert='arrow'")
         if payload_delimiter is not None:
             # DelimitedPayloadTokenFilter (analysis/payloads.py): whitespace
             # tokenization only (the reference's "tokenizer must not split on
@@ -300,6 +323,7 @@ class IndexBuilder:
         self.keyword_repeat = keyword_repeat
         self.payload_delimiter = payload_delimiter
         self.payload_encoder = payload_encoder
+        self.term_freq_delimiter = term_freq_delimiter
 
     # -- deterministic dense doc ids ------------------------------------
     def assign_doc_ids(self, df: DataFrame) -> DataFrame:
@@ -533,10 +557,18 @@ class IndexBuilder:
         text_col = self.text_col
         pay_delim = self.payload_delimiter
         pay_enc = self.payload_encoder
-        entry_fields = [
-            StructField("term", StringType()),
-            StructField("positions", ArrayType(IntegerType())),
-        ]
+        tf_delim = self.term_freq_delimiter
+        if tf_delim is not None:
+            # DOCS_AND_FREQS layout: (term, freq), no positions
+            entry_fields = [
+                StructField("term", StringType()),
+                StructField("freq", IntegerType()),
+            ]
+        else:
+            entry_fields = [
+                StructField("term", StringType()),
+                StructField("positions", ArrayType(IntegerType())),
+            ]
         if pay_delim is not None:
             from pyspark.sql.types import FloatType
 
@@ -563,7 +595,32 @@ class IndexBuilder:
             for pdf in batches:
                 lengths = []
                 entries_out = []
-                if pay_delim is not None:
+                if tf_delim is not None:
+                    # DelimitedTermFrequencyTokenFilter.java:58-72: split at
+                    # the first delimiter, parse the tail as the int term
+                    # frequency (malformed -> raise, ArrayUtil.parseInt); a
+                    # token without the delimiter keeps frequency 1.  The
+                    # field length is the SUM of term frequencies
+                    # (IndexingChain.java:1275: invertState.length +=
+                    # termFreqAttribute.getTermFrequency()).
+                    for t in pdf[text_col]:
+                        toks = t.split() if t else []
+                        inv: dict = {}
+                        dl = 0
+                        for raw in toks:
+                            i = raw.find(tf_delim)
+                            if i < 0:
+                                term, tf = raw, 1
+                            else:
+                                term = raw[:i]
+                                tf = int(raw[i + len(tf_delim):])
+                            dl += tf
+                            inv[term] = inv.get(term, 0) + tf
+                        lengths.append(dl)
+                        entries_out.append(
+                            [{"term": k, "freq": v} for k, v in inv.items()]
+                        )
+                elif pay_delim is not None:
                     # DelimitedPayloadTokenFilter path: whitespace tokenize,
                     # split term|payload at the first delimiter, decode the
                     # payload with the configured encoder (analysis/payloads)
@@ -707,14 +764,25 @@ class IndexBuilder:
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "length", "norm", "segment",
             )
-            post_cols = [
-                F.col("_e.term").alias("term"),
-                F.col("doc_id"),
-                F.size("_e.positions").cast("int").alias("freq"),
-                F.col("_e.positions").alias("positions"),
-                F.col("norm"),
-                F.col("segment"),
-            ]
+            if self.term_freq_delimiter is not None:
+                # DOCS_AND_FREQS: explicit freq, typed-null positions
+                post_cols = [
+                    F.col("_e.term").alias("term"),
+                    F.col("doc_id"),
+                    F.col("_e.freq").alias("freq"),
+                    F.lit(None).cast("array<int>").alias("positions"),
+                    F.col("norm"),
+                    F.col("segment"),
+                ]
+            else:
+                post_cols = [
+                    F.col("_e.term").alias("term"),
+                    F.col("doc_id"),
+                    F.size("_e.positions").cast("int").alias("freq"),
+                    F.col("_e.positions").alias("positions"),
+                    F.col("norm"),
+                    F.col("segment"),
+                ]
             if self.payload_delimiter is not None:
                 # payloads ride the postings rows, aligned with positions
                 # (≙ the .pay file of Lucene90PostingsFormat)
@@ -822,5 +890,6 @@ class IndexBuilder:
             k1=self.k1,
             b=self.b,
             analyzer=self.analyzer,
+            has_positions=self.term_freq_delimiter is None,
             cached=cached,
         )
