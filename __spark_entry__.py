@@ -5089,6 +5089,102 @@ ranked AS (
 SELECT rank, surface, weight FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+def _q_suggest_blended(key: str, k: int, blender: str):
+    """BlendedInfixSuggester (BlendedInfixSuggester.java:56): the infix
+    lookup re-weighted by the first matched-token position."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.search.suggest import (
+            blended_infix_lookup,
+            build_analyzing_suggester,
+        )
+
+        an = Analyzer(stopwords=_EN_STOPS)
+        tr = _transcripts_df(spark, sf_dir)
+        entries = (
+            tr.select(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 3)
+                ).alias("surface")
+            )
+            .groupBy("surface")
+            .agg(F.count("*").cast("long").alias("weight"))
+        )
+        return blended_infix_lookup(
+            build_analyzing_suggester(entries, an), an, key, k, blender=blender
+        )
+
+    return run
+
+
+def _suggest_blended_sql(key: str, k: int, blender: str) -> str:
+    from lucene_spark.analysis import Analyzer
+    from lucene_spark.search.suggest import BLENDED_NUM_FACTOR
+
+    toks = Analyzer(stopwords=_EN_STOPS).analyze_query(key)
+    exact = toks if key != key.rstrip() else toks[:-1]
+    prefix = None if key != key.rstrip() else toks[-1]
+    conds = [f"len(list_filter(karr, t -> t = '{t}')) > 0" for t in exact]
+    match_tok = " OR ".join(
+        [f"tok IN ({', '.join(repr(t) for t in exact)})" if exact else "FALSE"]
+        + ([f"starts_with(tok, '{prefix}')"] if prefix else [])
+    )
+    if prefix is not None:
+        conds.append(
+            f"len(list_filter(karr, t -> starts_with(t, '{prefix}'))) > 0"
+        )
+    where = " AND ".join(conds)
+    coef = {
+        "linear": "1.0 - 0.10 * mp",
+        "reciprocal": "1.0 / (mp + 1.0)",
+        "exponential_reciprocal": "1.0 / pow(mp + 1.0, 2.0)",
+    }[blender]
+    return f"""
+WITH surf AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS surface,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM documents GROUP BY 1
+),
+keyed AS (
+  SELECT list_filter(regexp_extract_all(lower(surface), '[a-z0-9]+'),
+                     t -> t NOT IN ({_AN_STOPLIST})) AS karr,
+         surface, weight
+  FROM surf
+),
+cands AS (
+  SELECT karr, surface, weight FROM keyed
+  WHERE len(karr) > 0 AND {where}
+  ORDER BY weight DESC, surface LIMIT {k * BLENDED_NUM_FACTOR}
+),
+minpos AS (
+  SELECT surface, min(p) AS mp
+  FROM (SELECT surface, unnest(karr) AS tok,
+               unnest(range(0, len(karr))) AS p
+        FROM cands)
+  WHERE {match_tok}
+  GROUP BY 1
+),
+scored AS (
+  SELECT c.surface,
+         CAST(trunc(
+           (CASE WHEN abs(wa) < 10 THEN wa * 10 ELSE wa END)
+           * (CASE WHEN starts_with(c.surface, '{key}') THEN 1.0
+                   ELSE {coef} END)
+           ) AS BIGINT) AS score
+  FROM (SELECT surface, weight,
+               CASE WHEN weight = 0 THEN 1 ELSE weight END AS wa
+        FROM cands) c
+  JOIN minpos USING (surface)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, surface) AS INT) AS rank,
+         surface, score
+  FROM scored
+)
+SELECT rank, surface, score FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def _q_geo_distance(lat: float, lon: float, radius_m: float, k: int):
     """LatLonPoint surface (core/document/LatLonPoint.java:295
     newDistanceQuery + LatLonDocValuesField.newDistanceSort): docs within
@@ -7686,6 +7782,116 @@ dfreq AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# BooleanPerceptronClassifier (classification/BooleanPerceptronClassifier.
+# java:59-240): sequential perceptron pass over one conversation's turns
+# (label = role == 'de'), then distributed classification.  The oracle twin
+# UNROLLS the sequential pass: one (output, modifier, weights) CTE triple
+# per training doc — exact, because batch_size=1 makes the FST snapshot
+# equal to the live weights after every update.
+
+
+def _q_perceptron(train_conv: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from lucene_spark.pipeline.classify import boolean_perceptron
+
+        tr = _transcripts_df(spark, sf_dir)
+        keys = tr.filter(F.col("conv_id") == train_conv).select(
+            "conv_id", "turn_idx", (F.col("role") == "de").alias("label")
+        )
+        out = boolean_perceptron(tr, keys, "label")
+        w = Window.orderBy(
+            F.desc("out_w"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        return (
+            out.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "conv_id", "turn_idx", "out_w", "assigned")
+            .orderBy("rank")
+        )
+
+    return run
+
+
+def _perceptron_sql(train_conv: str, k: int) -> str:
+    steps = []
+    for i in range(TURNS_PER_CONV):
+        p = i  # turn_idx of training doc i; previous weights CTE index
+        steps.append(f"""
+lab{i} AS (
+  SELECT (role = 'de') AS correct FROM tr
+  WHERE conv_id = '{train_conv}' AND turn_idx = {i}
+),
+d{i} AS MATERIALIZED (
+  SELECT term, tf FROM tfr
+  WHERE conv_id = '{train_conv}' AND turn_idx = {i}
+),
+o{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(d.tf * w.w), 0) AS out
+  FROM d{i} d JOIN w{i} w USING (term)
+),
+m{i} AS MATERIALIZED (
+  SELECT CASE WHEN l.correct AND NOT (o.out >= b.bias) THEN 1
+              WHEN (o.out >= b.bias) AND NOT l.correct THEN -1
+              ELSE 0 END AS mod
+  FROM (SELECT COALESCE((SELECT out FROM o{i}), 0) AS out) o
+  CROSS JOIN biasv b CROSS JOIN lab{i} l
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT w.term,
+         CASE WHEN m.mod <> 0 AND d.term IS NOT NULL
+              THEN greatest(0, w.w + m.mod * d.tf)
+              ELSE w.w END AS w
+  FROM w{i} w LEFT JOIN d{i} d USING (term) CROSS JOIN m{i} m
+)""")
+        _ = p
+    n = TURNS_PER_CONV
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         lang AS role, text
+  FROM documents
+),
+tfr AS MATERIALIZED (
+  SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT conv_id, turn_idx,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM tr)
+  GROUP BY 1, 2, 3
+),
+w0 AS MATERIALIZED (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS w FROM tfr GROUP BY 1
+),
+dlr AS (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM tr
+),
+biasv AS MATERIALIZED (
+  SELECT CAST(sum(dl) AS DOUBLE) / (count(*) FILTER (WHERE dl > 0)) AS bias
+  FROM dlr
+),{", ".join(steps)},
+outw AS (
+  SELECT t.conv_id, t.turn_idx, sum(t.tf * w.w) AS out_w
+  FROM tfr t JOIN w{n} w USING (term) GROUP BY 1, 2
+),
+res AS (
+  SELECT a.conv_id, a.turn_idx, COALESCE(o.out_w, 0) AS out_w
+  FROM (SELECT conv_id, turn_idx FROM tr) a
+  LEFT JOIN outw o USING (conv_id, turn_idx)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY out_w DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, out_w, (out_w >= b.bias) AS assigned
+  FROM res CROSS JOIN biasv b
+)
+SELECT rank, conv_id, turn_idx, out_w, assigned
+FROM ranked WHERE rank <= {k} ORDER BY rank"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8040,6 +8246,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_near_avg_topk": _q_payload_near_avg("the", "customer", 10),
         "payload_check_match": _q_payload_check("customer", 5.0, 20),
         "bm25_topk_custom_tf": _q_custom_tf(["spark", "query"], 10),
+        "perceptron_classify_topk": _q_perceptron("conv000000", 10),
+        "suggest_blended_infix": _q_suggest_blended("data c", 10, "reciprocal"),
     }
 
 
@@ -8381,4 +8589,6 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "payload_near_avg_topk": _payload_near_avg_sql("the", "customer", 10),
         "payload_check_match": _payload_check_sql("customer", 5.0, 20),
         "bm25_topk_custom_tf": _custom_tf_sql(["spark", "query"], 10),
+        "perceptron_classify_topk": _perceptron_sql("conv000000", 10),
+        "suggest_blended_infix": _suggest_blended_sql("data c", 10, "reciprocal"),
     }

@@ -139,3 +139,143 @@ def knn_classify(
         .select(F.col(class_col).alias("assigned"), "vote")
         .orderBy(F.desc("vote"), F.asc("assigned"))
     )
+
+
+def boolean_perceptron(
+    docs_df: DataFrame,
+    train_keys: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_cols: tuple = ("conv_id", "turn_idx"),
+    bias: float | None = None,
+    batch_size: int = 1,
+    max_train_docs: int = 10_000,
+) -> DataFrame:
+    """BooleanPerceptronClassifier
+    (classification/BooleanPerceptronClassifier.java:59-240): weights start
+    as per-term totalTermFreq over the corpus, then one sequential pass over
+    the training docs updates them perceptron-style; classification of the
+    full corpus is the weighted token sum against ``bias``.
+
+    Exact reference semantics:
+
+    * initial weight(term) = totalTermFreq(term) over the corpus (the
+      constructor seeds from the index's textTerms);
+    * default bias = sumTotalTermFreq / docCount of the text field;
+    * training visits docs in doc order (the MatchAll ScoreDoc order ≙
+      ascending ``id_cols``); per doc: output = Σ_token tf·fst(term)
+      (``assignClass``), assigned = output >= bias; when assigned !=
+      label, modifier = signum(label - assigned) and every distinct doc
+      term w is set to max(0, fst(w) + modifier·tf) — reads come from the
+      FST SNAPSHOT, which is rebuilt only when batchCount % batch_size ==
+      0 (``updateWeights``/``updateFST``; weights are long-truncated at
+      snapshot time, PositiveIntOutputs);
+    * classification: output = Σ_token tf·w(term), assigned = output >=
+      bias, score = 1 − exp(−|bias − output| / bias).
+
+    Scale shape: the sequential pass is inherently order-dependent (the
+    reference trains one doc at a time), so TRAINING state lives on the
+    driver — but only for terms occurring in the training docs (bounded
+    by ``max_train_docs``, raises beyond it); every untouched term keeps
+    weight == totalTermFreq, which stays a distributed relation.  The
+    final weights are (corpus ttf) LEFT JOIN (broadcast overrides), and
+    CLASSIFICATION is one exploded-token join + hash agg over the corpus
+    — fully distributed, no UDF.
+
+    ``train_keys``: relation of id_cols + a BOOLEAN ``label_col`` — the
+    training subset (the reference's ``query`` filter + the class field
+    parsed by Boolean.valueOf).  Returns (id_cols..., out_w:long,
+    assigned:boolean, score:double) for every corpus doc.
+    """
+    ids = list(id_cols)
+    toks = docs_df.select(*ids, F.explode(_tokens(text_col)).alias("term"))
+    tf_rel = toks.groupBy(*ids, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ttf_rel = tf_rel.groupBy("term").agg(F.sum("tf").alias("ttf"))
+
+    if bias is None or bias == 0.0:
+        row = (
+            docs_df.select(F.size(_tokens(text_col)).alias("_dl"))
+            .agg(
+                F.sum("_dl").alias("sttf"),
+                F.sum(F.when(F.col("_dl") > 0, 1).otherwise(0)).alias("dc"),
+            )
+            .collect()[0]
+        )
+        if not row.dc:
+            raise ValueError("empty corpus: bias cannot be derived")
+        bias = float(row.sttf) / float(row.dc)
+    bias = float(bias)
+
+    # ---- sequential training pass (driver-side, bounded) ----------------
+    train = (
+        tf_rel.join(train_keys.select(*ids, label_col), ids)
+        .groupBy(*ids)
+        .agg(
+            F.first(label_col).alias("_label"),
+            F.map_from_arrays(
+                F.collect_list("term"), F.collect_list("tf")
+            ).alias("_tfs"),
+        )
+        .orderBy(*ids)
+    )
+    rows = train.limit(max_train_docs + 1).collect()
+    if len(rows) > max_train_docs:
+        raise ValueError(
+            f"training set exceeds max_train_docs={max_train_docs}; "
+            "the perceptron pass is sequential by definition — cap the "
+            "training subset or raise the limit explicitly"
+        )
+    vocab = sorted({t for r in rows for t in r._tfs})
+    seed = {
+        r.term: int(r.ttf)
+        for r in ttf_rel.filter(F.col("term").isin(vocab)).collect()
+    }
+    weights = dict(seed)   # live map (reference's ConcurrentSkipListMap)
+    fst = dict(seed)       # long-truncated snapshot (the FST)
+    batch_count = 0
+    for r in rows:
+        if r._label is None:
+            continue
+        tfs = r._tfs
+        output = sum(tfs[t] * fst.get(t, 0) for t in tfs)
+        assigned = output >= bias
+        correct = bool(r._label)
+        modifier = (1 if correct else 0) - (1 if assigned else 0)
+        if modifier != 0:
+            for t, tf in tfs.items():
+                prev = fst.get(t)
+                weights[t] = (
+                    0 if prev is None else max(0, prev + modifier * int(tf))
+                )
+            if batch_count % batch_size == 0:
+                fst = {k: int(v) for k, v in weights.items()}
+        batch_count += 1
+
+    overrides = {t: int(fst.get(t, 0)) for t in vocab}
+    spark = docs_df.sparkSession
+    ov_df = spark.createDataFrame(
+        sorted(overrides.items()), "term string, _ow long"
+    )
+
+    # ---- distributed classification --------------------------------------
+    w_rel = ttf_rel.join(F.broadcast(ov_df), "term", "left").select(
+        "term", F.coalesce("_ow", "ttf").alias("_w")
+    )
+    out = (
+        tf_rel.join(w_rel, "term")
+        .groupBy(*ids)
+        .agg(F.sum(F.col("tf") * F.col("_w")).alias("out_w"))
+    )
+    keys = docs_df.select(*ids)
+    out = keys.join(out, ids, "left").select(
+        *ids, F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w")
+    )
+    b = F.lit(bias)
+    return out.select(
+        *ids,
+        "out_w",
+        (F.col("out_w") >= b).alias("assigned"),
+        (F.lit(1.0) - F.exp(-F.abs(b - F.col("out_w")) / b)).alias("score"),
+    )

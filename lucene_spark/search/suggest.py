@@ -367,6 +367,100 @@ def infix_lookup(
     ).orderBy("rank")
 
 
+BLENDED_LINEAR_COEF = 0.10  # BlendedInfixSuggester.java:66
+BLENDED_NUM_FACTOR = 10  # BlendedInfixSuggester.java:63 DEFAULT_NUM_FACTOR
+
+
+def blended_infix_lookup(
+    suggester: DataFrame,
+    analyzer,
+    key: str,
+    k: int = 10,
+    blender: str = "linear",
+    exponent: float = 2.0,
+    num_factor: int = BLENDED_NUM_FACTOR,
+    all_terms_required: bool = True,
+) -> DataFrame:
+    """(rank, surface, score): BlendedInfixSuggester
+    (suggest/.../analyzing/BlendedInfixSuggester.java:56-305) — the infix
+    lookup re-weighted by WHERE the match sits in the suggestion:
+
+    * the inner infix search retrieves ``k * num_factor`` candidates by
+      weight (BlendedInfixSuggester.lookup's ``num * numFactor``);
+    * coefficient = 1 when the raw surface startsWith the raw key, else
+      computed from the FIRST position p of any matched token (exact
+      tokens, or the prefix token as a token prefix —
+      ``createCoefficient``): ``linear`` 1 − 0.10·p, ``reciprocal``
+      1/(p+1), ``exponential_reciprocal`` 1/(p+1)^exponent
+      (``calculateCoefficient``);
+    * weight 0 becomes 1; |weight| < 1/LINEAR_COEF is scaled by
+      1/LINEAR_COEF so the linear blend can discriminate small weights
+      (lookup:266-270); score = (long)(weight · coefficient) — Java's
+      toward-zero truncation ≡ Spark's double→long cast;
+    * final top-k by score desc, surface asc (deterministic tie-break).
+
+    Pure JVM expressions over the suggester relation — the position scan
+    is an array transform over the analyzed key tokens."""
+    from pyspark.sql import Window
+
+    if blender not in ("linear", "reciprocal", "exponential_reciprocal"):
+        raise ValueError(f"unknown blender type {blender!r}")
+    toks = analyzer.analyze_query(key)
+    if not toks:
+        return suggester.select(
+            F.lit(1).alias("rank"), "surface", F.col("weight").alias("score")
+        ).limit(0)
+    last_ended = key != key.rstrip()
+    tarr = F.split(F.col("key"), " ")
+    exact = list(toks) if last_ended else list(toks[:-1])
+    prefix = None if last_ended else toks[-1]
+    conds = [F.array_contains(tarr, t) for t in exact]
+    if prefix is not None:
+        conds.append(F.exists(tarr, lambda x: x.startswith(prefix)))
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = (pred & c) if all_terms_required else (pred | c)
+    cands = (
+        suggester.filter(pred)
+        .orderBy(F.desc("weight"), F.asc("surface"))
+        .limit(k * num_factor)
+    )
+
+    def _tok_match(x):
+        m = F.lit(False)
+        if exact:
+            m = x.isin(exact)
+        if prefix is not None:
+            m = m | x.startswith(prefix)
+        return m
+
+    # first (minimum) position of any matched token; array_min skips the
+    # null entries the non-matching positions map to
+    minpos = F.array_min(
+        F.transform(tarr, lambda x, i: F.when(_tok_match(x), i))
+    ).cast("double")
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(BLENDED_LINEAR_COEF) * minpos
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (minpos + F.lit(1.0))
+    else:
+        coef = F.lit(1.0) / F.pow(minpos + F.lit(1.0), F.lit(float(exponent)))
+    coef = F.when(F.col("surface").startswith(key), F.lit(1.0)).otherwise(coef)
+    wadj = F.when(F.col("weight") == 0, F.lit(1).cast("long")).otherwise(
+        F.col("weight")
+    )
+    lim = int(1 / BLENDED_LINEAR_COEF)
+    wadj = F.when((wadj < lim) & (wadj > -lim), wadj * lim).otherwise(wadj)
+    scored = cands.select(
+        "surface", (wadj.cast("double") * coef).cast("long").alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("surface")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("surface"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "surface", "score"
+    ).orderBy("rank")
+
+
 FREETEXT_ALPHA = 0.4  # FreeTextSuggester.java:126 stupid-backoff constant
 
 
