@@ -7892,6 +7892,151 @@ SELECT rank, conv_id, turn_idx, out_w, assigned
 FROM ranked WHERE rank <= {k} ORDER BY rank"""
 
 
+# ---------------------------------------------------------------------------
+# PatternReplaceFilter / ReverseStringFilter / FixedShingleFilter gates
+# (pattern/PatternReplaceFilter.java, reverse/ReverseStringFilter.java,
+# shingle/FixedShingleFilter.java).
+
+
+def _q_pattern_replace(terms, k: int):
+    """BM25 over an index whose tokens bucket every digit run to '0'
+    (pattern_replace=[0-9]+ -> 0 — the classic number-normalization
+    chain); dl is unchanged (replace never drops tokens)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+        from lucene_spark.search import IndexSearcher
+
+        key = ("patrep", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            an = Analyzer(pattern_replace=(("[0-9]+", "0"),))
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(
+                _transcripts_df(spark, sf_dir)
+            )
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _pattern_replace_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    prelude = _PRELUDE.replace(
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term",
+        "unnest(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+        " t -> regexp_replace(t, '[0-9]+', '0', 'g'))) AS term",
+    )
+    return (
+        prelude
+        + ", "
+        + _scored_from(f"tf.term IN ({tlist})").lstrip()
+        + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
+def _q_leading_wildcard(suffix: str):
+    """Leading wildcard *<suffix> as a PREFIX seek on a reversed-token
+    index (ReverseStringFilter's documented purpose): match set of docs
+    with any token ending in the suffix."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher, PrefixQuery
+
+        key = ("reversed", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            an = Analyzer(reverse_tokens=True)
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(
+                _transcripts_df(spark, sf_dir)
+            )
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        idx, searcher = _CACHE[key]
+        q = PrefixQuery(suffix[::-1])
+        matches = searcher.scored(q).select("doc_id").distinct()
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        return matches.join(keys, "doc_id").select("conv_id", "turn_idx")
+
+    return run
+
+
+def _leading_wildcard_sql(suffix: str) -> str:
+    return (
+        _PRELUDE
+        + "SELECT DISTINCT conv_id, turn_idx FROM toks "
+        + f"WHERE term LIKE '%{suffix}'"
+    )
+
+
+def _q_fixed_shingle(phrase: str, k: int):
+    """BM25 over a FixedShingleFilter index (only 2-word shingles are
+    indexed; dl counts shingles, i.e. max(len-1, 0))."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import IndexSearcher, TermQuery
+
+        key = ("fixsh", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            an = Analyzer(shingle_size=2, fixed_shingles=True)
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(
+                _transcripts_df(spark, sf_dir)
+            )
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        return _ranked_topk(searcher, TermQuery(phrase), k)
+
+    return run
+
+
+def _fixed_shingle_sql(phrase: str, k: int) -> str:
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+dl AS (
+  SELECT conv_id, turn_idx, greatest(len(arr) - 1, 0) AS dl FROM tr
+),
+dlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM dl
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM dl
+),
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_transform(range(1, len(arr)),
+                i -> concat(arr[i], ' ', arr[i + 1]))) AS term
+  FROM tr
+),
+tf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM toks GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT term, count(*) AS doc_freq, CAST(sum(freq) AS BIGINT) AS total_term_freq
+  FROM tf GROUP BY 1
+), """ + _scored_from(f"tf.term = '{phrase}'").lstrip() + (
+        f"SELECT rank, conv_id, turn_idx, score_i FROM ranked "
+        f"WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8248,6 +8393,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_custom_tf": _q_custom_tf(["spark", "query"], 10),
         "perceptron_classify_topk": _q_perceptron("conv000000", 10),
         "suggest_blended_infix": _q_suggest_blended("data c", 10, "reciprocal"),
+        "bm25_topk_pattern_replace": _q_pattern_replace(["0", "spark"], 10),
+        "leading_wildcard_match": _q_leading_wildcard("ark"),
+        "fixed_shingle_topk": _q_fixed_shingle("the customer", 10),
     }
 
 
@@ -8591,4 +8739,7 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "bm25_topk_custom_tf": _custom_tf_sql(["spark", "query"], 10),
         "perceptron_classify_topk": _perceptron_sql("conv000000", 10),
         "suggest_blended_infix": _suggest_blended_sql("data c", 10, "reciprocal"),
+        "bm25_topk_pattern_replace": _pattern_replace_sql(["0", "spark"], 10),
+        "leading_wildcard_match": _leading_wildcard_sql("ark"),
+        "fixed_shingle_topk": _fixed_shingle_sql("the customer", 10),
     }

@@ -533,8 +533,51 @@ class Analyzer:
     # matches first within each pass — proven equal on the reference's
     # own TestScandinavian*Filter vectors plus randomized strings.
     scandinavian: str | None = None
+    # PatternReplaceFilter (pattern/PatternReplaceFilter.java:33) with
+    # replaceAll=true (the PatternReplaceFilterFactory default; the
+    # replace-first variant is out of scope): (pattern, replacement)
+    # pairs applied IN ORDER to every token right after the tokenize
+    # rewrites, before stop.  Patterns stay inside the shared
+    # Python-re/Java/RE2 subset; replacements use Python backref syntax
+    # (converted to Java's $N in the JVM lowering, like pre_sub).
+    pattern_replace: tuple = ()
+    # ReverseStringFilter (reverse/ReverseStringFilter.java:36): reverse
+    # every surviving token — the reversed-field layout that turns a
+    # leading wildcard into a prefix seek (the filter's documented use).
+    # Applied after the hole-preserving drops and truncate; composes with
+    # the drop/rewrite stages only (a stem of a reversed token is
+    # meaningless — guarded below).
+    reverse_tokens: bool = False
+    # FixedShingleFilter (shingle/FixedShingleFilter.java:35 — a
+    # ShingleFilter with outputUnigrams=false): ONLY the size-n word
+    # shingles are emitted; requires shingle_size, composes with nothing
+    # else (the unigram-side filters have no stream to act on).
+    fixed_shingles: bool = False
 
     def __post_init__(self):
+        if self.pattern_replace:
+            for pat, rep in self.pattern_replace:
+                _re.compile(pat)  # raise early on a bad pattern
+        if self.reverse_tokens and (
+            self.stemmer is not None
+            or self.synonyms
+            or self.graph_synonyms
+            or self.shingle_size
+            or self.ngram
+            or self.edge_ngram
+            or self.common_grams
+        ):
+            raise ValueError(
+                "reverse_tokens composes with the drop/rewrite stages only"
+            )
+        if self.fixed_shingles:
+            if not self.shingle_size:
+                raise ValueError("fixed_shingles requires shingle_size")
+            if self.stopwords or self.stemmer or self.synonyms:
+                raise ValueError(
+                    "fixed_shingles drops the unigram stream; unigram-side "
+                    "stages do not compose"
+                )
         if self.word_delimiter:
             from lucene_spark.analysis.worddelim import _ALL_FLAGS
 
@@ -1200,6 +1243,9 @@ class Analyzer:
             and not self.urls_emails
             and not self.limit_tokens
             and not self.common_grams
+            and not self.pattern_replace
+            and not self.reverse_tokens
+            and not self.fixed_shingles
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1233,6 +1279,9 @@ class Analyzer:
             "urls_emails": self.urls_emails,
             "limit_tokens": self.limit_tokens,
             "common_grams": sorted(self.common_grams),
+            "pattern_replace": [list(p) for p in self.pattern_replace],
+            "reverse_tokens": self.reverse_tokens,
+            "fixed_shingles": self.fixed_shingles,
         }
 
     @classmethod
@@ -1273,6 +1322,11 @@ class Analyzer:
             urls_emails=d.get("urls_emails", False),
             limit_tokens=d.get("limit_tokens", 0),
             common_grams=frozenset(d.get("common_grams", ())),
+            pattern_replace=tuple(
+                (p, r) for p, r in d.get("pattern_replace", ())
+            ),
+            reverse_tokens=d.get("reverse_tokens", False),
+            fixed_shingles=d.get("fixed_shingles", False),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1346,10 +1400,15 @@ class Analyzer:
             if self.scandinavian:
                 fn = _SCANDINAVIAN_PY[self.scandinavian]
                 toks = [fn(t) for t in toks]
+            if self.pattern_replace:
+                for pat, rep in self.pattern_replace:
+                    toks = [_re.sub(pat, rep, t) for t in toks]
             if self.graph_synonyms:
                 pairs = self._graph_scan(toks)
             else:
                 pairs = list(zip(toks, range(len(toks))))
+        if self.fixed_shingles:
+            pairs = []  # outputUnigrams=false: only the shingles below
         out: list[tuple[str, int]] = []
         syn = self.syn_map
         for t, pos in pairs:
@@ -1363,6 +1422,8 @@ class Analyzer:
                 continue
             if self.truncate:
                 t = t[: self.truncate]
+            if self.reverse_tokens:
+                t = t[::-1]
             if self.ngram is not None:
                 mn, mx = self.ngram
                 for ln in range(mn, mx + 1):
@@ -1449,6 +1510,8 @@ class Analyzer:
                 t = t[:-2]
             if self.scandinavian:
                 t = _SCANDINAVIAN_PY[self.scandinavian](t)
+            for pat, rep in self.pattern_replace:
+                t = _re.sub(pat, rep, t)
             if not self._keeps_token(t):
                 continue
             out.append((self._stem_token(t), pos))
@@ -1484,6 +1547,8 @@ class Analyzer:
                 outs = list(dict.fromkeys(fn(t)))
                 return outs[0] if outs else t
             return fn(t)
+        if self.reverse_tokens:
+            return t[::-1]
         return t
 
     def analyze_query(self, text: str | None) -> list[str]:
@@ -1653,6 +1718,14 @@ class Analyzer:
                 return F.translate(t, "åäæöø", "aaaoo")
 
             toks = F.transform(toks, _scan_fold)
+        def _mk_replace(p, r):
+            # bind via closure: a default-arg lambda would change the HOF
+            # arity PySpark infers from the signature
+            return lambda t: F.regexp_replace(t, p, r)
+
+        for pat, rep in self.pattern_replace:
+            jrep = _re.sub(r"\\(\d)", r"$\1", rep)
+            toks = F.transform(toks, _mk_replace(pat, jrep))
         if self.graph_synonyms:
             entries = self._graph_entries_expr(toks)
         else:
@@ -1682,6 +1755,14 @@ class Analyzer:
                 entries,
                 lambda e: F.struct(
                     F.substring(e["term"], 1, self.truncate).alias("term"),
+                    e["pos"].alias("pos"),
+                ),
+            )
+        if self.reverse_tokens:
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    F.reverse(e["term"]).alias("term"),
                     e["pos"].alias("pos"),
                 ),
             )
@@ -1772,7 +1853,11 @@ class Analyzer:
                     i.cast("int").alias("pos"),
                 ),
             )
-            entries = F.concat(entries, shingles)
+            entries = (
+                shingles  # FixedShingleFilter: no unigram stream
+                if self.fixed_shingles
+                else F.concat(entries, shingles)
+            )
         if self.common_grams:
             cg_lit = F.array(*[F.lit(s) for s in sorted(self.common_grams)])
             idxs2 = F.when(

@@ -1,0 +1,117 @@
+"""PatternReplaceFilter / ReverseStringFilter / FixedShingleFilter stages
+(pattern/PatternReplaceFilter.java, reverse/ReverseStringFilter.java,
+shingle/FixedShingleFilter.java): python-vs-JVM parity + semantics."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis import Analyzer
+
+
+def _jvm(spark, an, text):
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(an.entries_expr(F.col("text")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    return [(x.term, x.pos) for x in row]
+
+
+def test_pattern_replace_basic(spark):
+    an = Analyzer(pattern_replace=(("(ab)+", "x"),))
+    got = an.analyze_text("fooabab bar cabd")
+    assert got == [("foox", 0), ("bar", 1), ("cxd", 2)]
+    assert _jvm(spark, an, "fooabab bar cabd") == got
+
+
+def test_pattern_replace_backref(spark):
+    # collapse doubled letters via a backref — Python \1 syntax, lowered
+    # to Java's $1
+    an = Analyzer(pattern_replace=((r"([a-z])\1", r"\1"),))
+    got = an.analyze_text("aabbcc dd spark")
+    assert got == [("abc", 0), ("d", 1), ("spark", 2)]
+    assert _jvm(spark, an, "aabbcc dd spark") == got
+
+
+def test_pattern_replace_before_stop(spark):
+    # a replacement that produces a stopword: the token drops WITH a hole
+    an = Analyzer(
+        stopwords=frozenset({"the"}), pattern_replace=(("^spk$", "the"),)
+    )
+    got = an.analyze_text("spk data")
+    assert got == [("data", 1)]
+    assert _jvm(spark, an, "spk data") == got
+
+
+def test_pattern_replace_query_side():
+    an = Analyzer(pattern_replace=(("(ab)+", "x"),))
+    assert an.analyze_query("fooabab bar") == ["foox", "bar"]
+
+
+def test_reverse_tokens(spark):
+    an = Analyzer(reverse_tokens=True)
+    got = an.analyze_text("Spark data")
+    assert got == [("kraps", 0), ("atad", 1)]
+    assert _jvm(spark, an, "Spark data") == got
+    assert an.analyze_query("spark") == ["kraps"]
+
+
+def test_reverse_leading_wildcard_layout(spark):
+    """The documented ReverseStringFilter use: a leading wildcard becomes
+    a PREFIX seek on the reversed index."""
+    from lucene_spark.fixtures.transcripts import transcripts_df
+    from lucene_spark.index import IndexBuilder
+    from lucene_spark.search import IndexSearcher, PrefixQuery
+
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "role": "u", "text": "spark dark", "tool": "", "ts": None},
+        {"conv_id": "c0", "turn_idx": 1, "role": "u", "text": "sparse marks", "tool": "", "ts": None},
+    ]
+    an = Analyzer(reverse_tokens=True)
+    idx = IndexBuilder(num_segments=2, analyzer=an).build(
+        transcripts_df(spark, rows=rows)
+    )
+    s = IndexSearcher(idx, scoring="plain_f64")
+    # *ark -> prefix "kra" on the reversed terms
+    hits = {
+        (r.conv_id, r.turn_idx)
+        for r in s.search(PrefixQuery("kra"), k=10).collect()
+    }
+    assert hits == {("c0", 0)}  # spark + dark reverse to kraps/krad
+
+
+def test_reverse_guard():
+    with pytest.raises(ValueError):
+        Analyzer(reverse_tokens=True, stemmer="s")
+
+
+def test_fixed_shingles(spark):
+    an = Analyzer(shingle_size=2, fixed_shingles=True)
+    got = an.analyze_text("a b c")
+    assert got == [("a b", 0), ("b c", 1)]
+    assert _jvm(spark, an, "a b c") == got
+    # sub-size stream: no output at all (FixedShingleFilter emits nothing)
+    assert an.analyze_text("solo") == []
+    assert _jvm(spark, an, "solo") == []
+
+
+def test_fixed_shingles_guards():
+    with pytest.raises(ValueError):
+        Analyzer(fixed_shingles=True)
+    with pytest.raises(ValueError):
+        Analyzer(
+            fixed_shingles=True,
+            shingle_size=2,
+            stopwords=frozenset({"the"}),
+        )
+
+
+def test_new_stages_json_roundtrip():
+    for an in (
+        Analyzer(pattern_replace=((r"([a-z])\1", r"\1"),)),
+        Analyzer(reverse_tokens=True),
+        Analyzer(shingle_size=3, fixed_shingles=True),
+    ):
+        assert Analyzer.from_json(an.to_json()) == an
