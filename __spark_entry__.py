@@ -8037,6 +8037,54 @@ dfreq AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHashFilter (analysis/minhash/MinHashFilter.java): per-doc fingerprint
+# token counts.  The hash VALUES are pinned against the reference's own
+# char vectors in tests/test_minhash_filter.py (murmur128 is not
+# SQL-expressible); the twin checks the emission-shape invariant — with
+# rotation and set size 1 a doc with >= shingle_size tokens emits exactly
+# hash_count * bucket_count tokens, else none.
+
+
+def _q_minhash_count(hash_count: int, bucket_count: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.dedup import minhash_filter_fingerprints
+
+        tr = _transcripts_df(spark, sf_dir)
+        fp = minhash_filter_fingerprints(
+            tr,
+            shingle_size=5,
+            hash_count=hash_count,
+            bucket_count=bucket_count,
+            hash_set_size=1,
+            with_rotation=True,
+        )
+        return (
+            fp.select(
+                "conv_id",
+                "turn_idx",
+                F.size("minhash").cast("int").alias("n_minhash"),
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    return run
+
+
+def _minhash_count_sql(hash_count: int, bucket_count: int) -> str:
+    n = hash_count * bucket_count
+    return f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+  FROM documents
+)
+SELECT conv_id, turn_idx,
+       CAST(CASE WHEN ntok >= 5 THEN {n} ELSE 0 END AS INT) AS n_minhash
+FROM tr ORDER BY conv_id, turn_idx"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8396,6 +8444,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_pattern_replace": _q_pattern_replace(["0", "spark"], 10),
         "leading_wildcard_match": _q_leading_wildcard("ark"),
         "fixed_shingle_topk": _q_fixed_shingle("the customer", 10),
+        "minhash_fingerprint_counts": _q_minhash_count(2, 8),
     }
 
 
@@ -8742,4 +8791,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "bm25_topk_pattern_replace": _pattern_replace_sql(["0", "spark"], 10),
         "leading_wildcard_match": _leading_wildcard_sql("ark"),
         "fixed_shingle_topk": _fixed_shingle_sql("the customer", 10),
+        "minhash_fingerprint_counts": _minhash_count_sql(2, 8),
     }

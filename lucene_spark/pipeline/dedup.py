@@ -474,3 +474,59 @@ def streaming_exact_dedup(
             .drop("_text_hash")
         )
     return h.dropDuplicates(["_text_hash"]).drop("_text_hash")
+
+
+def minhash_filter_fingerprints(
+    docs_df,
+    text_col: str = "text",
+    id_cols: tuple = ("conv_id", "turn_idx"),
+    shingle_size: int = 5,
+    hash_count: int = 1,
+    bucket_count: int = 512,
+    hash_set_size: int = 1,
+    with_rotation: bool | None = None,
+):
+    """(id_cols..., minhash: array<string>) — the reference MinHashFilter
+    fingerprint per document (analysis/minhash/MinHashFilter.java via
+    lucene_spark.analysis.minhash): standard tokenize → ``shingle_size``
+    word shingles → murmur128 min-hash tokens (hex-unit strings).
+
+    This is the exact Lucene/Solr fingerprint layout (vectors pinned in
+    tests/test_minhash_filter.py against TestMinHashFilter.java); the
+    LSH-banded dedup pipeline above uses its own cheaper signature — this
+    operator exists for parity with indexes fingerprinted by the
+    reference filter.  Scale shape: per-doc pure function in one Arrow
+    mapInPandas pass, no shuffle."""
+    import pandas as pd
+
+    from lucene_spark.analysis.minhash import min_hash_tokens
+    from lucene_spark.analysis.tokenizer import tokenize_text
+
+    ids = list(id_cols)
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(
+            ids,
+            [dict(docs_df.dtypes)[c] for c in ids],
+        )]
+    ) + ", minhash array<string>"
+
+    def part(batches):
+        for pdf in batches:
+            fps = []
+            for t in pdf[text_col]:
+                toks = tokenize_text(t)
+                sh = [
+                    " ".join(toks[i:i + shingle_size])
+                    for i in range(len(toks) - shingle_size + 1)
+                ]
+                fps.append(
+                    min_hash_tokens(
+                        sh, hash_count, bucket_count, hash_set_size,
+                        with_rotation,
+                    )
+                )
+            out = pdf[ids].copy()
+            out["minhash"] = pd.Series(fps, index=pdf.index, dtype=object)
+            yield out
+
+    return docs_df.select(*ids, text_col).mapInPandas(part, schema)
