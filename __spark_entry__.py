@@ -8085,6 +8085,81 @@ SELECT conv_id, turn_idx,
 FROM tr ORDER BY conv_id, turn_idx"""
 
 
+# ---------------------------------------------------------------------------
+# AllGroupHeadsCollector + DocValuesTermsQuery gates.
+
+
+def _q_group_heads(term: str):
+    """grouping/AllGroupHeadsCollector.java:38 — each matching group's
+    head doc under the relevance sort."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import TermQuery
+        from lucene_spark.search.facets import all_group_heads
+
+        _, searcher = _searcher(spark, sf_dir)
+        heads = all_group_heads(searcher, TermQuery(term), "conv_id")
+        return (
+            heads.select(
+                "group",
+                "turn_idx",
+                F.round(F.col("score") * 10000).cast("long").alias("score_i"),
+            )
+            .orderBy("group")
+        )
+
+    return run
+
+
+def _group_heads_sql(term: str) -> str:
+    return (
+        _PRELUDE
+        + ", "
+        + _scored_from(f"tf.term = '{term}'").lstrip()
+        + """,
+heads AS (
+  -- head chosen on the RAW double (the engine's relevance sort; doubles
+  -- are engine-identical), score_i only projected for the compare
+  SELECT conv_id AS "group", turn_idx,
+         CAST(round(score * 10000) AS BIGINT) AS score_i,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY score DESC, turn_idx) AS rn
+  FROM scored
+)
+SELECT "group", turn_idx, score_i FROM heads WHERE rn = 1 ORDER BY "group" """
+    )
+
+
+def _q_dv_terms(term: str, roles):
+    """DocValuesTermsQuery as a FILTER clause beside a scored MUST term."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import BooleanQuery, Occur, TermQuery
+        from lucene_spark.search.query import DocValuesTermsQuery
+
+        idx, searcher = _searcher(spark, sf_dir)
+        q = BooleanQuery.of(
+            (TermQuery(term), Occur.MUST),
+            (DocValuesTermsQuery("role", tuple(roles)), Occur.FILTER),
+        )
+        matches = searcher.scored(q).select("doc_id").distinct()
+        keys = idx.docs.select("doc_id", "conv_id", "turn_idx")
+        return matches.join(keys, "doc_id").select("conv_id", "turn_idx")
+
+    return run
+
+
+def _dv_terms_sql(term: str, roles) -> str:
+    rlist = ", ".join(f"'{r}'" for r in roles)
+    return (
+        _PRELUDE
+        + f"""
+SELECT DISTINCT t.conv_id, t.turn_idx
+FROM toks t JOIN tr USING (conv_id, turn_idx)
+WHERE t.term = '{term}' AND tr.role IN ({rlist})"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8445,6 +8520,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leading_wildcard_match": _q_leading_wildcard("ark"),
         "fixed_shingle_topk": _q_fixed_shingle("the customer", 10),
         "minhash_fingerprint_counts": _q_minhash_count(2, 8),
+        "all_group_heads": _q_group_heads("customer"),
+        "dv_terms_match": _q_dv_terms("spark", ("de", "fr")),
     }
 
 
@@ -8792,4 +8869,6 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "leading_wildcard_match": _leading_wildcard_sql("ark"),
         "fixed_shingle_topk": _fixed_shingle_sql("the customer", 10),
         "minhash_fingerprint_counts": _minhash_count_sql(2, 8),
+        "all_group_heads": _group_heads_sql("customer"),
+        "dv_terms_match": _dv_terms_sql("spark", ("de", "fr")),
     }

@@ -110,6 +110,55 @@ def all_groups(searcher, query: Query, group_col: str = "conv_id") -> DataFrame:
     ).distinct()
 
 
+def all_group_heads(
+    searcher,
+    query: Query,
+    group_col: str = "conv_id",
+    sort=None,
+) -> DataFrame:
+    """One row per group: that group's HEAD — its most competitive
+    matching doc (grouping/AllGroupHeadsCollector.java:38: the collector
+    keeps, per group, the doc winning the within-group sort; the result
+    is the set of group-head docs).
+
+    ``sort``: a ``Sort`` of SortField specs for the within-group order;
+    None = relevance (score desc, doc_id asc — the collector's default
+    Sort.RELEVANCE with the docID tie-break).  Returns
+    (group, doc_id, conv_id, turn_idx, score).
+
+    Plan shape: ONE group-key window (row_number over partitionBy group)
+    — no global window, no second shuffle."""
+    from pyspark.sql import Window
+
+    scored = searcher.scored(query)
+    docs = searcher.index.docs
+    joined = scored.join(docs, "doc_id")
+    order = [F.desc("score"), F.asc("doc_id")]
+    if sort is not None:
+        order = []
+        for f in sort.fields:
+            if f.field == "score":
+                order.append(
+                    F.desc("score") if not f.reverse else F.asc("score")
+                )
+            else:
+                c = F.col(f.field)
+                order.append(c.desc() if f.reverse else c.asc())
+        order.append(F.asc("doc_id"))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(group_col).alias("group"),
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "score",
+        )
+    )
+
+
 def distinct_values(
     searcher, query: Query, group_col: str, value_col: str
 ) -> DataFrame:

@@ -574,3 +574,23 @@ class SpanPayloadCheckQuery(Query):
         object.__setattr__(
             self, "payloads", tuple(float(p) for p in self.payloads)
         )
+
+
+@dataclass(frozen=True)
+class DocValuesTermsQuery(Query):
+    """queries/.../DocValuesTermsQuery.java:61 — docs whose doc-values
+    column holds one of ``values`` (the dv-side TermInSetQuery twin used
+    when the field is indexed as doc values only, or as the dv arm of
+    IndexOrDocValuesQuery).  Constant score; the engine lowers it to a
+    pushed-down IN predicate on the docs relation — the parquet scan
+    filters on column stats exactly like the reference's sorted-set
+    lookup avoids the terms index."""
+
+    column: str
+    values: tuple
+    boost: float = 1.0
+
+    def __init__(self, column: str, values, boost: float = 1.0):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "values", tuple(values))
+        object.__setattr__(self, "boost", float(boost))

@@ -881,6 +881,14 @@ class IndexSearcher:
             return self.index.docs.filter(F.col(q.column).isNotNull()).select("doc_id")
         if isinstance(q, RangePredicate):
             return self.index.docs.filter(_range_pred(q)).select("doc_id")
+        from lucene_spark.search.query import DocValuesTermsQuery as _DVT
+
+        if isinstance(q, _DVT):
+            # DocValuesTermsQuery.java:61 — IN predicate pushed to the
+            # docs scan (PushedFilters: In(col, values))
+            return self.index.docs.filter(
+                F.col(q.column).isin(list(q.values))
+            ).select("doc_id")
         from lucene_spark.search.query import FunctionRangeQuery as _FRQ
 
         if isinstance(q, _FRQ):
@@ -1169,6 +1177,10 @@ class IndexSearcher:
             return self._scored_payload_score(q)
         if isinstance(q, SpanPayloadCheckQuery):
             return self._scored_payload_check(q)
+        from lucene_spark.search.query import DocValuesTermsQuery
+
+        if isinstance(q, DocValuesTermsQuery):
+            return self._const_scored(self._matches(q), q.boost)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
 
     # ------------------------------------------------------------------
