@@ -8160,6 +8160,75 @@ WHERE t.term = '{term}' AND tr.role IN ({rlist})"""
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25NBClassifier (classification/BM25NBClassifier.java:94-231): NB
+# approximated by BM25 top-1 scores — closed form: per-class constant
+# idf_c/(1+k1) plus per-(class, term) max text BM25.
+
+
+def _q_bm25_nb():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.classify import bm25_nb_classify
+
+        idx, _ = _searcher(spark, sf_dir)
+        tr = _transcripts_df(spark, sf_dir)
+        out = bm25_nb_classify(idx, tr.filter(F.col("turn_idx") == 0))
+        return out.select(
+            "conv_id",
+            "assigned",
+            F.round(F.col("log_score") * 10000).cast("long").alias("score_i"),
+        ).orderBy("conv_id")
+
+    return run
+
+
+def _bm25_nb_sql() -> str:
+    return (
+        _PRELUDE
+        + f""",
+mx AS (
+  SELECT tr.role AS cls, tf.term, max({_SCORE}) AS mx
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  JOIN tr USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT cls, ln(1 + (nc - cdf + 0.5) / (cdf + 0.5)) / 2.2 AS cs
+  FROM (SELECT role AS cls, count(*) AS cdf FROM tr GROUP BY 1)
+  CROSS JOIN (SELECT count(*) AS nc FROM tr)
+),
+test AS (
+  SELECT conv_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM tr WHERE turn_idx = 0
+),
+ptok AS (
+  SELECT t.conv_id, c.cls, ln(c.cs + COALESCE(m.mx, 0)) AS ll
+  FROM test t
+  CROSS JOIN cs c
+  LEFT JOIN mx m ON m.cls = c.cls AND m.term = t.term
+),
+sums AS (
+  SELECT conv_id, cls, sum(ll) AS s FROM ptok GROUP BY 1, 2
+),
+final AS (
+  SELECT k.conv_id, c.cls,
+         COALESCE(s.s, 0) + ln(c.cs) AS score,
+         row_number() OVER (PARTITION BY k.conv_id
+                            ORDER BY COALESCE(s.s, 0) + ln(c.cs) DESC,
+                                     c.cls) AS rn
+  FROM (SELECT DISTINCT conv_id FROM tr WHERE turn_idx = 0) k
+  CROSS JOIN cs c
+  LEFT JOIN sums s ON s.conv_id = k.conv_id AND s.cls = c.cls
+)
+SELECT conv_id, cls AS assigned,
+       CAST(round(score * 10000) AS BIGINT) AS score_i
+FROM final WHERE rn = 1 ORDER BY conv_id"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8522,6 +8591,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_fingerprint_counts": _q_minhash_count(2, 8),
         "all_group_heads": _q_group_heads("customer"),
         "dv_terms_match": _q_dv_terms("spark", ("de", "fr")),
+        "bm25_nb_classify_role": _q_bm25_nb(),
     }
 
 
@@ -8871,4 +8941,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "minhash_fingerprint_counts": _minhash_count_sql(2, 8),
         "all_group_heads": _group_heads_sql("customer"),
         "dv_terms_match": _dv_terms_sql("spark", ("de", "fr")),
+        "bm25_nb_classify_role": _bm25_nb_sql(),
     }

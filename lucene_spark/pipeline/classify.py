@@ -279,3 +279,122 @@ def boolean_perceptron(
         (F.col("out_w") >= b).alias("assigned"),
         (F.lit(1.0) - F.exp(-F.abs(b - F.col("out_w")) / b)).alias("score"),
     )
+
+
+def bm25_nb_classify(
+    index,
+    test_df: DataFrame,
+    class_col: str = "role",
+    text_col: str = "text",
+    id_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """BM25NBClassifier (classification/BM25NBClassifier.java:94-231):
+    naive bayes approximated by BM25 top-1 scores.
+
+    Reference semantics, reduced to closed form:
+
+    * the class field is single-token per doc (tf=1, dl=1, avgdl=1), so
+      its BM25 score is the per-class constant
+      ``cls_score(c) = idf_c / (1 + k1)``;
+    * ``calculateLogPrior`` = ln(top-1 score of TermQuery(class=c)) =
+      ln(cls_score(c));
+    * ``getTermProbForClass(c, w)`` = top-1 score of (MUST class=c,
+      SHOULD text=w) = cls_score(c) + max over class-c docs of the text
+      BM25 of w (0 when no class-c doc contains w — the top hit is then
+      a class-only match);
+    * per test doc: score(c) = prior + Σ_tokens ln(termProb) (token
+      REPEATS counted); assigned = argmax, ties by class value asc (the
+      classesEnum order).  The reference's softmax normalization is a
+      monotone per-doc display rescale — the raw log score is returned
+      (same convention as :func:`naive_bayes_classify`).
+
+    Scale shape: per-(class, term) max is ONE hash agg over the scored
+    postings relation; the class dim is broadcast; classification is the
+    exploded-token left join + per-doc hash agg.  No UDF, no driver
+    state."""
+    ids = list(id_cols)
+    k1, b = index.k1, index.b
+    stats = index.stats
+    n = float(stats["doc_count"])
+    avgdl = float(stats["sum_total_term_freq"]) / n
+
+    from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+    dl_lit = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
+    # per-(term, doc) plain-BM25 double (the engine's plain_f64 shape:
+    # byte4-quantized dl decoded from the stored norm)
+    rel = index.postings_slim.join(index.term_stats, "term")
+    dlq = F.element_at(dl_lit, F.col("norm") + 1).cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    score = idf * F.col("freq") / (
+        F.col("freq") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * dlq / F.lit(avgdl))
+    )
+    scored = rel.select("term", "doc_id", score.alias("_s"))
+    classes = index.docs.select("doc_id", F.col(class_col).alias("_cls"))
+    mx = (
+        scored.join(classes, "doc_id")
+        .filter(F.col("_cls").isNotNull())
+        .groupBy("_cls", "term")
+        .agg(F.max("_s").alias("_mx"))
+    )
+    # class dimension: single-token class field -> idf_c / (1 + k1)
+    cdim = (
+        index.docs.filter(F.col(class_col).isNotNull())
+        .groupBy(F.col(class_col).alias("_cls"))
+        .agg(F.count("*").alias("_cdf"))
+    )
+    nc = index.docs.filter(F.col(class_col).isNotNull()).count()
+    cls_score = (
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(nc)) - F.col("_cdf") + F.lit(0.5))
+            / (F.col("_cdf") + F.lit(0.5))
+        )
+        / F.lit(1.0 + k1)
+    )
+    cdim = cdim.select("_cls", cls_score.alias("_cs"))
+
+    # the reference analyzes unseen text with the index's analyzer —
+    # use the engine StandardTokenizer twin (tokens_expr), not the
+    # SQL-regex helper (they differ on NUM tokens like "1,000" and on
+    # maxTokenLength splits)
+    from lucene_spark.analysis.tokenizer import tokens_expr
+
+    toks = test_df.select(
+        *ids, F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    per_tok = (
+        toks.crossJoin(F.broadcast(cdim))
+        # mx is |classes| x |vocab| — corpus-dictionary sized, NEVER
+        # broadcast; AQE picks the join side
+        .join(mx, ["_cls", "term"], "left")
+        .select(
+            *ids,
+            "_cls",
+            "_cs",
+            F.log(F.col("_cs") + F.coalesce(F.col("_mx"), F.lit(0.0))).alias(
+                "_ll"
+            ),
+        )
+    )
+    scored_cls = per_tok.groupBy(*ids, "_cls").agg(
+        (F.sum("_ll") + F.log(F.first("_cs"))).alias("log_score")
+    )
+    # docs whose test text has zero tokens still classify: prior only
+    empty = (
+        test_df.select(*ids)
+        .join(scored_cls.select(*ids).distinct(), ids, "left_anti")
+        .crossJoin(F.broadcast(cdim))
+        .select(*ids, "_cls", F.log(F.col("_cs")).alias("log_score"))
+    )
+    scored_cls = scored_cls.select(*ids, "_cls", "log_score").unionByName(empty)
+    w = Window.partitionBy(*ids).orderBy(F.desc("log_score"), F.asc("_cls"))
+    return (
+        scored_cls.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*ids, F.col("_cls").alias("assigned"), "log_score")
+    )
