@@ -8229,6 +8229,90 @@ FROM final WHERE rn = 1 ORDER BY conv_id"""
     )
 
 
+# ---------------------------------------------------------------------------
+# KNearestFuzzyClassifier (classification/KNearestFuzzyClassifier.java):
+# NearestFuzzyQuery (maxEdits=1, prefix=2) top-k + rank-normalized vote.
+
+
+def _q_knn_fuzzy(text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.pipeline.classify import knn_fuzzy_classify
+
+        _, searcher = _searcher(spark, sf_dir)
+        out = knn_fuzzy_classify(searcher, text, k=k)
+        return out.select(
+            "assigned",
+            F.round(F.col("vote") * 10000).cast("long").alias("vote_i"),
+        ).orderBy(F.desc("vote_i"), F.asc("assigned"))
+
+    return run
+
+
+def _knn_fuzzy_sql(text: str, k: int) -> str:
+    qvals = ", ".join(f"('{t}')" for t in text.split())
+    idf1 = "ln(1 + (stats.doc_count - 1 + 0.5) / (1 + 0.5))"
+    tfpart = (
+        "tf.freq / (tf.freq + 1.2 * (0.25 + 0.75 * dlq.dlq"
+        " / (CAST(stats.sttf AS DOUBLE) / stats.doc_count)))"
+    )
+    return (
+        _PRELUDE
+        + f""",
+qtoks(tok) AS (VALUES {qvals}),
+vars AS (
+  SELECT q.tok, v.term, v.doc_freq,
+         1.0 - damerau_levenshtein(q.tok, v.term)
+               / CAST(least(length(q.tok), length(v.term)) AS DOUBLE) AS sim
+  FROM qtoks q JOIN dfreq v
+    ON abs(length(v.term) - length(q.tok)) <= 1
+   AND substr(v.term, 1, 2) = substr(q.tok, 1, 2)
+   AND damerau_levenshtein(q.tok, v.term) <= 1
+),
+dfe AS (
+  SELECT tok,
+         COALESCE(MAX(CASE WHEN term = tok THEN doc_freq END),
+                  SUM(doc_freq) // COUNT(*)) AS df
+  FROM vars GROUP BY tok
+),
+sterms AS (
+  SELECT v.term,
+         SUM(v.sim * v.sim * (1.0 + ln(stats.doc_count / (d.df + 1.0)))) AS w
+  FROM vars v JOIN dfe d USING (tok) CROSS JOIN stats
+  GROUP BY v.term
+),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM(st.w * {idf1} * {tfpart}) AS score
+  FROM tf
+  JOIN sterms st USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT conv_id, turn_idx, score
+  FROM (SELECT conv_id, turn_idx, score,
+               row_number() OVER (ORDER BY score DESC, conv_id, turn_idx) AS rn
+        FROM scored)
+  WHERE rn <= {k}
+),
+hits AS (
+  SELECT t.score, tr.role FROM topk t JOIN tr USING (conv_id, turn_idx)
+),
+dims AS (
+  SELECT max(score) AS mxs, count(*) AS n FROM hits
+),
+votes AS (
+  SELECT h.role AS assigned,
+         sum(h.score / d.mxs)
+           / (CASE WHEN d.n >= {k} THEN {k} ELSE d.n END) AS vote
+  FROM hits h CROSS JOIN dims d
+  GROUP BY h.role, d.n
+)
+SELECT assigned, CAST(round(vote * 10000) AS BIGINT) AS vote_i
+FROM votes ORDER BY vote_i DESC, assigned"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8592,6 +8676,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_group_heads": _q_group_heads("customer"),
         "dv_terms_match": _q_dv_terms("spark", ("de", "fr")),
         "bm25_nb_classify_role": _q_bm25_nb(),
+        "knn_fuzzy_classify_role": _q_knn_fuzzy("custoner data", 10),
     }
 
 
@@ -8942,4 +9027,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "all_group_heads": _group_heads_sql("customer"),
         "dv_terms_match": _dv_terms_sql("spark", ("de", "fr")),
         "bm25_nb_classify_role": _bm25_nb_sql(),
+        "knn_fuzzy_classify_role": _knn_fuzzy_sql("custoner data", 10),
     }

@@ -398,3 +398,46 @@ def bm25_nb_classify(
         .filter(F.col("_rk") == 1)
         .select(*ids, F.col("_cls").alias("assigned"), "log_score")
     )
+
+
+def knn_fuzzy_classify(
+    searcher,
+    text: str,
+    class_col: str = "role",
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 2,
+) -> DataFrame:
+    """KNearestFuzzyClassifier (classification/KNearestFuzzyClassifier.
+    java:135-202): the k nearest docs under NearestFuzzyQuery — the
+    FuzzyLikeThisQuery expansion with the classifier's fixed params
+    (maxEdits = (int) MIN_SIMILARITY = 1, PREFIX_LENGTH = 2,
+    utils/NearestFuzzyQuery.java:54-55) — then the rank-normalized class
+    vote of ``buildListFromTopDocs``: per class, boost = Σ hit_score /
+    max_score; final vote = boost / k, rescaled by k/sumdoc when fewer
+    than k docs matched (the ``sumdoc < k`` correction) — net
+    boost / min(k, n_hits).  Returns (assigned, vote) ordered by vote
+    desc, class asc."""
+    from lucene_spark.search.query import FuzzyLikeThisQuery
+
+    q = FuzzyLikeThisQuery(((text, max_edits, prefix_length),))
+    top = searcher.search(q, k)
+    docs = searcher.index.docs.select("doc_id", class_col)
+    hits = top.join(docs, "doc_id").filter(F.col(class_col).isNotNull())
+    n = hits.count()
+    if n == 0:
+        return hits.select(
+            F.col(class_col).alias("assigned"), F.lit(0.0).alias("vote")
+        ).limit(0)
+    denom = float(k if n >= k else n)
+    mx = hits.agg(F.max("score").alias("_mx"))
+    return (
+        hits.crossJoin(F.broadcast(mx))
+        .groupBy(F.col(class_col).alias("assigned"))
+        .agg(
+            (F.sum(F.col("score") / F.col("_mx")) / F.lit(denom)).alias(
+                "vote"
+            )
+        )
+        .orderBy(F.desc("vote"), F.asc("assigned"))
+    )

@@ -88,3 +88,34 @@ def test_bm25_nb_matches_simulation(spark, tiny_corpus, tiny_index):
     for k in keys:
         assert got[k][0] == exp[k][0], k
         assert got[k][1] == pytest.approx(exp[k][1], rel=1e-9), k
+
+
+def test_knn_fuzzy_classify_vote_math(spark, tiny_index):
+    from lucene_spark.pipeline.classify import knn_fuzzy_classify
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.query import FuzzyLikeThisQuery
+
+    s = IndexSearcher(tiny_index, scoring="plain_f64")
+    text, k = "modell spark", 7
+    got = [
+        (r.assigned, r.vote)
+        for r in knn_fuzzy_classify(s, text, k=k).collect()
+    ]
+    # brute force from the same top-k (the vote math is the unit under
+    # test; the fuzzy expansion is pinned by its own suite)
+    top = s.search(FuzzyLikeThisQuery(((text, 1, 2),)), k).collect()
+    roles = {
+        r.doc_id: r.role for r in tiny_index.docs.collect()
+    }
+    mxs = max(r.score for r in top)
+    n = len(top)
+    denom = k if n >= k else n
+    boosts = {}
+    for r in top:
+        c = roles[r.doc_id]
+        boosts[c] = boosts.get(c, 0.0) + r.score / mxs
+    exp = sorted(
+        ((c, b / denom) for c, b in boosts.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [(c, pytest.approx(v, rel=1e-12)) for c, v in exp] == got
