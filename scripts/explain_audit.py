@@ -573,6 +573,49 @@ def main():
         ),
     ]
 
+    # wave-6 operators (SURVEY §12f)
+    from lucene_spark.index import IndexBuilder as _IB
+    from lucene_spark.pipeline.classify import bm25_nb_classify
+    from lucene_spark.search.query import PayloadScoreQuery
+    from lucene_spark.search.spans import SpanNearQuery, SpanTermQuery
+
+    pay_corpus = corpus.withColumn(
+        "text",
+        F.array_join(
+            F.expr(
+                "transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+                " (t, i) -> concat(t, '|', i))"
+            ),
+            " ",
+        ),
+    )
+    pay_idx = _IB(num_segments=4, payload_delimiter="|").build(pay_corpus)
+    pay_s = IndexSearcher(pay_idx, scoring="plain_f64")
+    near = SpanNearQuery(
+        (SpanTermQuery("the"), SpanTermQuery("data")), slop=0, in_order=True
+    )
+    sections += [
+        (
+            "PayloadScoreQuery over a span-near (leaf payload gather)",
+            "ONE groupBy(doc_id) gathers both terms' (positions, payloads) "
+            "pairs (single Exchange); the span-start intersection, the "
+            "element_at/array_position leaf gather and the payload fold all "
+            "run as JVM higher-order functions — no Python anywhere; top-k "
+            "is TakeOrderedAndProject.",
+            pay_s.search(PayloadScoreQuery(near, "avg"), 10),
+        ),
+        (
+            "BM25NBClassifier (per-class max + exploded-token classify)",
+            "The per-(class, term) max is ONE hash agg over the scored "
+            "postings relation (map-side partial max); the class dim is a "
+            "BroadcastNestedLoopJoin-free broadcast cross of a few rows; "
+            "the vocabulary-sized max relation joins the exploded test "
+            "tokens WITHOUT broadcast (AQE picks sides); the argmax is one "
+            "per-doc window.",
+            bm25_nb_classify(idx, corpus.filter(F.col("turn_idx") == 0)),
+        ),
+    ]
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, expect, df in sections:
         out.append(f"\n## {title}\n\n_What to verify:_ {expect}\n\n```\n")

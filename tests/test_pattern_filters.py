@@ -115,3 +115,24 @@ def test_new_stages_json_roundtrip():
         Analyzer(shingle_size=3, fixed_shingles=True),
     ):
         assert Analyzer.from_json(an.to_json()) == an
+
+
+def test_hyphenated_words_via_pre_sub():
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:47)
+    reduces to the pre-tokenize substitution '-\\s+' -> '': a token ending
+    in '-' joins the following token — the reference's line-break
+    hyphenation repair (its own test string, TestHyphenatedWordsFilter.
+    java:32; inner hyphens then split per the standard tokenizer, where
+    the reference's whitespace tokenizer keeps them)."""
+    an = Analyzer(pre_sub=((r"-\s+", ""),))
+    text = "ecologi-\r\ncal devel-\r\n\r\nop compre-\thensive-hands-on and ecologi-\ncal"
+    got = [t for t, _ in an.analyze_text(text)]
+    assert got == [
+        "ecological",
+        "develop",
+        "comprehensive",
+        "hands",
+        "on",
+        "and",
+        "ecological",
+    ]
