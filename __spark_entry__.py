@@ -8313,6 +8313,89 @@ FROM votes ORDER BY vote_i DESC, assigned"""
     )
 
 
+# ---------------------------------------------------------------------------
+# PatternCaptureGroupTokenFilter gate (pattern/PatternCaptureGroupToken-
+# Filter.java:56, preserveOriginal=true): digit runs captured out of
+# alnum tokens as extra same-position tokens.
+
+
+def _q_pattern_capture(terms, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("patcap", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            an = Analyzer(pattern_capture=(r"(\d+)",))
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(
+                _transcripts_df(spark, sf_dir)
+            )
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _pattern_capture_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    prelude = f"""
+WITH tr AS (
+  SELECT concat('conv', lpad(CAST(doc_id // {TURNS_PER_CONV} AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+),
+em AS (
+  -- per token: [original] + digit captures (whole-token and empty
+  -- skipped), per-token dedup (the engine's canonical emission)
+  SELECT conv_id, turn_idx,
+         list_distinct(list_prepend(tok,
+           list_filter(regexp_extract_all(tok, '([0-9]+)', 1),
+                       c -> c <> '' AND c <> tok))) AS ems
+  FROM (SELECT conv_id, turn_idx, unnest(arr) AS tok FROM tr)
+),
+dl AS (
+  SELECT p.conv_id, p.turn_idx, COALESCE(s.dl, 0) AS dl
+  FROM tr p
+  LEFT JOIN (SELECT conv_id, turn_idx, CAST(sum(len(ems)) AS BIGINT) AS dl
+             FROM em GROUP BY 1, 2) s USING (conv_id, turn_idx)
+),
+dlq AS (
+  SELECT conv_id, turn_idx, dl,
+    CASE WHEN dl < 24 THEN dl
+         WHEN dl - 24 < 8 THEN dl
+         ELSE 24 + (((((dl-24) >> (length(bin(dl-24))-4)) & 7) | 8)
+                    << (length(bin(dl-24))-4))
+    END AS dlq
+  FROM dl
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count, sum(dl) AS sttf
+  FROM dl
+),
+toks AS (
+  SELECT conv_id, turn_idx, unnest(ems) AS term FROM em
+),
+tf AS (
+  SELECT term, conv_id, turn_idx, count(*) AS freq
+  FROM toks GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT term, count(*) AS doc_freq, CAST(sum(freq) AS BIGINT) AS total_term_freq
+  FROM tf GROUP BY 1
+)
+"""
+    return (
+        prelude
+        + ", "
+        + _scored_from(f"tf.term IN ({tlist})").lstrip()
+        + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8677,6 +8760,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_terms_match": _q_dv_terms("spark", ("de", "fr")),
         "bm25_nb_classify_role": _q_bm25_nb(),
         "knn_fuzzy_classify_role": _q_knn_fuzzy("custoner data", 10),
+        "pattern_capture_topk": _q_pattern_capture(["42", "spark"], 10),
     }
 
 
@@ -9028,4 +9112,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "dv_terms_match": _dv_terms_sql("spark", ("de", "fr")),
         "bm25_nb_classify_role": _bm25_nb_sql(),
         "knn_fuzzy_classify_role": _knn_fuzzy_sql("custoner data", 10),
+        "pattern_capture_topk": _pattern_capture_sql(["42", "spark"], 10),
     }

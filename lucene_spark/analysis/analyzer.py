@@ -389,6 +389,7 @@ def ascii_fold(text: str) -> str:
 
 
 _CHAR_FOLD_CACHE: dict = {}
+_RX_CACHE: dict = {}
 
 
 @dataclass(frozen=True)
@@ -553,8 +554,40 @@ class Analyzer:
     # shingles are emitted; requires shingle_size, composes with nothing
     # else (the unigram-side filters have no stream to act on).
     fixed_shingles: bool = False
+    # PatternCaptureGroupTokenFilter (pattern/PatternCaptureGroupTokenFilter.
+    # java:56) with preserveOriginal=true: every capture group of every
+    # match of every pattern emits as an extra token at the SOURCE token's
+    # position (posInc 0); empty captures and whole-token captures are
+    # skipped (:99-104).  Emission order is canonicalized to (pattern,
+    # group, match) with per-token dedup (RemoveDuplicates semantics —
+    # the reference's min-start-offset interleave orders same-position
+    # attribute packets, which carries no index-level meaning; duplicate
+    # same-position tokens would break the distinct-positions postings
+    # invariant).  The expanded stream then passes StopFilter, like the
+    # filter's right-after-tokenizer factory slot.
+    pattern_capture: tuple = ()
 
     def __post_init__(self):
+        if self.pattern_capture:
+            for pat in self.pattern_capture:
+                if _re.compile(pat).groups < 1:
+                    raise ValueError(
+                        f"pattern_capture pattern has no groups: {pat!r}"
+                    )
+            if (
+                self.stemmer is not None
+                or self.synonyms
+                or self.graph_synonyms
+                or self.shingle_size
+                or self.ngram
+                or self.edge_ngram
+                or self.reverse_tokens
+                or self.word_delimiter
+            ):
+                raise ValueError(
+                    "pattern_capture composes with stopwords/length/keep "
+                    "stages only"
+                )
         if self.pattern_replace:
             for pat, rep in self.pattern_replace:
                 _re.compile(pat)  # raise early on a bad pattern
@@ -1246,6 +1279,7 @@ class Analyzer:
             and not self.pattern_replace
             and not self.reverse_tokens
             and not self.fixed_shingles
+            and not self.pattern_capture
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1282,6 +1316,7 @@ class Analyzer:
             "pattern_replace": [list(p) for p in self.pattern_replace],
             "reverse_tokens": self.reverse_tokens,
             "fixed_shingles": self.fixed_shingles,
+            "pattern_capture": list(self.pattern_capture),
         }
 
     @classmethod
@@ -1327,6 +1362,7 @@ class Analyzer:
             ),
             reverse_tokens=d.get("reverse_tokens", False),
             fixed_shingles=d.get("fixed_shingles", False),
+            pattern_capture=tuple(d.get("pattern_capture", ())),
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1407,6 +1443,8 @@ class Analyzer:
                 pairs = self._graph_scan(toks)
             else:
                 pairs = list(zip(toks, range(len(toks))))
+            if self.pattern_capture:
+                pairs = self._capture_expand(pairs)
         if self.fixed_shingles:
             pairs = []  # outputUnigrams=false: only the shingles below
         out: list[tuple[str, int]] = []
@@ -1515,6 +1553,29 @@ class Analyzer:
             if not self._keeps_token(t):
                 continue
             out.append((self._stem_token(t), pos))
+        return out
+
+    def _capture_expand(self, pairs):
+        """PatternCaptureGroupTokenFilter emission (preserveOriginal=true):
+        original first, then each (pattern, group)'s matches in order,
+        skipping empty / non-participating / whole-token captures; per-token
+        dedup keeps the first occurrence (matches the JVM lowering's
+        array_distinct over the same concat order)."""
+        out = []
+        for t, pos in pairs:
+            emit = [t]
+            for pat in self.pattern_capture:
+                rx = _RX_CACHE.get(pat)
+                if rx is None:
+                    rx = _RX_CACHE[pat] = _re.compile(pat)
+                for g in range(1, rx.groups + 1):
+                    for m in rx.finditer(t):
+                        s, e = m.span(g)
+                        if s < 0 or s == e or (s == 0 and e == len(t)):
+                            continue
+                        emit.append(m.group(g))
+            for term in dict.fromkeys(emit):
+                out.append((term, pos))
         return out
 
     def _keeps_token(self, t: str) -> bool:
@@ -1733,6 +1794,35 @@ class Analyzer:
                 toks,
                 lambda t, i: F.struct(t.alias("term"), i.cast("int").alias("pos")),
             )
+        if self.pattern_capture:
+            cap_specs = [
+                (pat, g)
+                for pat in self.pattern_capture
+                for g in range(1, _re.compile(pat).groups + 1)
+            ]
+
+            def _expand_entry(e):
+                parts = [F.array(e)]
+                for pat, g in cap_specs:
+                    def _mk(p_, g_, ent):
+                        caps = F.regexp_extract_all(
+                            ent["term"], F.lit(p_), F.lit(g_)
+                        )
+                        caps = F.filter(
+                            caps,
+                            lambda c: (c != F.lit("")) & (c != ent["term"]),
+                        )
+                        return F.transform(
+                            caps,
+                            lambda c: F.struct(
+                                c.alias("term"), ent["pos"].alias("pos")
+                            ),
+                        )
+
+                    parts.append(_mk(pat, g, e))
+                return F.array_distinct(F.concat(*parts))
+
+            entries = F.flatten(F.transform(entries, _expand_entry))
         if self.stopwords:
             stop_lit = F.array(*[F.lit(s) for s in sorted(self.stopwords)])
             entries = F.filter(

@@ -136,3 +136,80 @@ def test_hyphenated_words_via_pre_sub():
         "and",
         "ecological",
     ]
+
+
+def test_pattern_capture_reference_camelcase_vector():
+    """TestPatternCaptureGroupTokenFilter.testCamelCase (preserveOriginal
+    block): the capture SET matches the reference; emission order is the
+    engine's canonical (pattern, group, match) order (documented)."""
+    an = Analyzer(
+        pattern_capture=(
+            "([A-Z]{2,})",
+            "(?<![A-Z])([A-Z][a-z]+)",
+            r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)",
+            "([0-9]+)",
+        )
+    )
+    pairs = an._capture_expand([("letsPartyLIKEits1999_dude", 0)])
+    assert {t for t, _ in pairs} == {
+        "letsPartyLIKEits1999_dude",
+        "lets",
+        "Party",
+        "LIKE",
+        "its",
+        "1999",
+        "dude",
+    }
+    assert all(p == 0 for _, p in pairs)
+    assert pairs[0][0] == "letsPartyLIKEits1999_dude"  # original first
+
+
+def test_pattern_capture_full_chain(spark):
+    an = Analyzer(pattern_capture=(r"(\d+)",))
+    got = an.analyze_text("table42 x9 plain")
+    assert got == [
+        ("table42", 0),
+        ("42", 0),
+        ("x9", 1),
+        ("9", 1),
+        ("plain", 2),
+    ]
+    assert _jvm(spark, an, "table42 x9 plain") == got
+
+
+def test_pattern_capture_url_groups(spark):
+    # the class javadoc example: nested groups emit both the URL and host
+    an = Analyzer(
+        urls_emails=True,
+        pattern_capture=("(https?://([a-z0-9.-]+))",),
+    )
+    text = "see http://www.foo.com/index"
+    got = an.analyze_text(text)
+    assert got == [
+        ("see", 0),
+        ("http://www.foo.com/index", 1),
+        ("http://www.foo.com", 1),
+        ("www.foo.com", 1),
+    ]
+    assert _jvm(spark, an, text) == got
+
+
+def test_pattern_capture_stop_after_expand(spark):
+    # captures that are stopwords drop; originals too
+    an = Analyzer(
+        stopwords=frozenset({"the"}), pattern_capture=("x(the)y",)
+    )
+    got = an.analyze_text("xthey data")
+    assert got == [("xthey", 0), ("data", 1)]
+    assert _jvm(spark, an, "xthey data") == got
+
+
+def test_pattern_capture_guards():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Analyzer(pattern_capture=("nogroups",))
+    with _pt.raises(ValueError):
+        Analyzer(pattern_capture=("(a)",), stemmer="s")
+    an = Analyzer(pattern_capture=(r"(\d+)",))
+    assert Analyzer.from_json(an.to_json()) == an
