@@ -8396,6 +8396,43 @@ dfreq AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# PatternTokenizer gate (pattern/PatternTokenizer.java:45, group-0 match
+# mode): letters-only tokenization — digits vanish from the token stream
+# and from dl.
+
+
+def _q_pattern_tokenizer(terms, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.analysis import Analyzer
+        from lucene_spark.index import IndexBuilder
+        from lucene_spark.search import BooleanQuery, IndexSearcher, Occur, TermQuery
+
+        key = ("pattok", os.path.abspath(sf_dir))
+        if key not in _CACHE:
+            an = Analyzer(token_match_pattern="[a-z]+")
+            idx = IndexBuilder(num_segments=8, analyzer=an).build(
+                _transcripts_df(spark, sf_dir)
+            )
+            _CACHE[key] = (idx, IndexSearcher(idx, scoring="plain_f64"))
+        _, searcher = _CACHE[key]
+        q = BooleanQuery.of(*[(TermQuery(t), Occur.SHOULD) for t in terms])
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _pattern_tokenizer_sql(terms, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    prelude = _PRELUDE.replace("'[a-z0-9]+'", "'[a-z]+'")
+    return (
+        prelude
+        + ", "
+        + _scored_from(f"tf.term IN ({tlist})").lstrip()
+        + f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8761,6 +8798,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_nb_classify_role": _q_bm25_nb(),
         "knn_fuzzy_classify_role": _q_knn_fuzzy("custoner data", 10),
         "pattern_capture_topk": _q_pattern_capture(["42", "spark"], 10),
+        "pattern_tokenizer_topk": _q_pattern_tokenizer(["spark", "customer"], 10),
     }
 
 
@@ -9113,4 +9151,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "bm25_nb_classify_role": _bm25_nb_sql(),
         "knn_fuzzy_classify_role": _knn_fuzzy_sql("custoner data", 10),
         "pattern_capture_topk": _pattern_capture_sql(["42", "spark"], 10),
+        "pattern_tokenizer_topk": _pattern_tokenizer_sql(["spark", "customer"], 10),
     }

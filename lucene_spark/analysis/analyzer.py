@@ -566,8 +566,37 @@ class Analyzer:
     # invariant).  The expanded stream then passes StopFilter, like the
     # filter's right-after-tokenizer factory slot.
     pattern_capture: tuple = ()
+    # PatternTokenizer (pattern/PatternTokenizer.java:45) — replaces the
+    # StandardTokenizer subset with a regex-defined tokenizer over the
+    # lowered text (the engine's lowercase substrate, documented):
+    # ``token_match_pattern`` = group-0 MATCH mode (each regex match is a
+    # token; SimplePatternTokenizer shape), ``token_split_pattern`` =
+    # group=-1 SPLIT mode (pattern matches are the separators, empty
+    # slices dropped; SimplePatternSplitTokenizer shape).  Mutually
+    # exclusive; compose with the per-token/drop stages but not with the
+    # alphabet/tokenizer specials (latin1/extra/cjk/urls/word_delimiter).
+    token_match_pattern: str | None = None
+    token_split_pattern: str | None = None
 
     def __post_init__(self):
+        if self.token_match_pattern and self.token_split_pattern:
+            raise ValueError(
+                "token_match_pattern and token_split_pattern are exclusive"
+            )
+        if self.token_match_pattern or self.token_split_pattern:
+            pat = self.token_match_pattern or self.token_split_pattern
+            _re.compile(pat)
+            if (
+                self.latin1
+                or self.extra_letters
+                or self.cjk_bigrams
+                or self.urls_emails
+                or self.word_delimiter
+            ):
+                raise ValueError(
+                    "custom token patterns replace the tokenizer; alphabet/"
+                    "tokenizer specials do not compose"
+                )
         if self.pattern_capture:
             for pat in self.pattern_capture:
                 if _re.compile(pat).groups < 1:
@@ -1280,6 +1309,8 @@ class Analyzer:
             and not self.reverse_tokens
             and not self.fixed_shingles
             and not self.pattern_capture
+            and self.token_match_pattern is None
+            and self.token_split_pattern is None
         )
 
     # -- commit.json round-trip -----------------------------------------
@@ -1317,6 +1348,8 @@ class Analyzer:
             "reverse_tokens": self.reverse_tokens,
             "fixed_shingles": self.fixed_shingles,
             "pattern_capture": list(self.pattern_capture),
+            "token_match_pattern": self.token_match_pattern,
+            "token_split_pattern": self.token_split_pattern,
         }
 
     @classmethod
@@ -1363,6 +1396,8 @@ class Analyzer:
             reverse_tokens=d.get("reverse_tokens", False),
             fixed_shingles=d.get("fixed_shingles", False),
             pattern_capture=tuple(d.get("pattern_capture", ())),
+            token_match_pattern=d.get("token_match_pattern") or None,
+            token_split_pattern=d.get("token_split_pattern") or None,
         )
 
     # -- python reference (oracle path) ---------------------------------
@@ -1420,13 +1455,7 @@ class Analyzer:
             ]
             toks = [t for t, _ in pairs]
         else:
-            toks = tokenize_text(
-                text,
-                latin1=self.latin1,
-                cjk=self.cjk_bigrams,
-                extra=self.extra_letters,
-                urls=self.urls_emails,
-            )
+            toks = self._tokenize_py(text)
             if self.limit_tokens:
                 toks = toks[: self.limit_tokens]
             if self.cjk_bigrams:
@@ -1531,13 +1560,7 @@ class Analyzer:
                     continue
                 out.append((self._stem_token(t), pos))
             return out
-        toks = tokenize_text(
-            text,
-            latin1=self.latin1,
-            cjk=self.cjk_bigrams,
-            extra=self.extra_letters,
-            urls=self.urls_emails,
-        )
+        toks = self._tokenize_py(text)
         if self.limit_tokens:
             toks = toks[: self.limit_tokens]
         if self.cjk_bigrams:
@@ -1554,6 +1577,31 @@ class Analyzer:
                 continue
             out.append((self._stem_token(t), pos))
         return out
+
+    def _tokenize_py(self, text):
+        """StandardTokenizer subset, or the custom PatternTokenizer modes
+        (match/split) over the lowered text."""
+        if self.token_match_pattern:
+            rx = _RX_CACHE.get(self.token_match_pattern)
+            if rx is None:
+                rx = _RX_CACHE[self.token_match_pattern] = _re.compile(
+                    self.token_match_pattern
+                )
+            return rx.findall((text or "").lower())
+        if self.token_split_pattern:
+            rx = _RX_CACHE.get(self.token_split_pattern)
+            if rx is None:
+                rx = _RX_CACHE[self.token_split_pattern] = _re.compile(
+                    self.token_split_pattern
+                )
+            return [t for t in rx.split((text or "").lower()) if t]
+        return tokenize_text(
+            text,
+            latin1=self.latin1,
+            cjk=self.cjk_bigrams,
+            extra=self.extra_letters,
+            urls=self.urls_emails,
+        )
 
     def _capture_expand(self, pairs):
         """PatternCaptureGroupTokenFilter emission (preserveOriginal=true):
@@ -1733,13 +1781,23 @@ class Analyzer:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "
             )
-        toks = tokens_expr(
-            col,
-            latin1=self.latin1,
-            cjk=self.cjk_bigrams,
-            extra=self.extra_letters,
-            urls=self.urls_emails,
-        )
+        if self.token_match_pattern:
+            toks = F.regexp_extract_all(
+                F.lower(col), F.lit(self.token_match_pattern), F.lit(0)
+            )
+        elif self.token_split_pattern:
+            toks = F.filter(
+                F.split(F.lower(col), self.token_split_pattern),
+                lambda t: t != F.lit(""),
+            )
+        else:
+            toks = tokens_expr(
+                col,
+                latin1=self.latin1,
+                cjk=self.cjk_bigrams,
+                extra=self.extra_letters,
+                urls=self.urls_emails,
+            )
         if self.limit_tokens:
             toks = F.slice(toks, 1, self.limit_tokens)
         if self.cjk_bigrams:

@@ -213,3 +213,39 @@ def test_pattern_capture_guards():
         Analyzer(pattern_capture=("(a)",), stemmer="s")
     an = Analyzer(pattern_capture=(r"(\d+)",))
     assert Analyzer.from_json(an.to_json()) == an
+
+
+def test_pattern_tokenizer_match_mode(spark):
+    an = Analyzer(token_match_pattern="[a-z]+")
+    got = an.analyze_text("Spark 42 data3x the")
+    assert got == [("spark", 0), ("data", 1), ("x", 2), ("the", 3)]
+    assert _jvm(spark, an, "Spark 42 data3x the") == got
+    assert an.analyze_query("42 spark") == ["spark"]
+
+
+def test_pattern_tokenizer_split_mode(spark):
+    an = Analyzer(token_split_pattern="[^a-z0-9.]+")
+    text = "Spark, 3.14! data..x"
+    got = an.analyze_text(text)
+    assert got == [("spark", 0), ("3.14", 1), ("data..x", 2)]
+    assert _jvm(spark, an, text) == got
+
+
+def test_pattern_tokenizer_composes_with_stop(spark):
+    an = Analyzer(
+        token_match_pattern="[a-z]+", stopwords=frozenset({"the"})
+    )
+    got = an.analyze_text("the Spark the data")
+    assert got == [("spark", 1), ("data", 3)]
+    assert _jvm(spark, an, "the Spark the data") == got
+
+
+def test_pattern_tokenizer_guards():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Analyzer(token_match_pattern="[a-z]+", token_split_pattern="x")
+    with _pt.raises(ValueError):
+        Analyzer(token_match_pattern="[a-z]+", urls_emails=True)
+    an = Analyzer(token_split_pattern="[^a-z]+")
+    assert Analyzer.from_json(an.to_json()) == an
