@@ -320,6 +320,37 @@ def main() -> None:
             lambda: suggest_terms(idx, "po", 10).collect()
         )
 
+        # ---- round-5 wave-6 surface: payload span scoring ----
+        from pyspark.sql import functions as _F
+
+        from lucene_spark.index import IndexBuilder as _PayIB
+        from lucene_spark.search.query import PayloadScoreQuery
+        from lucene_spark.search.spans import SpanNearQuery, SpanTermQuery
+
+        pay_text = _F.array_join(
+            _F.expr(
+                "transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+                " (t, i) -> concat(t, '|', i))"
+            ),
+            " ",
+        )
+        tp = time.time()
+        pay_idx = _PayIB(
+            num_segments=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            payload_delimiter="|",
+        ).build(corpus.withColumn("text", pay_text))
+        ext["t_payload_build"] = round(time.time() - tp, 4)
+        pay_s = IndexSearcher(pay_idx, scoring="plain_f64")
+        near = SpanNearQuery(
+            (SpanTermQuery("the"), SpanTermQuery("data")),
+            slop=0,
+            in_order=True,
+        )
+        ext["q_payload_span"], _ = _min_of(
+            lambda: pay_s.search(PayloadScoreQuery(near, "avg"), 10).collect()
+        )
+        pay_idx.unpersist_all()
+
         # ---- round-5 wave-4 surface ----
         from lucene_spark.analysis import Analyzer
         from lucene_spark.search import CoveringQuery, FunctionRangeQuery
