@@ -8433,6 +8433,56 @@ def _pattern_tokenizer_sql(terms, k: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# MatchHighlighter-style phrase snippet (highlighter/.../matchhighlight/
+# MatchHighlighter.java semantic): the phrase bolds AS A UNIT at its
+# first occurrence — regions from the match, not per-term re-scan.
+
+
+def _q_phrase_snippet(terms, k: int, before: int = 30, after: int = 30):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search import PhraseQuery
+
+        _, searcher = _searcher(spark, sf_dir)
+        ranked = _ranked_topk(searcher, PhraseQuery(tuple(terms)), k)
+        tr = _transcripts_df(spark, sf_dir)
+        sep = "[^a-z0-9]+"
+        pat = f"(.{{0,{before}}})({sep.join(terms)})(.{{0,{after}}})"
+        lo = F.lower(F.col("text"))
+        g1 = F.regexp_extract(lo, pat, 1)
+        g2 = F.regexp_extract(lo, pat, 2)
+        g3 = F.regexp_extract(lo, pat, 3)
+        snippet = F.when(
+            g2 != F.lit(""),
+            F.concat(g1, F.lit("<b>"), g2, F.lit("</b>"), g3),
+        ).otherwise(F.lit(""))
+        snip = tr.select("conv_id", "turn_idx", snippet.alias("snippet"))
+        return (
+            ranked.join(snip, ["conv_id", "turn_idx"])
+            .select("rank", "conv_id", "turn_idx", "snippet")
+            .orderBy("rank")
+        )
+
+    return run
+
+
+def _phrase_snippet_sql(terms, k: int, before: int = 30, after: int = 30) -> str:
+    base = _phrase_sql(list(terms), k)
+    sep = "[^a-z0-9]+"
+    pat = f"(.{{0,{before}}})({sep.join(terms)})(.{{0,{after}}})"
+    tail = f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
+    assert tail in base
+    ex = f"regexp_extract(lower(tr.text), '{pat}',"
+    new_tail = f"""
+SELECT r.rank, r.conv_id, r.turn_idx,
+       CASE WHEN {ex} 2) <> ''
+            THEN {ex} 1) || '<b>' || {ex} 2) || '</b>' || {ex} 3)
+            ELSE '' END AS snippet
+FROM ranked r JOIN tr USING (conv_id, turn_idx)
+WHERE r.rank <= {k} ORDER BY r.rank"""
+    return base.replace(tail, new_tail)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8799,6 +8849,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_fuzzy_classify_role": _q_knn_fuzzy("custoner data", 10),
         "pattern_capture_topk": _q_pattern_capture(["42", "spark"], 10),
         "pattern_tokenizer_topk": _q_pattern_tokenizer(["spark", "customer"], 10),
+        "phrase_match_snippet_topk": _q_phrase_snippet(("the", "customer"), 10),
     }
 
 
@@ -9152,4 +9203,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "knn_fuzzy_classify_role": _knn_fuzzy_sql("custoner data", 10),
         "pattern_capture_topk": _pattern_capture_sql(["42", "spark"], 10),
         "pattern_tokenizer_topk": _pattern_tokenizer_sql(["spark", "customer"], 10),
+        "phrase_match_snippet_topk": _phrase_snippet_sql(("the", "customer"), 10),
     }

@@ -289,3 +289,42 @@ def first_match_snippets(
     return hits.join(text_df, "doc_id", "left").withColumn(
         "snippet", snippet
     ).drop("text")
+
+
+def phrase_match_snippets(
+    hits: DataFrame,
+    text_df: DataFrame,
+    terms,
+    before: int = 30,
+    after: int = 30,
+) -> DataFrame:
+    """Span-aware snippet: the FIRST exact-phrase occurrence highlighted
+    AS A UNIT — the MatchHighlighter semantic (highlighter/.../
+    matchhighlight/MatchHighlighter.java: regions come from the query's
+    MATCHES, so "the customer" bolds only where the whole phrase matches,
+    never every lone "the").
+
+    The phrase region on the lowered text is the terms joined by a
+    non-token separator run (adjacent token positions ⇔ only non-token
+    chars between — the ExactPhraseMatcher adjacency, expressed as the
+    shared-subset regex ``t1[^a-z0-9]+t2...``); up to ``before``/``after``
+    context chars wrap it, and the match is wrapped in <b>..</b>.  Pure
+    JVM expressions (one regexp_extract per group), reproducible verbatim
+    in an independent SQL engine — the ``first_match_snippets`` contract,
+    phrase-aware."""
+    sep = "[^a-z0-9]+"
+    core = sep.join(terms)
+    pat = f"(.{{0,{before}}})({core})(.{{0,{after}}})"
+    lo = F.lower(F.col("text"))
+    g1 = F.regexp_extract(lo, pat, 1)
+    g2 = F.regexp_extract(lo, pat, 2)
+    g3 = F.regexp_extract(lo, pat, 3)
+    snippet = F.when(
+        g2 != F.lit(""),
+        F.concat(g1, F.lit("<b>"), g2, F.lit("</b>"), g3),
+    ).otherwise(F.lit(""))
+    return (
+        hits.join(text_df, "doc_id", "left")
+        .withColumn("snippet", snippet)
+        .drop("text")
+    )

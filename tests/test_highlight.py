@@ -160,3 +160,30 @@ def test_fvh_end_to_end_index(spark, tiny_index, text_df):
     assert len(out) == 5
     for r in out:
         assert "<b>model</b>" in r.snippet
+
+
+def test_phrase_match_snippets(spark, tiny_index):
+    """MatchHighlighter semantic: the phrase bolds as a unit at its first
+    occurrence; a doc containing both terms NON-adjacently gets no
+    snippet even if it ranks for the individual terms."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.highlight import phrase_match_snippets
+
+    rows = [
+        (0, "Big the customer said hello"),
+        (1, "the big customer arrived"),      # not adjacent -> no snippet
+        (2, "x" * 50 + " THE, Customer!"),    # punctuation separator
+    ]
+    text_df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    got = {
+        r.doc_id: r.snippet
+        for r in phrase_match_snippets(
+            hits, text_df, ("the", "customer"), before=10, after=10
+        ).collect()
+    }
+    assert got[0] == "big <b>the customer</b> said hell"
+    assert got[1] == ""
+    assert got[2].endswith("<b>the, customer</b>!")
+    assert "<b>" not in got[1]
