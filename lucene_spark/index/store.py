@@ -73,6 +73,22 @@ def _write_families(
     snapshot write paths)."""
     from lucene_spark.index.segments import DEFAULT_CHUNK_BITS
 
+    if "payloads" in idx.postings.columns:
+        # the packed block codec carries (term, doc, freq, positions) only;
+        # silently dropping the payload column would turn every stored
+        # PayloadScoreQuery into a wrong answer — refuse loudly.  Payload
+        # indexes are in-memory/NRT this round (documented limitation).
+        raise NotImplementedError(
+            "the stored-index format does not persist payload postings; "
+            "payload indexes are in-memory only"
+        )
+    if not idx.has_positions:
+        # DOCS_AND_FREQS postings have typed-null positions the block
+        # codec cannot encode
+        raise NotImplementedError(
+            "the stored-index format requires positional postings; "
+            "term_freq_delimiter indexes are in-memory only"
+        )
     chunk_bits = chunk_bits or DEFAULT_CHUNK_BITS
     idx.with_packed(chunk_bits=chunk_bits, cache=False)
 

@@ -247,3 +247,12 @@ def test_payload_function_validation():
         PayloadScoreQuery(SpanTermQuery("x"), "median")
     with pytest.raises(ValueError):
         SpanPayloadCheckQuery(SpanTermQuery("x"), (1.0,), op="ne")
+
+
+def test_payload_index_save_refuses(spark, payload_index, tmp_path):
+    """The packed store codec has no payload lane — save_index must refuse
+    loudly rather than silently drop the column."""
+    from lucene_spark.index.store import save_index
+
+    with pytest.raises(NotImplementedError, match="payload"):
+        save_index(payload_index, str(tmp_path / "px"))

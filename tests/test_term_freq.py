@@ -122,3 +122,10 @@ def test_custom_tf_guards(spark):
     # malformed frequency raises (ArrayUtil.parseInt semantics)
     with pytest.raises(Exception):
         _tf_index(spark, [("c0", 0, "a|x")]).postings.collect()
+
+
+def test_custom_tf_index_save_refuses(spark, tf_index, tmp_path):
+    from lucene_spark.index.store import save_index
+
+    with pytest.raises(NotImplementedError, match="positional"):
+        save_index(tf_index, str(tmp_path / "tx"))
