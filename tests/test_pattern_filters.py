@@ -249,3 +249,71 @@ def test_pattern_tokenizer_guards():
         Analyzer(token_match_pattern="[a-z]+", urls_emails=True)
     an = Analyzer(token_split_pattern="[^a-z]+")
     assert Analyzer.from_json(an.to_json()) == an
+
+
+def test_randomized_new_stage_parity(spark):
+    """Randomized python-vs-JVM parity for the wave-6 stages: random
+    texts through random pattern_replace / pattern_capture /
+    reverse_tokens / fixed_shingles / custom-tokenizer configs — the two
+    lowerings must emit identical (term, pos) sequences."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260821)
+    alphabet = "ab1 c-d,x yz42 . q|w 3.14 ée "
+    configs = [
+        Analyzer(pattern_replace=(("[0-9]+", "0"),)),
+        Analyzer(pattern_replace=(("a", "b"), ("bb", "c"))),
+        Analyzer(reverse_tokens=True),
+        Analyzer(reverse_tokens=True, length_range=(2, 8)),
+        Analyzer(shingle_size=2, fixed_shingles=True),
+        Analyzer(pattern_capture=(r"(\d+)", "([a-z])[0-9]")),
+        Analyzer(token_match_pattern="[a-z]+"),
+        Analyzer(token_split_pattern="[^a-z0-9]+"),
+        Analyzer(
+            stopwords=frozenset({"ab", "c"}),
+            pattern_replace=(("z", "c"),),
+        ),
+    ]
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for an in configs:
+        jvm_rows = (
+            df.select(an.entries_expr(F.col("text")).alias("e")).collect()
+        )
+        for text, row in zip(texts, jvm_rows):
+            py = an.analyze_text(text)
+            jv = [(x.term, x.pos) for x in row.e]
+            assert py == jv, (an, text)
+
+
+def test_named_tokenizers_as_pattern_instances(spark):
+    """The core named tokenizers reduce to pattern-tokenizer configs
+    (analysis/core/*.java), over the engine's lowered-text substrate:
+
+    * KeywordTokenizer  — the whole input as ONE token: match (?s).+
+    * LetterTokenizer / LowerCaseTokenizer — maximal letter runs: [a-z]+
+      (LowerCaseTokenizer = LetterTokenizer + LowerCaseFilter, which the
+      lowercase substrate provides by construction)
+    * WhitespaceTokenizer — split on \\s+
+    """
+    kw = Analyzer(token_match_pattern="(?s).+")
+    assert kw.analyze_text("Hello,  World\nx") == [("hello,  world\nx", 0)]
+    assert _jvm(spark, kw, "Hello,  World\nx") == [("hello,  world\nx", 0)]
+
+    letter = Analyzer(token_match_pattern="[a-z]+")
+    assert letter.analyze_text("don't x2y") == [
+        ("don", 0),
+        ("t", 1),
+        ("x", 2),
+        ("y", 3),
+    ]
+
+    ws = Analyzer(token_split_pattern=r"\s+")
+    got = ws.analyze_text("foo   bar-baz\tqux")
+    assert got == [("foo", 0), ("bar-baz", 1), ("qux", 2)]
+    assert _jvm(spark, ws, "foo   bar-baz\tqux") == got
