@@ -8483,6 +8483,53 @@ WHERE r.rank <= {k} ORDER BY r.rank"""
     return base.replace(tail, new_tail)
 
 
+# ---------------------------------------------------------------------------
+# DelimitedBoostTokenFilter through QueryBuilder (boost/
+# DelimitedBoostTokenFilter.java:33): "term|b" boosts that clause.
+
+
+def _q_delimited_boost(text: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.querybuilder import QueryBuilder
+
+        _, searcher = _searcher(spark, sf_dir)
+        q = QueryBuilder(delimited_boost="|").create_boolean_query(text)
+        return _ranked_topk(searcher, q, k)
+
+    return run
+
+
+def _delimited_boost_sql(text: str, k: int) -> str:
+    pairs = []
+    for r in text.split():
+        i = r.find("|")
+        pairs.append((r, 1.0) if i < 0 else (r[:i], float(r[i + 1:])))
+    tlist = ", ".join(f"'{t}'" for t, _ in pairs)
+    case = "CASE tf.term " + " ".join(
+        f"WHEN '{t}' THEN {b!r}" for t, b in pairs
+    ) + " ELSE 1.0 END"
+    return (
+        _PRELUDE
+        + f""",
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx, SUM({case} * {_SCORE}) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dlq USING (conv_id, turn_idx)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score_i DESC, conv_id, turn_idx) AS INT) AS rank,
+         conv_id, turn_idx, score_i
+  FROM (SELECT conv_id, turn_idx, CAST(round(score * 10000) AS BIGINT) AS score_i
+        FROM scored)
+)
+SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8850,6 +8897,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_capture_topk": _q_pattern_capture(["42", "spark"], 10),
         "pattern_tokenizer_topk": _q_pattern_tokenizer(["spark", "customer"], 10),
         "phrase_match_snippet_topk": _q_phrase_snippet(("the", "customer"), 10),
+        "delimited_boost_topk": _q_delimited_boost("spark|2 data query|0.5", 10),
     }
 
 
@@ -9204,4 +9252,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "pattern_capture_topk": _pattern_capture_sql(["42", "spark"], 10),
         "pattern_tokenizer_topk": _pattern_tokenizer_sql(["spark", "customer"], 10),
         "phrase_match_snippet_topk": _phrase_snippet_sql(("the", "customer"), 10),
+        "delimited_boost_topk": _delimited_boost_sql("spark|2 data query|0.5", 10),
     }

@@ -108,11 +108,26 @@ def element_query(span: tuple[str, ...], alts: list[tuple[str, ...]]) -> Query:
 
 class QueryBuilder:
     """createBooleanQuery / createPhraseQuery over analyzed text with
-    query-time synonym expansion (core/util/QueryBuilder.java:90-150)."""
+    query-time synonym expansion (core/util/QueryBuilder.java:90-150).
 
-    def __init__(self, analyzer=None, synonyms: QueryTimeSynonyms | None = None):
+    ``delimited_boost``: DelimitedBoostTokenFilter
+    (analysis/common/.../boost/DelimitedBoostTokenFilter.java:33) in the
+    query chain — "term|boost" splits at the FIRST delimiter, the float
+    tail becomes the token's BoostAttribute, which createFieldQuery
+    consumes (QueryBuilder.TermAndBoost): the resulting clause is the
+    TermQuery wrapped in that boost.  A token without the delimiter keeps
+    boost 1.  Applies to create_boolean_query only (the reference's
+    boosted-synonym/expansion path); phrases take no per-term boosts."""
+
+    def __init__(
+        self,
+        analyzer=None,
+        synonyms: QueryTimeSynonyms | None = None,
+        delimited_boost: str | None = None,
+    ):
         self.analyzer = analyzer
         self.synonyms = synonyms
+        self.delimited_boost = delimited_boost
 
     def _tokens(self, text: str) -> list[str]:
         if self.analyzer is not None:
@@ -122,14 +137,39 @@ class QueryBuilder:
     def create_boolean_query(self, text: str, occur: Occur = Occur.SHOULD) -> Query:
         """SHOULD (or MUST, for an AND default operator) of one clause per
         synonym element."""
-        toks = self._tokens(text)
+        boosts: list[float] = []
+        if self.delimited_boost is not None:
+            # split BEFORE analysis so the delimiter/number never reach
+            # the tokenizer (the filter's right-after-tokenizer slot on a
+            # whitespace stream; Float.parseFloat raises on a bad tail)
+            raw = text.split() if text else []
+            parts, toks = [], []
+            for r in raw:
+                i = r.find(self.delimited_boost)
+                if i < 0:
+                    parts.append((r, 1.0))
+                else:
+                    parts.append((r[:i], float(r[i + len(self.delimited_boost):])))
+            for term_text, b in parts:
+                for t in self._tokens(term_text):
+                    toks.append(t)
+                    boosts.append(b)
+        else:
+            toks = self._tokens(text)
         if not toks:
             return MatchNoDocsQuery()
-        if self.synonyms is not None:
+        if self.synonyms is not None and not boosts:
             elems = self.synonyms.elements(toks)
         else:
             elems = [((t,), []) for t in toks]
         clauses = [element_query(span, alts) for span, alts in elems]
+        if boosts:
+            from lucene_spark.search.query import BoostQuery
+
+            clauses = [
+                c if b == 1.0 else BoostQuery(c, b)
+                for c, b in zip(clauses, boosts)
+            ]
         if len(clauses) == 1:
             # single element: the clause itself (QueryBuilder.analyzeTerm)
             return clauses[0]

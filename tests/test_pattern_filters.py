@@ -317,3 +317,36 @@ def test_named_tokenizers_as_pattern_instances(spark):
     got = ws.analyze_text("foo   bar-baz\tqux")
     assert got == [("foo", 0), ("bar-baz", 1), ("qux", 2)]
     assert _jvm(spark, ws, "foo   bar-baz\tqux") == got
+
+
+def test_delimited_boost_query_builder(spark, tiny_index):
+    """DelimitedBoostTokenFilter in the query chain (boost/
+    DelimitedBoostTokenFilter.java:33 + QueryBuilder TermAndBoost):
+    'term|b' boosts that clause; scores = sum of boosted term scores."""
+    import pytest as _pt
+
+    from lucene_spark.search import IndexSearcher, TermQuery
+    from lucene_spark.search.query import BooleanQuery, BoostQuery, Occur
+    from lucene_spark.search.querybuilder import QueryBuilder
+
+    qb = QueryBuilder(delimited_boost="|")
+    q = qb.create_boolean_query("model|2 the data|0.5")
+    s = IndexSearcher(tiny_index, scoring="plain_f64")
+    got = {
+        (r.conv_id, r.turn_idx): r.score for r in s.search(q, 30).collect()
+    }
+    ref = BooleanQuery.of(
+        (BoostQuery(TermQuery("model"), 2.0), Occur.SHOULD),
+        (TermQuery("the"), Occur.SHOULD),
+        (BoostQuery(TermQuery("data"), 0.5), Occur.SHOULD),
+    )
+    exp = {
+        (r.conv_id, r.turn_idx): r.score for r in s.search(ref, 30).collect()
+    }
+    assert got == exp and got
+    # malformed boost raises (Float.parseFloat semantics)
+    with _pt.raises(ValueError):
+        qb.create_boolean_query("model|x")
+    # single boosted token: the boosted clause itself
+    one = qb.create_boolean_query("model|3")
+    assert isinstance(one, BoostQuery) and one.boost == 3.0
