@@ -125,6 +125,12 @@ class QueryBuilder:
         synonyms: QueryTimeSynonyms | None = None,
         delimited_boost: str | None = None,
     ):
+        if synonyms is not None and delimited_boost is not None:
+            # boosted tokens bypass the synonym-element grouping; refuse
+            # rather than silently dropping the rules
+            raise ValueError(
+                "delimited_boost and synonyms are mutually exclusive"
+            )
         self.analyzer = analyzer
         self.synonyms = synonyms
         self.delimited_boost = delimited_boost
