@@ -8530,6 +8530,68 @@ SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY r
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021 ExactSubstr at 8-token windows):
+# every 5th doc carries a shared boilerplate tail, so cross-document
+# duplicated spans exist deterministically.
+
+_SUBSTR_TAIL = (
+    " repeated boilerplate legal footer text appears across many documents"
+)
+
+
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.pipeline.textstats import duplicated_ngram_spans
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_SUBSTR_TAIL)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return (
+        duplicated_ngram_spans(aug, k=8)
+        .select("doc_id", "n_dup_tokens", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _exact_substring_sql() -> str:
+    from lucene_spark.pipeline.hashes import h60_sql
+
+    gram = h60_sql("array_to_string(list_slice(toks, i, i + 7), ' ')")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN '{_SUBSTR_TAIL}' ELSE '' END AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM aug
+),
+g AS (
+  SELECT doc_id, i - 1 AS p, {gram} AS h
+  FROM tk, LATERAL unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+  WHERE len(toks) >= 8
+),
+st AS (SELECT h, count(*) AS cnt FROM g GROUP BY 1),
+dup AS (SELECT g.doc_id, g.p FROM g JOIN st USING (h) WHERE st.cnt >= 2),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_dup
+  FROM (SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM dup)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(c.n_dup, 0) AS INT) AS n_dup_tokens,
+       CAST(len(t.toks) AS INT) AS n_tokens
+FROM tk t LEFT JOIN cov c USING (doc_id)
+ORDER BY t.doc_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: BM25 OR top-10."""
     return _q_topk(["spark", "query", "data"], 10)(spark, "/root/testdata/sf0.001")
@@ -8898,6 +8960,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_tokenizer_topk": _q_pattern_tokenizer(["spark", "customer"], 10),
         "phrase_match_snippet_topk": _q_phrase_snippet(("the", "customer"), 10),
         "delimited_boost_topk": _q_delimited_boost("spark|2 data query|0.5", 10),
+        "exact_substring_dedup": _q_exact_substring,
     }
 
 
@@ -9253,4 +9316,5 @@ GROUP BY tool ORDER BY n DESC, child ASC LIMIT 5""",
         "pattern_tokenizer_topk": _pattern_tokenizer_sql(["spark", "customer"], 10),
         "phrase_match_snippet_topk": _phrase_snippet_sql(("the", "customer"), 10),
         "delimited_boost_topk": _delimited_boost_sql("spark|2 data query|0.5", 10),
+        "exact_substring_dedup": _exact_substring_sql(),
     }

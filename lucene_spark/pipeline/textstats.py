@@ -626,3 +626,152 @@ scored AS (
 )
 SELECT doc_id, n_tok, CAST(round(nll / n_tok * 10000) AS BIGINT) AS lm_i
 FROM scored"""
+
+
+def _gram_starts(docs: DataFrame, k: int, text_col: str) -> DataFrame:
+    """(doc_id, p, h) — EVERY k-gram occurrence with its 0-based start
+    position (not distinct: exact-substring stats count occurrences)."""
+    from lucene_spark.pipeline.hashes import h60
+
+    toks = tokens(F.col(text_col))
+    entries = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("p"),
+                F.array_join(F.slice(toks, i, k), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,gram:string>>"))
+    return docs.select("doc_id", F.explode(entries).alias("_e")).select(
+        "doc_id", F.col("_e.p").alias("p"), h60(F.col("_e.gram")).alias("h")
+    )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    skip_canonical: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    detector at k-token granularity): per doc, the merged token spans
+    [start, end) every k-window of which occurs >= 2 times in the corpus
+    (intra- or cross-document).
+
+    Returns (doc_id, spans array<struct<start,end>>, n_dup_tokens,
+    n_tokens).  ``skip_canonical=True`` exempts, per k-gram, the doc with
+    the smallest doc_id holding it — the keep-one-copy convention the
+    removal operator uses.
+
+    100 TB shape: gram occurrences reduce to (doc_id, p, h60) — gram
+    strings never shuffle; stats are ONE hash agg per gram hash; the
+    span merge is a per-doc sorted fold (JVM aggregate over the starts
+    array, no UDF)."""
+    g = _gram_starts(docs, k, text_col)
+    st = g.groupBy("h").agg(
+        F.count("*").alias("_cnt"), F.min("doc_id").alias("_mk")
+    )
+    dup = g.join(st, "h").filter(F.col("_cnt") >= 2)
+    if skip_canonical:
+        dup = dup.filter(F.col("_mk") != F.col("doc_id"))
+    starts = dup.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("p")).alias("_ps")
+    )
+    span_t = "array<struct<start:int,end:int>>"
+    init = F.struct(
+        F.array().cast(span_t).alias("acc"),
+        F.lit(-1).cast("int").alias("cs"),
+        F.lit(-1).cast("int").alias("ce"),
+    )
+
+    def step(a, p):
+        close = F.concat(
+            a["acc"],
+            F.array(F.struct(a["cs"].alias("start"), a["ce"].alias("end"))),
+        )
+        return (
+            F.when(
+                a["cs"] < 0,
+                F.struct(
+                    a["acc"].alias("acc"),
+                    p.cast("int").alias("cs"),
+                    (p + k).cast("int").alias("ce"),
+                ),
+            )
+            .when(
+                p <= a["ce"],
+                F.struct(
+                    a["acc"].alias("acc"),
+                    a["cs"].alias("cs"),
+                    (p + k).cast("int").alias("ce"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    close.alias("acc"),
+                    p.cast("int").alias("cs"),
+                    (p + k).cast("int").alias("ce"),
+                )
+            )
+        )
+
+    def fin(a):
+        return F.when(
+            a["cs"] >= 0,
+            F.concat(
+                a["acc"],
+                F.array(
+                    F.struct(a["cs"].alias("start"), a["ce"].alias("end"))
+                ),
+            ),
+        ).otherwise(a["acc"])
+
+    spans = F.aggregate(F.col("_ps"), init, step, fin)
+    merged = starts.select("doc_id", spans.alias("spans"))
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    out = base.join(merged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("spans"), F.array().cast(span_t)).alias("spans"),
+        F.coalesce(
+            F.aggregate(
+                "spans", F.lit(0), lambda a, s: a + (s["end"] - s["start"])
+            ),
+            F.lit(0),
+        ).cast("int").alias("n_dup_tokens"),
+        F.greatest(F.col("n_tokens"), F.lit(0)).cast("int").alias("n_tokens"),
+    )
+    return out
+
+
+def remove_duplicated_ngrams(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Keep-one-copy exact-substring removal: tokens covered by a
+    duplicated span are dropped EXCEPT in each k-gram's canonical doc
+    (smallest doc_id holding it), so one copy of every duplicated
+    substring survives the corpus.  Returns (doc_id, text) with the
+    cleaned text rebuilt from the surviving normalized tokens
+    (space-joined — curation ops operate on the token stream, like the
+    other textstats transforms)."""
+    sp = duplicated_ngram_spans(
+        docs, k, text_col, skip_canonical=True
+    ).select("doc_id", "spans")
+    toks = tokens(F.col(text_col))
+    joined = docs.select("doc_id", toks.alias("_t")).join(sp, "doc_id", "left")
+    spans = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<start:int,end:int>>")
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda t, i: ~F.exists(
+            spans, lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    return joined.select(
+        "doc_id", F.array_join(kept, " ").alias("text")
+    )
