@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--sample-en", type=float, default=1.0,
                     help="keep rate for lang='en' (downsample the head)")
     ap.add_argument("--min-tokens", type=int, default=3)
+    ap.add_argument("--substr-k", type=int, default=0,
+                    help="exact-substring dedup window (0 = off)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -96,6 +98,18 @@ def main():
     docs = docs.drop("text").join(
         red.select("doc_id", F.col("redacted_text").alias("text")), "doc_id"
     )
+
+    # 4b. optional exact-substring removal (Lee et al. ExactSubstr):
+    # duplicated >= k-token spans dropped everywhere but each gram's
+    # canonical holder — one copy survives the corpus
+    if args.substr_k:
+        from lucene_spark.pipeline.textstats import remove_duplicated_ngrams
+
+        sub = remove_duplicated_ngrams(
+            docs.select("doc_id", "text"), k=args.substr_k
+        )
+        docs = docs.drop("text").join(sub, "doc_id")
+        stages["after_substring_dedup"] = docs.count()
 
     # 5. quality floor: enough tokens to train on
     docs = with_token_counts(docs)
