@@ -8442,12 +8442,12 @@ def _pattern_tokenizer_sql(terms, k: int) -> str:
 def _q_phrase_snippet(terms, k: int, before: int = 30, after: int = 30):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lucene_spark.search import PhraseQuery
+        from lucene_spark.search.highlight import phrase_snippet_pattern
 
         _, searcher = _searcher(spark, sf_dir)
         ranked = _ranked_topk(searcher, PhraseQuery(tuple(terms)), k)
         tr = _transcripts_df(spark, sf_dir)
-        sep = "[^a-z0-9]+"
-        pat = f"(.{{0,{before}}})({sep.join(terms)})(.{{0,{after}}})"
+        pat = phrase_snippet_pattern(terms, before, after)
         lo = F.lower(F.col("text"))
         g1 = F.regexp_extract(lo, pat, 1)
         g2 = F.regexp_extract(lo, pat, 2)
@@ -8467,9 +8467,10 @@ def _q_phrase_snippet(terms, k: int, before: int = 30, after: int = 30):
 
 
 def _phrase_snippet_sql(terms, k: int, before: int = 30, after: int = 30) -> str:
+    from lucene_spark.search.highlight import phrase_snippet_pattern
+
     base = _phrase_sql(list(terms), k)
-    sep = "[^a-z0-9]+"
-    pat = f"(.{{0,{before}}})({sep.join(terms)})(.{{0,{after}}})"
+    pat = phrase_snippet_pattern(terms, before, after)
     tail = f"SELECT rank, conv_id, turn_idx, score_i FROM ranked WHERE rank <= {k} ORDER BY rank"
     assert tail in base
     ex = f"regexp_extract(lower(tr.text), '{pat}',"

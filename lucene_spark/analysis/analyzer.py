@@ -392,6 +392,34 @@ _CHAR_FOLD_CACHE: dict = {}
 _RX_CACHE: dict = {}
 
 
+def _java_replacement(rep: str) -> str:
+    """Convert a Python-re replacement string to Java's regexp_replace
+    syntax: \\N backrefs become $N, a literal '$' is escaped (Java reads
+    it as a group sigil), and backslash-escaped literals survive."""
+    out = []
+    i = 0
+    while i < len(rep):
+        c = rep[i]
+        if c == "\\" and i + 1 < len(rep):
+            n = rep[i + 1]
+            if n.isdigit():
+                out.append("$" + n)
+            elif n == "\\":
+                out.append("\\\\")
+            else:
+                out.append("\\" + n)
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Immutable analyzer spec shared by engine, oracle, and SQL twins.
@@ -585,7 +613,15 @@ class Analyzer:
             )
         if self.token_match_pattern or self.token_split_pattern:
             pat = self.token_match_pattern or self.token_split_pattern
-            _re.compile(pat)
+            if _re.compile(pat).groups:
+                # re.findall/re.split return group captures, while the JVM
+                # lowering matches group 0 / drops separators — a grouped
+                # pattern silently diverges between the two paths.  Use
+                # non-capturing (?:...) groups.
+                raise ValueError(
+                    "custom token patterns must not contain capture "
+                    "groups (use (?:...))"
+                )
             if (
                 self.latin1
                 or self.extra_letters
@@ -1775,8 +1811,8 @@ class Analyzer:
         if self.char_fold:
             col = F.translate(col, self.char_fold[0], self.char_fold[1])
         for pat, rep in self.pre_sub:
-            # Python backref syntax -> Java's $N
-            col = F.regexp_replace(col, pat, _re.sub(r"\\(\d)", r"$\1", rep))
+            # Python replacement syntax -> Java's (backrefs, $ escaping)
+            col = F.regexp_replace(col, pat, _java_replacement(rep))
         if self.elision:
             col = F.regexp_replace(
                 col, f"(?i){ELISION_PATTERNS[self.elision]}", " "
@@ -1843,8 +1879,7 @@ class Analyzer:
             return lambda t: F.regexp_replace(t, p, r)
 
         for pat, rep in self.pattern_replace:
-            jrep = _re.sub(r"\\(\d)", r"$\1", rep)
-            toks = F.transform(toks, _mk_replace(pat, jrep))
+            toks = F.transform(toks, _mk_replace(pat, _java_replacement(rep)))
         if self.graph_synonyms:
             entries = self._graph_entries_expr(toks)
         else:

@@ -186,6 +186,13 @@ class InvertedIndex:
         decode UDF) when opened from storage.  ≙ TermQuery's
         postings-seek (TermsEnum.seekExact -> postings())."""
         terms = sorted(set(terms))
+        if with_positions and not self.has_positions:
+            # DOCS_AND_FREQS index (term_freq_delimiter): positions are
+            # typed nulls — a positional plan would silently match nothing
+            raise ValueError(
+                "positional query on a DOCS_AND_FREQS index "
+                "(term_freq_delimiter): no positions were indexed"
+            )
         if self.packed is not None and self.prefer_packed:
             from lucene_spark.index.segments import unpack_postings
 
@@ -614,6 +621,13 @@ class IndexBuilder:
                             else:
                                 term = raw[:i]
                                 tf = int(raw[i + len(tf_delim):])
+                                if tf < 1:
+                                    # TermFrequencyAttributeImpl.
+                                    # setTermFrequency rejects < 1
+                                    raise ValueError(
+                                        f"term frequency must be >= 1, "
+                                        f"got {tf} in {raw!r}"
+                                    )
                             dl += tf
                             inv[term] = inv.get(term, 0) + tf
                         lengths.append(dl)

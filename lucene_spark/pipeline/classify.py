@@ -358,15 +358,30 @@ def bm25_nb_classify(
     )
     cdim = cdim.select("_cls", cls_score.alias("_cs"))
 
-    # the reference analyzes unseen text with the index's analyzer —
-    # use the engine StandardTokenizer twin (tokens_expr), not the
-    # SQL-regex helper (they differ on NUM tokens like "1,000" and on
-    # maxTokenLength splits)
+    # the reference analyzes unseen text with the INDEX's analyzer —
+    # plain index: the engine StandardTokenizer twin (tokens_expr, NOT the
+    # SQL-regex helper — they differ on NUM tokens like "1,000" and on
+    # maxTokenLength splits); analyzed index: the chain's JVM lowering, so
+    # test tokens live in the postings vocabulary.  Dictionary-stage
+    # stemmers and WDGF have no complete entries_expr form — refuse
+    # rather than silently classifying with a mismatched vocabulary.
+    from lucene_spark.analysis.analyzer import DICT_STEMMERS
     from lucene_spark.analysis.tokenizer import tokens_expr
 
-    toks = test_df.select(
-        *ids, F.explode(tokens_expr(F.col(text_col))).alias("term")
-    )
+    an = index.analyzer
+    if an is None or an.is_noop():
+        toks_col = tokens_expr(F.col(text_col))
+    elif an.stemmer in DICT_STEMMERS or an.word_delimiter:
+        raise NotImplementedError(
+            "bm25_nb_classify needs the index analyzer's JVM lowering; "
+            "dictionary-stage stemmers / word_delimiter chains are not "
+            "supported"
+        )
+    else:
+        toks_col = F.transform(
+            an.entries_expr(F.col(text_col)), lambda e: e["term"]
+        )
+    toks = test_df.select(*ids, F.explode(toks_col).alias("term"))
     per_tok = (
         toks.crossJoin(F.broadcast(cdim))
         # mx is |classes| x |vocab| — corpus-dictionary sized, NEVER

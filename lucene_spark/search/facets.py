@@ -133,18 +133,16 @@ def all_group_heads(
     scored = searcher.scored(query)
     docs = searcher.index.docs
     joined = scored.join(docs, "doc_id")
-    order = [F.desc("score"), F.asc("doc_id")]
-    if sort is not None:
-        order = []
-        for f in sort.fields:
-            if f.field == "score":
-                order.append(
-                    F.desc("score") if not f.reverse else F.asc("score")
-                )
-            else:
-                c = F.col(f.field)
-                order.append(c.desc() if f.reverse else c.asc())
-        order.append(F.asc("doc_id"))
+    if sort is None:
+        order = [F.desc("score"), F.asc("doc_id")]
+    else:
+        # the searcher's sort lowering: 'score'/'doc' specials, per-field
+        # direction, nulls-last (the SortField missing-value contract),
+        # implicit doc tie-break (searcher._sort_specs)
+        order = [
+            (F.desc_nulls_last(c) if d else F.asc_nulls_last(c))
+            for c, d, _ in searcher._sort_specs(sort)
+        ]
     w = Window.partitionBy(group_col).orderBy(*order)
     return (
         joined.withColumn("_rn", F.row_number().over(w))

@@ -291,6 +291,18 @@ def first_match_snippets(
     ).drop("text")
 
 
+def phrase_snippet_pattern(terms, before: int = 30, after: int = 30) -> str:
+    """The shared 3-group snippet regex (context, boundary-anchored phrase
+    core, context) — built once so the engine and the SQL twins stay
+    literally identical.  ``\\b`` anchors stop partial-word hits ("the
+    data" inside "the database"); terms are regex-escaped.  ``\\b`` is
+    shared by Java, RE2 and Python (its underscore-is-a-word-char quirk
+    is the documented subset)."""
+    sep = "[^a-z0-9]+"
+    core = sep.join(re.escape(t) for t in terms)
+    return f"(.{{0,{before}}})(\\b{core}\\b)(.{{0,{after}}})"
+
+
 def phrase_match_snippets(
     hits: DataFrame,
     text_df: DataFrame,
@@ -312,9 +324,7 @@ def phrase_match_snippets(
     JVM expressions (one regexp_extract per group), reproducible verbatim
     in an independent SQL engine — the ``first_match_snippets`` contract,
     phrase-aware."""
-    sep = "[^a-z0-9]+"
-    core = sep.join(terms)
-    pat = f"(.{{0,{before}}})({core})(.{{0,{after}}})"
+    pat = phrase_snippet_pattern(terms, before, after)
     lo = F.lower(F.col("text"))
     g1 = F.regexp_extract(lo, pat, 1)
     g2 = F.regexp_extract(lo, pat, 2)

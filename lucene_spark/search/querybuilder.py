@@ -184,7 +184,20 @@ class QueryBuilder:
     def create_phrase_query(self, text: str, slop: int = 0) -> Query:
         """Exact-phrase build (no synonym expansion inside phrases — the
         classic parser's quoted-phrase behavior; graph phrases are the
-        SHOULD-group form from create_boolean_query)."""
+        SHOULD-group form from create_boolean_query).  With
+        ``delimited_boost`` configured, "term|b" markup is stripped first
+        (phrase matching ignores per-term boosts, like the reference's
+        PhraseQuery ignoring BoostAttribute; the boost tail is validated
+        so a typo still raises)."""
+        if self.delimited_boost is not None and text:
+            cleaned = []
+            for r in text.split():
+                i = r.find(self.delimited_boost)
+                if i >= 0:
+                    float(r[i + len(self.delimited_boost):])
+                    r = r[:i]
+                cleaned.append(r)
+            text = " ".join(cleaned)
         if self.analyzer is not None:
             pairs = self.analyzer.analyze_query_positions(text)
         else:

@@ -311,6 +311,30 @@ def spell_correct(
     )
 
 
+def _infix_parse(analyzer, key: str, all_terms_required: bool):
+    """Shared AnalyzingInfixSuggester key analysis + candidate predicate
+    (AnalyzingInfixSuggester.java:627-694): earlier tokens (and the last,
+    when the key ends in discarded chars — the maxEndOffset rule) match
+    exactly anywhere; otherwise the last token matches as a token prefix.
+    Returns (exact_tokens, prefix_token|None, predicate) or None for an
+    empty analysis — used by both the plain and the blended lookups so
+    the matching rule can never drift between them."""
+    toks = analyzer.analyze_query(key)
+    if not toks:
+        return None
+    last_ended = key != key.rstrip()
+    exact = list(toks) if last_ended else list(toks[:-1])
+    prefix = None if last_ended else toks[-1]
+    tarr = F.split(F.col("key"), " ")
+    conds = [F.array_contains(tarr, t) for t in exact]
+    if prefix is not None:
+        conds.append(F.exists(tarr, lambda x: x.startswith(prefix)))
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = (pred & c) if all_terms_required else (pred | c)
+    return exact, prefix, pred
+
+
 def infix_lookup(
     suggester: DataFrame,
     analyzer,
@@ -336,29 +360,12 @@ def infix_lookup(
     dedicated mini Lucene index, not the FST)."""
     from pyspark.sql import Window
 
-    toks = analyzer.analyze_query(key)
-    if not toks:
+    parsed = _infix_parse(analyzer, key, all_terms_required)
+    if parsed is None:
         return suggester.select(
             F.lit(1).alias("rank"), "surface", "weight"
         ).limit(0)
-    last_ended = key != key.rstrip()
-    tarr = F.split(F.col("key"), " ")
-    conds = []
-    for t in toks[:-1]:
-        conds.append(F.array_contains(tarr, t))
-    last = toks[-1]
-    if last_ended:
-        conds.append(F.array_contains(tarr, last))
-    else:
-        conds.append(F.exists(tarr, lambda x: x.startswith(last)))
-    if all_terms_required:
-        pred = conds[0]
-        for c in conds[1:]:
-            pred = pred & c
-    else:
-        pred = conds[0]
-        for c in conds[1:]:
-            pred = pred | c
+    _exact, _prefix, pred = parsed
     cands = suggester.filter(pred)
     top = cands.orderBy(F.desc("weight"), F.asc("surface")).limit(k)
     w = Window.orderBy(F.desc("weight"), F.asc("surface"))
@@ -405,21 +412,13 @@ def blended_infix_lookup(
 
     if blender not in ("linear", "reciprocal", "exponential_reciprocal"):
         raise ValueError(f"unknown blender type {blender!r}")
-    toks = analyzer.analyze_query(key)
-    if not toks:
+    parsed = _infix_parse(analyzer, key, all_terms_required)
+    if parsed is None:
         return suggester.select(
             F.lit(1).alias("rank"), "surface", F.col("weight").alias("score")
         ).limit(0)
-    last_ended = key != key.rstrip()
+    exact, prefix, pred = parsed
     tarr = F.split(F.col("key"), " ")
-    exact = list(toks) if last_ended else list(toks[:-1])
-    prefix = None if last_ended else toks[-1]
-    conds = [F.array_contains(tarr, t) for t in exact]
-    if prefix is not None:
-        conds.append(F.exists(tarr, lambda x: x.startswith(prefix)))
-    pred = conds[0]
-    for c in conds[1:]:
-        pred = (pred & c) if all_terms_required else (pred | c)
     cands = (
         suggester.filter(pred)
         .orderBy(F.desc("weight"), F.asc("surface"))

@@ -350,3 +350,39 @@ def test_delimited_boost_query_builder(spark, tiny_index):
     # single boosted token: the boosted clause itself
     one = qb.create_boolean_query("model|3")
     assert isinstance(one, BoostQuery) and one.boost == 3.0
+
+
+def test_review_fixes_regressions(spark):
+    """Round-5 review fixes: grouped custom-token patterns rejected;
+    '$'-bearing replacements survive the JVM lowering; phrase snippets
+    anchor on token boundaries."""
+    import pytest as _pt
+
+    # capture groups in custom token patterns diverge python<->JVM
+    with _pt.raises(ValueError, match="capture"):
+        Analyzer(token_match_pattern="(ab)+")
+    with _pt.raises(ValueError, match="capture"):
+        Analyzer(token_split_pattern="(,)")
+    # literal '$' in a replacement: Java regexp_replace reads '$' as a
+    # group sigil unless escaped — both paths must agree
+    an = Analyzer(pattern_replace=(("usd", "$"), (r"(\d)x", r"\1y")))
+    got = an.analyze_text("usd42 3x1")
+    assert got == [("$42", 0), ("3y1", 1)]
+    assert _jvm(spark, an, "usd42 3x1") == got
+
+
+def test_phrase_snippet_boundaries(spark):
+    from lucene_spark.search.highlight import phrase_match_snippets
+
+    rows = [
+        (0, "query the database daily"),    # partial word: NOT a match
+        (1, "see the data now"),
+    ]
+    text_df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    got = {
+        r.doc_id: r.snippet
+        for r in phrase_match_snippets(hits, text_df, ("the", "data")).collect()
+    }
+    assert got[0] == ""  # 'the database' must not bold as 'the data'
+    assert got[1] == "see <b>the data</b> now"

@@ -129,3 +129,22 @@ def test_custom_tf_index_save_refuses(spark, tf_index, tmp_path):
 
     with pytest.raises(NotImplementedError, match="positional"):
         save_index(tf_index, str(tmp_path / "tx"))
+
+
+def test_custom_tf_rejects_nonpositive(spark):
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="must be >= 1"):
+        _tf_index(spark, [("c0", 0, "a|0")]).postings.collect()
+    with _pt.raises(Exception, match="must be >= 1"):
+        _tf_index(spark, [("c0", 0, "a|-3")]).postings.collect()
+
+
+def test_custom_tf_positional_query_refuses(spark, tf_index):
+    import pytest as _pt
+
+    from lucene_spark.search import IndexSearcher, PhraseQuery
+
+    s = IndexSearcher(tf_index, scoring="plain_f64")
+    with _pt.raises(ValueError, match="DOCS_AND_FREQS"):
+        s.search(PhraseQuery(("a", "b")), k=5)
