@@ -8501,13 +8501,19 @@ def _q_delimited_boost(text: str, k: int):
 
 
 def _delimited_boost_sql(text: str, k: int) -> str:
-    pairs = []
-    for r in text.split():
-        i = r.find("|")
-        pairs.append((r, 1.0) if i < 0 else (r[:i], float(r[i + 1:])))
-    tlist = ", ".join(f"'{t}'" for t, _ in pairs)
+    # mirror the ENGINE's parse exactly: split via the shared helper, then
+    # tokenize each chunk like QueryBuilder._tokens; a term reached from
+    # several chunks sums its boosts (SHOULD clauses are linear in score)
+    from lucene_spark.analysis.tokenizer import tokenize_text
+    from lucene_spark.search.querybuilder import split_delimited_boosts
+
+    weights: dict = {}
+    for chunk, b in split_delimited_boosts(text, "|"):
+        for t in tokenize_text(chunk):
+            weights[t] = weights.get(t, 0.0) + b
+    tlist = ", ".join(f"'{t}'" for t in sorted(weights))
     case = "CASE tf.term " + " ".join(
-        f"WHEN '{t}' THEN {b!r}" for t, b in pairs
+        f"WHEN '{t}' THEN {weights[t]!r}" for t in sorted(weights)
     ) + " ELSE 1.0 END"
     return (
         _PRELUDE
@@ -8588,7 +8594,7 @@ cov AS (
 )
 SELECT t.doc_id,
        CAST(COALESCE(c.n_dup, 0) AS INT) AS n_dup_tokens,
-       CAST(len(t.toks) AS INT) AS n_tokens
+       CAST(COALESCE(len(t.toks), 0) AS INT) AS n_tokens
 FROM tk t LEFT JOIN cov c USING (doc_id)
 ORDER BY t.doc_id"""
 

@@ -392,6 +392,25 @@ _CHAR_FOLD_CACHE: dict = {}
 _RX_CACHE: dict = {}
 
 
+def _check_replacement(rep: str) -> None:
+    """Reject replacement escapes outside the shared python/Java subset:
+    only \\N backrefs and an escaped backslash are portable.  Python's
+    re.sub expands \\t/\\n/\\g<N> while Java's regexp_replace reads them
+    as literal chars — write literal characters directly instead."""
+    i = 0
+    while i < len(rep):
+        if rep[i] == "\\":
+            if i + 1 >= len(rep) or not (rep[i + 1].isdigit() or rep[i + 1] == "\\"):
+                raise ValueError(
+                    f"unsupported replacement escape in {rep!r}: only \\N "
+                    "backrefs and \\\\ are portable across the python and "
+                    "JVM lowerings"
+                )
+            i += 2
+            continue
+        i += 1
+
+
 def _java_replacement(rep: str) -> str:
     """Convert a Python-re replacement string to Java's regexp_replace
     syntax: \\N backrefs become $N, a literal '$' is escaped (Java reads
@@ -656,6 +675,10 @@ class Analyzer:
         if self.pattern_replace:
             for pat, rep in self.pattern_replace:
                 _re.compile(pat)  # raise early on a bad pattern
+                _check_replacement(rep)
+        if self.pre_sub:
+            for pat, rep in self.pre_sub:
+                _check_replacement(rep)
         if self.reverse_tokens and (
             self.stemmer is not None
             or self.synonyms

@@ -751,27 +751,60 @@ def duplicated_ngram_spans(
 def remove_duplicated_ngrams(
     docs: DataFrame, k: int = 8, text_col: str = "text"
 ) -> DataFrame:
-    """Keep-one-copy exact-substring removal: tokens covered by a
-    duplicated span are dropped EXCEPT in each k-gram's canonical doc
-    (smallest doc_id holding it), so one copy of every duplicated
-    substring survives the corpus.  Returns (doc_id, text) with the
-    cleaned text rebuilt from the surviving normalized tokens
-    (space-joined — curation ops operate on the token stream, like the
-    other textstats transforms)."""
-    sp = duplicated_ngram_spans(
-        docs, k, text_col, skip_canonical=True
-    ).select("doc_id", "spans")
-    toks = tokens(F.col(text_col))
-    joined = docs.select("doc_id", toks.alias("_t")).join(sp, "doc_id", "left")
-    spans = F.coalesce(
-        F.col("spans"), F.array().cast("array<struct<start:int,end:int>>")
+    """Keep-one-copy exact-substring removal: a token is dropped when it
+    is covered by a duplicated k-window whose canonical holder (smallest
+    doc_id containing that exact gram) is another doc — UNLESS some
+    covering duplicated window is canonical HERE, which protects this
+    doc's copy (without the protection rule, overlapping gram clusters
+    with different canonical docs could destroy every copy of a
+    substring).  Docs with nothing to remove keep their ORIGINAL text
+    verbatim; rewritten docs are rebuilt from the surviving normalized
+    tokens (space-joined — token-level surgery cannot preserve the raw
+    punctuation around removed spans)."""
+    g = _gram_starts(docs, k, text_col)
+    st = g.groupBy("h").agg(
+        F.count("*").alias("_cnt"), F.min("doc_id").alias("_mk")
     )
+    dup = g.join(st, "h").filter(F.col("_cnt") >= 2)
+    per_doc = dup.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("_mk") != F.col("doc_id"), F.col("p"))
+            )
+        ).alias("_drop_ps"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("_mk") == F.col("doc_id"), F.col("p"))
+            )
+        ).alias("_keep_ps"),
+    )
+    toks = tokens(F.col(text_col))
+    joined = docs.select(
+        "doc_id", F.col(text_col).alias("_orig"), toks.alias("_t")
+    ).join(per_doc, "doc_id", "left")
+
+    def windows(ps):
+        return F.transform(
+            F.coalesce(ps, F.array().cast("array<int>")),
+            lambda p: F.struct(
+                p.alias("start"), (p + k).cast("int").alias("end")
+            ),
+        )
+
+    drop_w = windows(F.col("_drop_ps"))
+    keep_w = windows(F.col("_keep_ps"))
+
+    def covered(ws, i):
+        return F.exists(ws, lambda s: (i >= s["start"]) & (i < s["end"]))
+
     kept = F.filter(
         F.col("_t"),
-        lambda t, i: ~F.exists(
-            spans, lambda s: (i >= s["start"]) & (i < s["end"])
-        ),
+        lambda t, i: ~covered(drop_w, i) | covered(keep_w, i),
     )
+    rebuilt = F.array_join(kept, " ")
     return joined.select(
-        "doc_id", F.array_join(kept, " ").alias("text")
+        "doc_id",
+        F.when(F.size(kept) == F.size("_t"), F.col("_orig"))
+        .otherwise(rebuilt)
+        .alias("text"),
     )

@@ -106,6 +106,23 @@ def element_query(span: tuple[str, ...], alts: list[tuple[str, ...]]) -> Query:
     return BooleanQuery.of(*[(b, Occur.SHOULD) for b in branches])
 
 
+
+
+def split_delimited_boosts(text: str, delimiter: str):
+    """[(chunk, boost)] — the DelimitedBoostTokenFilter split (first
+    delimiter; float tail validated, Float.parseFloat semantics; no
+    delimiter -> boost 1).  Single source of truth for the boolean path,
+    the phrase path and the oracle twins."""
+    out = []
+    for r in (text.split() if text else []):
+        i = r.find(delimiter)
+        if i < 0:
+            out.append((r, 1.0))
+        else:
+            out.append((r[:i], float(r[i + len(delimiter):])))
+    return out
+
+
 class QueryBuilder:
     """createBooleanQuery / createPhraseQuery over analyzed text with
     query-time synonym expansion (core/util/QueryBuilder.java:90-150).
@@ -148,15 +165,10 @@ class QueryBuilder:
             # split BEFORE analysis so the delimiter/number never reach
             # the tokenizer (the filter's right-after-tokenizer slot on a
             # whitespace stream; Float.parseFloat raises on a bad tail)
-            raw = text.split() if text else []
-            parts, toks = [], []
-            for r in raw:
-                i = r.find(self.delimited_boost)
-                if i < 0:
-                    parts.append((r, 1.0))
-                else:
-                    parts.append((r[:i], float(r[i + len(self.delimited_boost):])))
-            for term_text, b in parts:
+            toks = []
+            for term_text, b in split_delimited_boosts(
+                text, self.delimited_boost
+            ):
                 for t in self._tokens(term_text):
                     toks.append(t)
                     boosts.append(b)
@@ -190,14 +202,9 @@ class QueryBuilder:
         PhraseQuery ignoring BoostAttribute; the boost tail is validated
         so a typo still raises)."""
         if self.delimited_boost is not None and text:
-            cleaned = []
-            for r in text.split():
-                i = r.find(self.delimited_boost)
-                if i >= 0:
-                    float(r[i + len(self.delimited_boost):])
-                    r = r[:i]
-                cleaned.append(r)
-            text = " ".join(cleaned)
+            text = " ".join(
+                c for c, _ in split_delimited_boosts(text, self.delimited_boost)
+            )
         if self.analyzer is not None:
             pairs = self.analyzer.analyze_query_positions(text)
         else:

@@ -44,7 +44,8 @@ def main():
                     help="keep rate for lang='en' (downsample the head)")
     ap.add_argument("--min-tokens", type=int, default=3)
     ap.add_argument("--substr-k", type=int, default=0,
-                    help="exact-substring dedup window (0 = off)")
+                    help="exact-substring dedup window (0 = off); docs with "
+                         "removals are rebuilt from normalized tokens")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

@@ -72,3 +72,31 @@ def test_short_docs_no_grams(spark):
     )
     out = {r.doc_id: r.n_dup_tokens for r in duplicated_ngram_spans(d, k=8).collect()}
     assert out == {0: 0, 1: 0}
+
+
+def test_remove_keeps_one_copy_across_overlapping_clusters(spark):
+    """Review-fix regression: overlapping gram clusters with DIFFERENT
+    canonical docs must not destroy every copy of a substring — a
+    canonical-here window protects its tokens."""
+    from lucene_spark.pipeline.textstats import remove_duplicated_ngrams
+
+    b = " ".join(f"b{i}" for i in range(1, 9))          # b1..b8
+    a = "a1 " + " ".join(f"b{i}" for i in range(1, 8))  # a1 b1..b7
+    rows = [(0, b), (1, "a1 " + b), (2, a + " x9")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text for r in remove_duplicated_ngrams(docs, k=8).collect()
+    }
+    assert out[0] == b              # canonical of gram B: untouched
+    assert out[1] == a              # B's copy dropped, A's copy PROTECTED
+    assert out[2] == "x9"           # A's non-canonical copy dropped
+    # the substring a1 b1..b7 survives (in doc 1) — the guarantee
+
+
+def test_remove_preserves_original_text_when_untouched(spark):
+    from lucene_spark.pipeline.textstats import remove_duplicated_ngrams
+
+    rows = [(0, "Hello, World! unique@text.example HERE")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicated_ngrams(docs, k=8).collect()[0].text
+    assert out == "Hello, World! unique@text.example HERE"

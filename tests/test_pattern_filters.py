@@ -306,12 +306,9 @@ def test_named_tokenizers_as_pattern_instances(spark):
     assert _jvm(spark, kw, "Hello,  World\nx") == [("hello,  world\nx", 0)]
 
     letter = Analyzer(token_match_pattern="[a-z]+")
-    assert letter.analyze_text("don't x2y") == [
-        ("don", 0),
-        ("t", 1),
-        ("x", 2),
-        ("y", 3),
-    ]
+    got_l = letter.analyze_text("don't x2y")
+    assert got_l == [("don", 0), ("t", 1), ("x", 2), ("y", 3)]
+    assert _jvm(spark, letter, "don't x2y") == got_l
 
     ws = Analyzer(token_split_pattern=r"\s+")
     got = ws.analyze_text("foo   bar-baz\tqux")
